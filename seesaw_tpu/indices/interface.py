@@ -1,0 +1,45 @@
+"""AccessMethod: the index contract between retrieval and the session layer.
+
+Mirrors the reference interface (`/root/reference/seesaw/indices/interface.py:
+10-45`): text embedding, stateless top-k query with exclusion, query-state
+factory, subsetting, and `info.json`-dispatched loading.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..basic_types import get_constructor
+
+
+class AccessMethod:
+    def string2vec(self, string: str) -> np.ndarray:
+        raise NotImplementedError("abstract")
+
+    def query(self, *, vector: np.ndarray, topk: int, exclude=None, **kwargs) -> dict:
+        """Returns {'dbidxs': int array, 'activations': per-image activation
+        tables (or None)} for the top-k non-excluded images."""
+        raise NotImplementedError("abstract")
+
+    def new_query(self):
+        raise NotImplementedError("abstract")
+
+    def subset(self, indices) -> "AccessMethod":
+        raise NotImplementedError("abstract")
+
+    def __len__(self) -> int:
+        raise NotImplementedError("abstract")
+
+    @staticmethod
+    def load(index_path: str, *, options: dict | None = None) -> "AccessMethod":
+        """Dispatch through `<index_path>/info.json`'s ``constructor`` field
+        (dotted path), like the reference's dynamic loader."""
+        index_path = Path(index_path)
+        info = json.loads((index_path / "info.json").read_text())
+        cons = get_constructor(info["constructor"])
+        return cons.from_path(str(index_path), **(options or {}))
+
+    def get_knng_path(self, name: str = "") -> str:
+        raise NotImplementedError("abstract")
