@@ -1,0 +1,69 @@
+"""Score calibration: Platt sigmoid fits.
+
+Equivalent of the reference's `seesaw/calibration.py:17-57` without the
+sklearn dependency: `GroundTruthCalibrator` fits sigma(A*s + B) on ground
+truth (debug/benchmark-only), `FixedCalibrator` applies fixed coefficients
+sigma(a*(s+b)).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _platt_fit(scores: np.ndarray, y: np.ndarray, n_iter: int = 200):
+    """Newton fit of P(y=1|s) = sigma(A s + B) with Platt's target smoothing."""
+    prior0 = float((y <= 0).sum())
+    prior1 = float((y > 0).sum())
+    t = np.where(y > 0, (prior1 + 1.0) / (prior1 + 2.0), 1.0 / (prior0 + 2.0))
+    A, B = 0.0, np.log((prior0 + 1.0) / (prior1 + 1.0))
+    for _ in range(n_iter):
+        z = A * scores + B
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - t
+        gA, gB = float(g @ scores), float(g.sum())
+        w = p * (1 - p) + 1e-12
+        hAA = float((w * scores * scores).sum())
+        hAB = float((w * scores).sum())
+        hBB = float(w.sum())
+        det = hAA * hBB - hAB * hAB
+        if abs(det) < 1e-12:
+            break
+        dA = (hBB * gA - hAB * gB) / det
+        dB = (hAA * gB - hAB * gA) / det
+        A, B = A - dA, B - dB
+        if max(abs(dA), abs(dB)) < 1e-10:
+            break
+    return A, B
+
+
+def compute_calibrated_probabilities(scores: np.ndarray, a: float, b: float):
+    return 1.0 / (1.0 + np.exp(-(a * scores + b)))
+
+
+class GroundTruthCalibrator:
+    """Fits a sigmoid from raw scores to ground-truth relevance. Debug only —
+    lets benchmarks report probabilities a perfect calibrator would give."""
+
+    def __init__(self, vectors: np.ndarray, y: np.ndarray):
+        self.vectors = vectors
+        self._y = np.asarray(y, dtype=np.float64)
+
+    def get_probabilities(self, qvec: np.ndarray) -> np.ndarray:
+        scores = self.vectors @ qvec.reshape(-1)
+        a, b = _platt_fit(scores, self._y)
+        return compute_calibrated_probabilities(scores, a, b)
+
+    def fit(self, scores: np.ndarray):
+        return _platt_fit(np.asarray(scores, np.float64), self._y)
+
+
+class FixedCalibrator:
+    """sigma(a * (s + b)) with fixed coefficients (reference `calibration.py:
+    44-57`)."""
+
+    def __init__(self, a: float, b: float):
+        self.a = a
+        self.b = b
+
+    def get_probabilities(self, scores: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-self.a * (np.asarray(scores) + self.b)))

@@ -1,0 +1,116 @@
+"""Point-based loops: rank by a single query vector, refine the vector.
+
+Reference: `/root/reference/seesaw/loops/point_based.py`, `log_reg.py`,
+`rocchio_update.py`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..learners import LogisticRegression
+from .loop_base import LoopBase
+
+
+class PointBased(LoopBase):
+    def __init__(self, gdm, q, params):
+        super().__init__(gdm, q, params)
+        self.curr_vec = None
+
+    def set_text_vec(self, vec):
+        super().set_text_vec(vec)
+        self.curr_vec = vec
+
+    def next_batch(self):
+        assert self.curr_vec is not None
+        return self._next_batch_curr_vec(np.asarray(self.curr_vec).reshape(-1))
+
+    def refine(self, change=None):
+        raise NotImplementedError("implement in subclass")
+
+
+class Plain(PointBased):
+    """Zero-feedback baseline: always rank by the text vector."""
+
+    @staticmethod
+    def from_params(gdm, q, params):
+        return Plain(gdm, q, params)
+
+    def refine(self, change=None):
+        pass
+
+
+class LogReg2(PointBased):
+    """Fit a logistic probe on labeled tile vectors; its coefficient becomes
+    the query vector. Skips fitting while labels are one-sided (the anchor
+    regularizer would just return the text vector anyway)."""
+
+    def __init__(self, gdm, q, params):
+        super().__init__(gdm, q, params)
+        self.model = None
+
+    @staticmethod
+    def from_params(gdm, q, params):
+        return LogReg2(gdm, q, params)
+
+    def set_text_vec(self, vec):
+        super().set_text_vec(vec)
+        self.model = None
+
+    def refine(self, change=None):
+        xy = self.q.getXy()
+        rows, ys = xy["rows"], xy["ys"]
+        if rows.shape[0] == 0 or (ys == 1).all() or (ys == 0).all():
+            return
+        Xt = self.index.vectors[rows]
+        if self.model is None:
+            opts = dict(self.params.interactive_options or {})
+            opts.pop("model_type", None)
+            self.model = LogisticRegression(
+                regularizer_vector=self.state.tvec, **opts
+            )
+        self.model.fit(Xt, ys)
+        self.curr_vec = self.model.get_coeff()
+
+
+class RocchioUpdate(PointBased):
+    """q <- alpha*q0 + beta*mean(relevant) - gamma*mean(non-relevant)."""
+
+    def __init__(self, gdm, q, params):
+        super().__init__(gdm, q, params)
+        opts = params.interactive_options or {}
+        self.alpha = opts["rocchio_alpha"]
+        self.beta = opts["rocchio_beta"]
+        self.gamma = opts["rocchio_gamma"]
+
+    @staticmethod
+    def from_params(gdm, q, params):
+        return RocchioUpdate(gdm, q, params)
+
+    def refine(self, change=None):
+        xy = self.q.getXy()
+        rows, ys = xy["rows"], xy["ys"]
+        Xt = self.index.vectors[rows]
+        rel = Xt[ys > 0]
+        nrel = Xt[ys == 0]
+        mean_rel = rel.sum(axis=0) / max(rel.shape[0], 1)
+        mean_nrel = nrel.sum(axis=0) / max(nrel.shape[0], 1)
+        self.curr_vec = (
+            self.alpha * self.curr_qvec + self.beta * mean_rel - self.gamma * mean_nrel
+        )
+
+
+class RandomResults(LoopBase):
+    """Random unseen images; no feedback. Benchmark floor."""
+
+    @staticmethod
+    def from_params(gdm, q, params):
+        return RandomResults(gdm, q, params)
+
+    def set_text_vec(self, vec):
+        self.curr_qvec = vec
+
+    def next_batch_external(self):
+        return self.q.query_random(batch_size=self.params.batch_size)
+
+    def refine_external(self, change=None):
+        pass
