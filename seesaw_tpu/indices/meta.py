@@ -81,6 +81,21 @@ class VectorMeta:
         )
         return meta, order
 
+    def padded_rows(self, tile_bound: int) -> tuple[np.ndarray, np.ndarray]:
+        """Frame-major padded gather plan: (rows, valid), both (F, T).
+
+        rows[f, t] indexes into the exact (sorted) layout, clipped for
+        padding; valid marks real tiles. Used to build the device-resident
+        padded arrays that make frame-max a reshape (ops.frame_scoring)."""
+        T = tile_bound
+        starts = self.frame_starts[:-1].astype(np.int64)
+        lengths = np.diff(self.frame_starts).astype(np.int64)
+        assert lengths.max(initial=0) <= T, "tile_bound too small"
+        offs = np.arange(T, dtype=np.int64)
+        rows = np.clip(starts[:, None] + offs[None, :], 0, max(self.n_vectors - 1, 0))
+        valid = offs[None, :] < lengths[:, None]
+        return rows.astype(np.int64), valid
+
     def subset_mask(self, keep_dbidx: np.ndarray) -> np.ndarray:
         """Row mask selecting vectors whose dbidx is in ``keep_dbidx``."""
         return np.isin(self.dbidx, keep_dbidx)

@@ -89,13 +89,17 @@ class MultiscaleIndex(AccessMethod):
             BitMap(meta.frame_dbidx).difference(self.excluded).to_array()
         )
 
-        # device-resident arrays
-        self._V = jnp.asarray(self.vectors)
-        self._frame_id = jnp.asarray(meta.frame_id)
-        self._frame_starts = jnp.asarray(meta.frame_starts)
-        self._boxes = jnp.asarray(meta.boxes)
-        self._zoom = jnp.asarray(meta.zoom_level)
+        # device-resident arrays, frame-major padded (see ops.frame_scoring)
         self._tile_bound = _next_pow2(max(meta.max_tiles_per_frame, 1))
+        rows, valid = meta.padded_rows(self._tile_bound)
+        flat_rows = rows.reshape(-1)
+        flat_valid = valid.reshape(-1)
+        V_pad = self.vectors[flat_rows]
+        V_pad[~flat_valid] = 0.0
+        self._V = jnp.asarray(V_pad)
+        self._valid = jnp.asarray(valid)
+        self._boxes = jnp.asarray(meta.boxes[flat_rows])
+        self._zoom = jnp.asarray(meta.zoom_level[flat_rows])
         self._max_zoom = max(meta.max_zoom_level, 1)
         # static frame mask for the construction-time exclusion list
         self._base_excluded_mask = (
@@ -111,7 +115,16 @@ class MultiscaleIndex(AccessMethod):
         return vec / np.linalg.norm(vec)
 
     def score(self, vec: np.ndarray) -> np.ndarray:
-        return np.asarray(frame_scoring.score_vectors(self._V, jnp.asarray(vec.reshape(-1))))
+        """Per-vector scores in the exact (unpadded) layout."""
+        return self.vectors @ np.asarray(vec, np.float32).reshape(-1)
+
+    def score_frames(self, vec: np.ndarray) -> np.ndarray:
+        """Max tile score per frame, on device."""
+        return np.asarray(
+            frame_scoring.score_frames_max(
+                self._V, self._valid, jnp.asarray(np.asarray(vec, np.float32).reshape(-1))
+            )
+        )
 
     def __len__(self) -> int:
         return len(self.all_indices)
@@ -151,18 +164,15 @@ class MultiscaleIndex(AccessMethod):
 
         res = frame_scoring.query_program(
             self._V,
-            self._frame_id,
-            self._frame_starts,
+            self._valid,
             self._boxes,
             self._zoom,
             jnp.asarray(np.asarray(vector, np.float32).reshape(-1)),
             (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
              if vector2 is not None else None),
             jnp.asarray(excluded_mask),
-            n_frames=self.n_frames,
             shortlist_size=shortlist_size,
             topk=topk_eff,
-            tile_bound=self._tile_bound,
             aug_larger=aug_larger,
             aug_weight=aug_weight,
             agg_method=agg_method,
@@ -263,6 +273,9 @@ class BoxFeedbackQuery(InteractiveQuery):
         remaining = BitMap(self.index.meta.frame_dbidx).difference(self.returned)
         arr = remaining.to_array()
         idxs = np.random.permutation(arr)[:batch_size]
+        # keep the no-repeat contract: random batches count as returned too
+        # (latent bug in the reference: query_random never updated `returned`)
+        self.returned.update(idxs)
         return {"dbidxs": idxs.astype(np.int64), "activations": None}
 
     def getXy(self, get_positions: bool = False, target_description: Optional[str] = None):

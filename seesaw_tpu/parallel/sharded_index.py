@@ -1,0 +1,216 @@
+"""Row-sharded frame index: exact distributed top-k over a device mesh.
+
+The database's frames are partitioned contiguously into S = mesh-size shards
+(frame-major padded layout, see ops.frame_scoring). Each device owns one
+shard's embedding block and runs the *full* single-shard query program
+(score -> distinct-frame shortlist -> frame augmentation) on its local
+frames — frame augmentation is per-frame independent, so merging per-shard
+top-k lists is exact, and the only cross-chip traffic is the (S x k)
+candidate gather riding ICI.
+
+This is the scale path for 10M+ vectors (SURVEY.md §7 stage 6): per-chip
+work is one bf16 matvec over the local block + an O(k) merge; the reference
+needed an ANN index (annoy) because a single CPU couldn't scan — a sharded
+MXU scan is both exact and faster.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..indices.meta import VectorMeta
+from ..ops import frame_scoring
+
+
+def _next_pow2(x: int) -> int:
+    p = 8
+    while p < x:
+        p *= 2
+    return p
+
+
+@dataclass
+class ShardedFrameIndex:
+    """Device-sharded padded blocks (leading axis = shard) + host metadata."""
+
+    mesh: Mesh
+    V: jax.Array  # (S, Fs*T, D) sharded over 'data'
+    valid: jax.Array  # (S, Fs, T) bool
+    boxes: jax.Array  # (S, Fs*T, 4)
+    zoom: jax.Array  # (S, Fs*T)
+    frame_offset: jax.Array  # (S, 1) global frame base per shard
+    frame_dbidx: np.ndarray  # (F_total,) global frame -> dbidx
+    n_frames_local: int  # Fs
+    tile_bound: int
+    max_zoom: int
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.V.shape[0])
+
+    @property
+    def n_frames(self) -> int:
+        return self.frame_dbidx.shape[0]
+
+    @staticmethod
+    def build(
+        vectors: np.ndarray, meta: VectorMeta, mesh: Mesh, dtype=np.float32
+    ) -> "ShardedFrameIndex":
+        S = mesh.devices.size
+        F = meta.n_frames
+        Fs = -(-F // S)
+        T = _next_pow2(max(meta.max_tiles_per_frame, 1))
+
+        rows, valid = meta.padded_rows(T)  # (F, T)
+        flat_rows = rows.reshape(-1)
+        flat_valid = valid.reshape(-1)
+        V_pad = np.ascontiguousarray(vectors[flat_rows], dtype=dtype)
+        V_pad[~flat_valid] = 0
+        boxes_pad = meta.boxes[flat_rows]
+        zoom_pad = meta.zoom_level[flat_rows]
+
+        def shard_blocks(arr_ft, fill=0):
+            """(F*T, ...) -> (S, Fs*T, ...) padded with fill."""
+            out_shape = (S, Fs * T) + arr_ft.shape[1:]
+            out = np.full(out_shape, fill, dtype=arr_ft.dtype)
+            flat = out.reshape((S * Fs * T,) + arr_ft.shape[1:])
+            flat[: F * T] = arr_ft
+            return out
+
+        valid_s = np.zeros((S, Fs, T), dtype=bool)
+        valid_s.reshape(S * Fs, T)[:F] = valid
+
+        sharding = NamedSharding(mesh, P("data"))
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), sharding)
+
+        offsets = (np.arange(S, dtype=np.int32) * Fs).reshape(S, 1)
+        return ShardedFrameIndex(
+            mesh=mesh,
+            V=put(shard_blocks(V_pad)),
+            valid=put(valid_s),
+            boxes=put(shard_blocks(boxes_pad)),
+            zoom=put(shard_blocks(zoom_pad)),
+            frame_offset=put(offsets),
+            frame_dbidx=meta.frame_dbidx,
+            n_frames_local=Fs,
+            tile_bound=T,
+            max_zoom=max(meta.max_zoom_level, 1),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom",
+    ),
+)
+def _sharded_query(
+    V, valid, boxes, zoom, frame_offset, qvec, excluded,
+    *,
+    mesh: Mesh,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+):
+    Fs = valid.shape[1]
+    topk_local = min(topk, Fs)
+    shortlist_local = min(shortlist_size, Fs)
+
+    def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
+        res = frame_scoring.query_program(
+            V[0], valid[0], boxes[0], zoom[0],
+            qvec, None, excluded[0],
+            shortlist_size=shortlist_local,
+            topk=topk_local,
+            aug_larger=aug_larger,
+            aug_weight=aug_weight,
+            agg_method=agg_method,
+            max_zoom=max_zoom,
+        )
+        ok = res.frame_ids >= 0
+        gfids = jnp.where(ok, res.frame_ids + frame_offset[0, 0], -1)
+        return (
+            gfids[None], res.frame_scores[None],
+            res.act_boxes[None], res.act_scores[None],
+        )
+
+    spec = P("data")
+    gfids, scores, act_boxes, act_scores = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )(V, valid, boxes, zoom, frame_offset, excluded)
+
+    # merge (S, k) per-shard candidates — replicated tiny arrays
+    flat_scores = scores.reshape(-1)
+    top_scores, pos = jax.lax.top_k(flat_scores, min(topk, flat_scores.shape[0]))
+    keep = top_scores > -jnp.inf
+    return (
+        jnp.where(keep, gfids.reshape(-1)[pos], -1),
+        top_scores,
+        act_boxes.reshape(-1, 4)[pos],
+        act_scores.reshape(-1)[pos],
+        keep.sum(),
+    )
+
+
+def sharded_query_topk(
+    idx: ShardedFrameIndex,
+    qvec: np.ndarray,
+    excluded_global: np.ndarray,  # (F_total,) bool
+    *,
+    topk: int,
+    shortlist_size: int | None = None,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+):
+    """Query the sharded index. Returns (dbidxs, frame_scores, act_boxes,
+    act_scores) truncated to valid rows."""
+    if shortlist_size is None:
+        shortlist_size = topk
+
+    S = idx.n_shards
+    Fs = idx.n_frames_local
+    F = idx.n_frames
+    exc = np.ones(S * Fs, dtype=bool)
+    exc[:F] = excluded_global
+    exc = exc.reshape(S, Fs)
+
+    sharding = NamedSharding(idx.mesh, P("data"))
+    exc_dev = jax.device_put(jnp.asarray(exc), sharding)
+
+    gfids, scores, boxes, act_scores, n_valid = _sharded_query(
+        idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
+        jnp.asarray(np.asarray(qvec, np.float32).reshape(-1)),
+        exc_dev,
+        mesh=idx.mesh,
+        shortlist_size=shortlist_size,
+        topk=topk,
+        aug_larger=aug_larger,
+        aug_weight=aug_weight,
+        agg_method=agg_method,
+        max_zoom=idx.max_zoom,
+    )
+    n = int(n_valid)
+    fids = np.asarray(gfids)[:n]
+    return (
+        idx.frame_dbidx[fids],
+        np.asarray(scores)[:n],
+        np.asarray(boxes)[:n],
+        np.asarray(act_scores)[:n],
+    )

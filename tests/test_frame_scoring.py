@@ -11,6 +11,17 @@ from seesaw_tpu.indices.meta import VectorMeta
 from seesaw_tpu.ops import frame_scoring as fs
 
 
+def padded_args(meta, V, T=16):
+    """(vectors, valid, boxes, zoom) in frame-major padded layout."""
+    rows, valid = meta.padded_rows(T)
+    fr = rows.reshape(-1)
+    fv = valid.reshape(-1)
+    Vp = V[fr].copy()
+    Vp[~fv] = 0
+    return (jnp.array(Vp), jnp.array(valid), jnp.array(meta.boxes[fr]),
+            jnp.array(meta.zoom_level[fr]))
+
+
 # ---------------------------------------------------------------- oracle ---
 def oracle_augment(df: pd.DataFrame, *, aug_larger, aug_weight, agg_method):
     """Per-tile augmented scores for one frame, pandas-style (spec oracle)."""
@@ -124,11 +135,10 @@ def test_query_program_matches_oracle_end_to_end():
     excluded[list(excluded_frames)] = True
 
     res = fs.query_program(
-        jnp.array(V), jnp.array(meta.frame_id), jnp.array(meta.frame_starts),
-        jnp.array(meta.boxes), jnp.array(meta.zoom_level),
+        *padded_args(meta, V),
         jnp.array(q), None, jnp.array(excluded),
-        n_frames=meta.n_frames, shortlist_size=8, topk=3,
-        tile_bound=16, aug_larger="all", aug_weight="level_max",
+        shortlist_size=8, topk=3,
+        aug_larger="all", aug_weight="level_max",
         agg_method="avg_score", max_zoom=4,
     )
 
@@ -169,11 +179,10 @@ def test_query_program_vector2_discount():
     q2 = rng.normal(size=V.shape[1]).astype(np.float32)
     excluded = np.zeros(meta.n_frames, dtype=bool)
     res = fs.query_program(
-        jnp.array(V), jnp.array(meta.frame_id), jnp.array(meta.frame_starts),
-        jnp.array(meta.boxes), jnp.array(meta.zoom_level),
+        *padded_args(meta, V),
         jnp.array(q), jnp.array(q2), jnp.array(excluded),
-        n_frames=meta.n_frames, shortlist_size=6, topk=2,
-        tile_bound=16, agg_method="plain_score", max_zoom=4,
+        shortlist_size=6, topk=2,
+        agg_method="plain_score", max_zoom=4,
     )
     scores = V @ q - V @ q2
     fmax = np.full(meta.n_frames, -np.inf)
@@ -189,11 +198,9 @@ def test_exclusion_exhausts_cleanly():
     excluded = np.ones(meta.n_frames, dtype=bool)
     excluded[2] = False
     res = fs.query_program(
-        jnp.array(V), jnp.array(meta.frame_id), jnp.array(meta.frame_starts),
-        jnp.array(meta.boxes), jnp.array(meta.zoom_level),
+        *padded_args(meta, V),
         jnp.array(q), None, jnp.array(excluded),
-        n_frames=meta.n_frames, shortlist_size=4, topk=3,
-        tile_bound=16, max_zoom=4,
+        shortlist_size=4, topk=3, max_zoom=4,
     )
     assert int(res.n_valid) == 1
     assert np.asarray(res.frame_ids).tolist()[:1] == [2]

@@ -1,0 +1,107 @@
+"""Sharded (8-virtual-device) exact top-k must match the single-chip query
+program bit-for-bit on scores and frame ranking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seesaw_tpu.indices.meta import VectorMeta
+from seesaw_tpu.ops import frame_scoring as fs
+from seesaw_tpu.parallel import ShardedFrameIndex, make_mesh, sharded_query_topk
+
+
+@pytest.fixture(scope="module")
+def db():
+    rng = np.random.default_rng(0)
+    dbidx, zoom, boxes, vecs = [], [], [], []
+    for f in range(41):  # deliberately not divisible by 8
+        ntiles = int(rng.integers(1, 9))
+        for _ in range(ntiles):
+            zl = int(rng.integers(1, 4))
+            size = 32.0 * (2 ** (zl - 1))
+            x1 = float(rng.uniform(0, 224 - size))
+            y1 = float(rng.uniform(0, 224 - size))
+            dbidx.append(f * 2 + 5)
+            zoom.append(zl)
+            boxes.append((x1, y1, x1 + size, y1 + size))
+            v = rng.normal(size=24).astype(np.float32)
+            vecs.append(v / np.linalg.norm(v))
+    meta, order = VectorMeta.from_arrays(
+        np.array(dbidx), np.array(zoom), np.array(boxes, np.float32)
+    )
+    V = np.stack(vecs)[order]
+    return meta, V
+
+
+def single_chip_reference(meta, V, q, excluded, topk):
+    rows, valid = meta.padded_rows(16)
+    fr, fv = rows.reshape(-1), valid.reshape(-1)
+    Vp = V[fr].copy(); Vp[~fv] = 0
+    res = fs.query_program(
+        jnp.asarray(Vp), jnp.asarray(valid),
+        jnp.asarray(meta.boxes[fr]), jnp.asarray(meta.zoom_level[fr]),
+        jnp.asarray(q), None, jnp.asarray(excluded),
+        shortlist_size=meta.n_frames, topk=topk,
+        aug_larger="all", aug_weight="level_max",
+        agg_method="avg_score", max_zoom=3,
+    )
+    n = int(res.n_valid)
+    fids = np.asarray(res.frame_ids)[:n]
+    return meta.frame_dbidx[fids], np.asarray(res.frame_scores)[:n]
+
+
+def test_matches_single_chip(db):
+    meta, V = db
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    idx = ShardedFrameIndex.build(V, meta, mesh)
+
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+    q /= np.linalg.norm(q)
+
+    excluded = np.zeros(meta.n_frames, dtype=bool)
+    excluded[[3, 17, 30]] = True
+
+    want_dbidx, want_scores = single_chip_reference(meta, V, q, excluded, topk=10)
+    got_dbidx, got_scores, got_boxes, _ = sharded_query_topk(
+        idx, q, excluded, topk=10, shortlist_size=idx.n_frames_local
+    )
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
+    assert got_dbidx.tolist() == want_dbidx.tolist()
+
+
+def test_exclusion_and_exhaustion(db):
+    meta, V = db
+    mesh = make_mesh(8)
+    idx = ShardedFrameIndex.build(V, meta, mesh)
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    excluded = np.ones(meta.n_frames, dtype=bool)
+    excluded[[0, 40]] = False
+    got_dbidx, got_scores, _, _ = sharded_query_topk(
+        idx, q, excluded, topk=5, shortlist_size=idx.n_frames_local
+    )
+    assert set(got_dbidx.tolist()) == {meta.frame_dbidx[0], meta.frame_dbidx[40]}
+
+
+def test_uneven_small_db():
+    # fewer frames than devices
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0, 100, size=(6, 2)).astype(np.float32)
+    wh = rng.uniform(10, 60, size=(6, 2)).astype(np.float32)
+    meta, order = VectorMeta.from_arrays(
+        np.array([0, 0, 1, 2, 2, 2]),
+        np.array([1, 2, 1, 1, 1, 2]),
+        np.concatenate([xy, xy + wh], axis=1),
+    )
+    V = rng.normal(size=(6, 16)).astype(np.float32)[order]
+    mesh = make_mesh(8)
+    idx = ShardedFrameIndex.build(V, meta, mesh)
+    q = rng.normal(size=16).astype(np.float32)
+    got_dbidx, got_scores, _, _ = sharded_query_topk(
+        idx, q, np.zeros(3, dtype=bool), topk=3, shortlist_size=idx.n_frames_local
+    )
+    assert len(got_dbidx) == 3
+    assert set(got_dbidx.tolist()) == {0, 1, 2}
