@@ -97,6 +97,8 @@ class MultiscaleIndex(AccessMethod):
         V_pad = self.vectors[flat_rows]
         V_pad[~flat_valid] = 0.0
         self._V = jnp.asarray(V_pad)
+        self._pad_rows = jnp.asarray(flat_rows.astype(np.int32))
+        self._pad_valid_flat = jnp.asarray(flat_valid)
         self._valid = jnp.asarray(valid)
         self._boxes = jnp.asarray(meta.boxes[flat_rows])
         self._zoom = jnp.asarray(meta.zoom_level[flat_rows])
@@ -178,6 +180,39 @@ class MultiscaleIndex(AccessMethod):
             agg_method=agg_method,
             max_zoom=self._max_zoom,
         )
+        return self._format_result(res)
+
+    def rank_by_scores(
+        self,
+        scores: np.ndarray,  # (N,) per-vector scores in exact layout
+        *,
+        topk: int,
+        shortlist_size: Optional[int] = None,
+        exclude: Optional[BitMap] = None,
+        agg_method: str = "avg_score",
+        aug_larger: str = "all",
+        aug_weight: str = "level_max",
+    ) -> dict:
+        """Rank frames by externally produced per-vector scores (e.g. label
+        propagation) with the same shortlist + augmentation tail as query()."""
+        if shortlist_size is None or shortlist_size < topk:
+            shortlist_size = max(topk * 5, shortlist_size or 0)
+        shortlist_size = min(shortlist_size, self.n_frames)
+        topk_eff = min(topk, self.n_frames)
+        excluded_mask = self._frame_exclusion_mask(exclude)
+
+        s = jnp.asarray(np.asarray(scores, np.float32))
+        s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
+        res = frame_scoring.rank_frames_from_scores(
+            s_pad, self._valid, self._boxes, self._zoom,
+            jnp.asarray(excluded_mask),
+            shortlist_size=shortlist_size, topk=topk_eff,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=self._max_zoom,
+        )
+        return self._format_result(res)
+
+    def _format_result(self, res) -> dict:
         n = int(res.n_valid)
         fids = np.asarray(res.frame_ids)[:n]
         act_boxes = np.asarray(res.act_boxes)[:n]

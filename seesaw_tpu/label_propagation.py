@@ -1,0 +1,81 @@
+"""LabelPropagation: host wrapper over the device Jacobi program.
+
+API mirrors the reference class (`/root/reference/seesaw/
+label_propagation.py:6-79`): construct with a weight structure + reg_lambda,
+call fit_transform with labeled ids/values, prior (reg) values and an
+optional warm start. Bounds-checking matches the reference's invariants
+(scores stay within [min(0, prior_min), max(1, prior_max)]).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .knn_graph import SymmetricWeights
+from .ops.propagation import propagate
+
+
+class LabelPropagation:
+    def __init__(
+        self,
+        weights: SymmetricWeights,
+        *,
+        reg_lambda: float,
+        max_iter: int = 300,
+        epsilon: float = 1e-5,
+        verbose: int = 0,
+    ):
+        assert reg_lambda >= 0
+        self.weights = weights
+        self.n = weights.nvecs
+        self.reg_lambda = reg_lambda
+        self.max_iter = max_iter
+        self.epsilon = epsilon
+        self.verbose = verbose
+        self._nbr = jnp.asarray(weights.nbr)
+        self._w = jnp.asarray(weights.w)
+        self._deg = jnp.asarray(weights.degree)
+
+    def fit_transform(
+        self,
+        *,
+        label_ids: np.ndarray,
+        label_values: np.ndarray,
+        reg_values: Optional[np.ndarray] = None,
+        start_value: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        if reg_values is None:
+            assert self.reg_lambda == 0
+            reg_values = np.zeros(self.n, dtype=np.float32)
+        reg_values = np.asarray(reg_values, dtype=np.float32)
+        assert reg_values.shape[0] == self.n
+
+        labels = np.zeros(self.n, dtype=np.float32)
+        is_labeled = np.zeros(self.n, dtype=bool)
+        ids = np.asarray(label_ids).reshape(-1).astype(np.int64)
+        labels[ids] = np.asarray(label_values, dtype=np.float32).reshape(-1)
+        is_labeled[ids] = True
+
+        if start_value is not None:
+            start = np.asarray(start_value, dtype=np.float32)
+        else:
+            start = reg_values.copy()
+
+        res = propagate(
+            self._nbr, self._w, self._deg,
+            jnp.asarray(reg_values), jnp.asarray(labels), jnp.asarray(is_labeled),
+            jnp.asarray(start),
+            reg_lambda=float(self.reg_lambda),
+            max_iter=self.max_iter,
+            epsilon=self.epsilon,
+        )
+        out = np.asarray(res.scores)
+        lo = min(0.0, float(reg_values.min(initial=0.0)))
+        hi = max(1.0, float(reg_values.max(initial=1.0)))
+        assert (out >= lo - 1e-5).all(), "scores must stay within prior bounds"
+        assert (out <= hi + 1e-5).all(), "scores must stay within prior bounds"
+        if self.verbose and not bool(res.converged):
+            print(f"warning: propagation did not converge after {int(res.n_iter)} iters")
+        return out

@@ -1,0 +1,180 @@
+"""kNN-based rankers: Bayesian neighbor voting + label-propagation scoring.
+
+Reimplements the reference rankers (`/root/reference/seesaw/research/
+knn_methods.py:8-199`) over the fixed-degree graph:
+
+- SimpleKNNRanker: per-vertex score = (pseudo-count * prior + positive
+  neighbor votes) / (pseudo-count + labeled neighbor count); labels clamp
+  their own vertex. Updates touch only the reverse neighborhood of the
+  labeled vertex.
+- BaseLabelPropagationRanker / LabelPropagationRanker2: normalize + sigmoid
+  calibrate base scores into priors, run device label propagation after
+  each batch that contains negatives.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..knn_graph import KNNGraph, SymmetricWeights, rbf_kernel, symmetrize_weights
+from ..label_propagation import LabelPropagation
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def normalize_scores(scores: np.ndarray, epsilon: float) -> np.ndarray:
+    """Affine-map scores into (epsilon, 1-epsilon); all-equal maps to 0.5."""
+    assert epsilon < 0.5
+    gap = scores.max() - scores.min()
+    if gap == 0:
+        return np.full_like(scores, 0.5)
+    x = (scores - scores.min()) / gap
+    return x * (1 - 2 * epsilon) + epsilon
+
+
+class SimpleKNNRanker:
+    def __init__(self, knng: KNNGraph, init_scores: Optional[np.ndarray] = None):
+        self.knng = knng
+        n = knng.nvecs
+        if init_scores is None:
+            self.init_numerators = np.ones(n) * 0.1
+        else:
+            self.set_base_scores(init_scores)
+        self.pscount = 1.0
+        self.numerators = np.zeros(n)
+        self.denominators = np.zeros(n)
+        self.labels = np.zeros(n)
+        self.is_labeled = np.zeros(n)
+        self._rev_indptr, self._rev_src = knng.reverse_adjacency()
+
+    def set_base_scores(self, scores: np.ndarray):
+        assert scores.shape[0] == self.knng.nvecs
+        self.init_numerators = sigmoid(2 * scores)
+
+    def current_scores(self) -> np.ndarray:
+        num = self.pscount * self.init_numerators + self.numerators
+        denom = self.pscount + self.denominators
+        estimates = num / denom
+        return self.labels * self.is_labeled + estimates * (1 - self.is_labeled)
+
+    def update(self, idxs, labels):
+        for idx, label in zip(idxs, labels):
+            idx, label = int(idx), float(label)
+            assert np.isclose(label, 0) or np.isclose(label, 1)
+            if self.is_labeled[idx] > 0:
+                delta_num = label - self.labels[idx]
+                delta_denom = 0
+            else:
+                delta_num = label
+                delta_denom = 1
+            self.labels[idx] = label
+            self.is_labeled[idx] = 1
+            # vertices that list idx among their neighbors
+            rev = self._rev_src[self._rev_indptr[idx] : self._rev_indptr[idx + 1]]
+            self.numerators[rev] += delta_num
+            self.denominators[rev] += delta_denom
+
+    def top_k(self, k: Optional[int], unlabeled_only: bool = True):
+        if unlabeled_only:
+            subset = np.where(self.is_labeled < 1)[0]
+        else:
+            subset = np.arange(self.knng.nvecs)
+        raw = self.current_scores()
+        order = np.argsort(-raw[subset])
+        if k is not None:
+            order = order[:k]
+        top = subset[order]
+        return top, raw[top]
+
+
+class BaseLabelPropagationRanker:
+    def __init__(
+        self,
+        *,
+        nvecs: int,
+        normalize_scores: bool,
+        sigmoid_before_propagate: bool,
+        calib_a: float,
+        calib_b: float,
+        prior_weight: float,
+        normalize_epsilon: Optional[float] = None,
+        **_other,
+    ):
+        self.nvecs = nvecs
+        self.normalize = normalize_scores
+        if self.normalize:
+            assert normalize_epsilon is not None
+            self.epsilon = normalize_epsilon
+        self.calib_a = calib_a
+        self.calib_b = calib_b
+        self.prior_weight = prior_weight
+        self.sigmoid_before_propagate = sigmoid_before_propagate
+
+        self.is_labeled = np.zeros(nvecs)
+        self.labels = np.zeros(nvecs)
+        self.prior_scores = None
+        self._current_scores = None
+
+    def set_base_scores(self, init_scores: np.ndarray):
+        assert init_scores.shape[0] == self.nvecs
+        if self.normalize:
+            init_scores = normalize_scores(init_scores, epsilon=self.epsilon)
+        if self.sigmoid_before_propagate:
+            self.prior_scores = sigmoid(self.calib_a * (init_scores + self.calib_b))
+        else:
+            self.prior_scores = init_scores
+        if self.is_labeled.sum() == 0:
+            self._current_scores = self.prior_scores
+        else:
+            self._current_scores = self._propagate(self.prior_scores)
+
+    def _propagate(self, scores):
+        raise NotImplementedError
+
+    def update(self, idxs, labels):
+        for idx, label in zip(idxs, labels):
+            idx, label = int(idx), float(label)
+            assert np.isclose(label, 0) or np.isclose(label, 1)
+            self.labels[idx] = label
+            self.is_labeled[idx] = 1
+        num_neg = (self.labels[self.is_labeled > 0] == 0).sum()
+        if num_neg > 0:
+            self._current_scores = self._propagate(self.prior_scores)
+        # no negatives: scores unchanged (labels still clamp via current_scores)
+
+    def current_scores(self) -> np.ndarray:
+        return self._current_scores
+
+    def top_k(self, k: Optional[int], unlabeled_only: bool = True):
+        if unlabeled_only:
+            subset = np.where(self.is_labeled < 1)[0]
+        else:
+            subset = np.arange(self.nvecs)
+        raw = self.current_scores()
+        order = np.argsort(-raw[subset])
+        if k is not None:
+            order = order[:k]
+        top = subset[order]
+        return top, raw[top]
+
+
+class LabelPropagationRanker2(BaseLabelPropagationRanker):
+    def __init__(self, *, weights: SymmetricWeights, verbose: int = 0, **other):
+        super().__init__(nvecs=weights.nvecs, **other)
+        self.weights = weights
+        self.lp = LabelPropagation(
+            weights, reg_lambda=self.prior_weight, max_iter=300, verbose=verbose
+        )
+
+    def _propagate(self, scores: np.ndarray) -> np.ndarray:
+        ids = np.nonzero(self.is_labeled.reshape(-1))[0]
+        labels = self.labels.reshape(-1)[ids]
+        return self.lp.fit_transform(
+            label_ids=ids,
+            label_values=labels,
+            reg_values=self.prior_scores,
+            start_value=scores,
+        )

@@ -1,0 +1,67 @@
+"""Label propagation as a jitted Jacobi iteration over padded adjacency.
+
+Replaces the reference's scipy CSR SpMV loop (`/root/reference/seesaw/
+label_propagation.py:30-79`, up to 300 iterations over all N vectors per
+feedback round — SURVEY.md 'TPU kernel target #3'). With the fixed-degree
+padded graph (knn_graph.SymmetricWeights), one step is a gather + weighted
+row-sum on the VPU; the whole convergence loop runs on device inside a
+single lax.while_loop, with the same update rule, clamping and convergence
+test as the reference:
+
+    f <- (W f + lambda * prior) / (degree + lambda);  f[labeled] = label
+    stop when max (f_new - f_old)^2 < epsilon or max_iter reached.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PropagationResult(NamedTuple):
+    scores: jnp.ndarray
+    n_iter: jnp.ndarray
+    converged: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def propagate(
+    nbr: jnp.ndarray,  # (N, Kp) int32, -1 padding
+    w: jnp.ndarray,  # (N, Kp) float32
+    degree: jnp.ndarray,  # (N,)
+    prior: jnp.ndarray,  # (N,) regularization targets
+    labels: jnp.ndarray,  # (N,) label values (meaningful where labeled)
+    is_labeled: jnp.ndarray,  # (N,) bool
+    start: jnp.ndarray,  # (N,) initial scores
+    *,
+    reg_lambda: float,
+    max_iter: int = 300,
+    epsilon: float = 1e-5,
+) -> PropagationResult:
+    idx = jnp.clip(nbr, 0, None)
+    valid = nbr >= 0
+    denom = degree + reg_lambda
+    denom = jnp.where(denom > 0, denom, 1.0)
+
+    f0 = jnp.where(is_labeled, labels, start)
+
+    def step(f):
+        gathered = jnp.where(valid, f[idx], 0.0)
+        wf = (w * gathered).sum(axis=1)
+        new_f = (wf + reg_lambda * prior) / denom
+        return jnp.where(is_labeled, labels, new_f)
+
+    def cond(state):
+        f, f_prev, i, done = state
+        return (~done) & (i < max_iter)
+
+    def body(state):
+        f, _, i, _ = state
+        new_f = step(f)
+        done = jnp.max((new_f - f) ** 2) < epsilon
+        return (new_f, f, i + 1, done)
+
+    f, _, n, done = jax.lax.while_loop(cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False)))
+    return PropagationResult(scores=f, n_iter=n, converged=done)

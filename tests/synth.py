@@ -77,6 +77,12 @@ def build_synthetic_root(
     index = MultiscaleIndex(embedding=emb, vectors=V, meta=meta)
     index.save(ds.index_path("multiscale"), model_name=f"hash-{DIM}")
 
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    KNNGraph.build(V, n_neighbors=8).save(
+        f"{ds.index_path('multiscale')}/knn_graph/"
+    )
+
     gt = BoxTable(
         dbidx=np.array(gt_dbidx, dtype=np.int32),
         boxes=np.array(gt_boxes, dtype=np.float32),

@@ -110,6 +110,41 @@ def test_start_policy_gates_refine(synth_root):
     assert info["nseen"] > 0
 
 
+LABEL_PROP_PARAMS = dict(
+    matrix_options=dict(knn_path="", knn_k=8, edist=0.5),
+    normalize_scores=True,
+    normalize_epsilon=0.1,
+    sigmoid_before_propagate=True,
+    calib_a=2.0,
+    calib_b=-0.5,
+    prior_weight=1.0,
+)
+
+
+def test_knn_prop2_session(synth_root):
+    root, info = synth_root
+    p = _params("knn_prop2")
+    p.interactive_options = LABEL_PROP_PARAMS
+    _, run_info, _ = _run(root, p, _bench(n_batches=10, max_results=8))
+    assert run_info["nseen"] > 0
+    base_rate = info["is_pos"].mean()
+    assert run_info["nfound"] / run_info["nseen"] > base_rate
+
+
+def test_pseudo_lr_session(synth_root):
+    root, _ = synth_root
+    p = _params("pseudo_lr")
+    p.interactive_options = dict(
+        label_prop_params=LABEL_PROP_PARAMS,
+        log_reg_params=dict(reg_lambda=10.0, max_iter=50),
+        switch_over=True,
+        real_sample_weight=5.0,
+        sample_size=20,
+    )
+    _, run_info, _ = _run(root, p, _bench(n_batches=8, max_results=6))
+    assert run_info["nseen"] > 0
+
+
 def test_bench_runner_writes_summary(synth_root, tmp_path):
     root, _ = synth_root
     results = tmp_path / "results"

@@ -1,0 +1,220 @@
+"""Graph stack tests: exact kNN, symmetric weights, Laplacian, propagation."""
+import numpy as np
+import pytest
+
+from seesaw_tpu.knn_graph import (
+    KNNGraph,
+    rbf_kernel,
+    symmetrize_weights,
+)
+from seesaw_tpu.label_propagation import LabelPropagation
+from seesaw_tpu.loops.knn_methods import (
+    LabelPropagationRanker2,
+    SimpleKNNRanker,
+    normalize_scores,
+)
+
+
+def brute_knn(V, k):
+    d = 1.0 - V @ V.T
+    np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=1)
+
+
+def test_exact_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(500, 32)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=10, block_size=128)
+    want_idx, want_dist = brute_knn(V, 10)
+    np.testing.assert_allclose(g.dist, np.clip(want_dist, 0, None), atol=1e-4)
+    # ids can differ on exact distance ties; compare via distances above and
+    # spot-check id agreement rate
+    agree = (g.dst == want_idx).mean()
+    assert agree > 0.99
+
+
+def test_knn_graph_save_load(tmp_path):
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(50, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=5)
+    g.save(tmp_path / "knng")
+    g2 = KNNGraph.from_file(tmp_path / "knng")
+    np.testing.assert_array_equal(g.dst, g2.dst)
+    np.testing.assert_allclose(g.dist, g2.dist, atol=1e-6)
+    assert g2.restrict_k(k=3).k == 3
+
+
+def _two_node_graph(distance):
+    # 0 <-> 1 at the given distance
+    dst = np.array([[1], [0]], dtype=np.int32)
+    dist = np.array([[distance], [distance]], dtype=np.float32)
+    return KNNGraph(dst, dist)
+
+
+def test_laplacian_edge_loss_extremes():
+    """Analytic 2-node test mirroring the reference's inline
+    `test_simple_edge_loss` (knn_graph.py:109-134)."""
+    g = _two_node_graph(1.0)
+    w_wide = symmetrize_weights(g, rbf_kernel(10000.0))  # weight ~ 1
+    assert w_wide.laplacian_quadratic(np.array([0.0, 0.0])) == pytest.approx(0)
+    assert w_wide.laplacian_quadratic(np.array([1.0, 1.0])) == pytest.approx(0)
+    assert w_wide.laplacian_quadratic(np.array([0.0, 1.0])) == pytest.approx(1.0, abs=1e-3)
+
+    w_narrow = symmetrize_weights(g, rbf_kernel(0.0001))  # weight ~ 0
+    assert w_narrow.laplacian_quadratic(np.array([0.0, 1.0])) == pytest.approx(0, abs=1e-3)
+
+
+def test_symmetrize_vs_scipy_reference():
+    """Weights must match the reference's W+W^T edge-count-corrected CSR."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(2)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=4)
+    kfun = rbf_kernel(0.3)
+    sym = symmetrize_weights(g, kfun)
+
+    # scipy oracle following the reference construction
+    n = g.nvecs
+    src = np.repeat(np.arange(n), g.k)
+    dst = g.dst.reshape(-1)
+    w = kfun(g.dist.reshape(-1))
+    W = sp.coo_array((w, (src, dst)), shape=(n, n))
+    A = sp.coo_array((np.ones_like(w), (src, dst)), shape=(n, n))
+    Asym = (A.T + A).tocsr()
+    Wsym = (W.T + W).tocsr()
+    # divide by edge multiplicity
+    Wref = Wsym.copy()
+    Wref.data = Wsym.data / Asym.data
+
+    dense_ref = Wref.toarray()
+    dense_got = np.zeros((n, n))
+    for i in range(n):
+        for j, wv in zip(sym.nbr[i], sym.w[i]):
+            if j >= 0:
+                dense_got[i, j] = wv
+    np.testing.assert_allclose(dense_got, dense_ref, atol=1e-5)
+    np.testing.assert_allclose(sym.degree, dense_ref.sum(axis=1), atol=1e-4)
+
+
+def test_xlx_matches_dense():
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(30, 6)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=3)
+    sym = symmetrize_weights(g, rbf_kernel(0.5))
+    n = sym.nvecs
+    Wd = np.zeros((n, n))
+    for i in range(n):
+        for j, wv in zip(sym.nbr[i], sym.w[i]):
+            if j >= 0:
+                Wd[i, j] = wv
+    L = np.diag(Wd.sum(1)) - Wd
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    want = X.T @ (L / L.diagonal().sum()) @ X
+    got = sym.xlx(X, normalize_by_trace=True)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def oracle_propagate(W_dense, prior, label_ids, label_values, lam, iters=300, eps=1e-5):
+    """Reference Jacobi loop written directly from the spec."""
+    f = prior.copy()
+    f[label_ids] = label_values
+    wsum = W_dense.sum(axis=0)
+    for _ in range(iters):
+        nf = (W_dense @ f + lam * prior) / (wsum + lam)
+        nf[label_ids] = label_values
+        if np.max((nf - f) ** 2) < eps:
+            return nf
+        f = nf
+    return f
+
+
+def test_propagation_matches_oracle():
+    rng = np.random.default_rng(4)
+    V = rng.normal(size=(60, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=5)
+    sym = symmetrize_weights(g, rbf_kernel(0.4))
+    n = sym.nvecs
+    Wd = np.zeros((n, n))
+    for i in range(n):
+        for j, wv in zip(sym.nbr[i], sym.w[i]):
+            if j >= 0:
+                Wd[i, j] = wv
+
+    prior = rng.uniform(0.2, 0.8, size=n).astype(np.float32)
+    label_ids = np.array([3, 10, 25])
+    label_values = np.array([1.0, 0.0, 1.0], dtype=np.float32)
+
+    lp = LabelPropagation(sym, reg_lambda=2.0, max_iter=300)
+    got = lp.fit_transform(
+        label_ids=label_ids, label_values=label_values, reg_values=prior
+    )
+    want = oracle_propagate(Wd, prior, label_ids, label_values, lam=2.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_allclose(got[label_ids], label_values, atol=1e-6)
+
+
+def test_simple_knn_ranker_updates():
+    # ring graph: each vertex connected to its two ring neighbors
+    n = 8
+    dst = np.stack([(np.arange(n) - 1) % n, (np.arange(n) + 1) % n], axis=1).astype(np.int32)
+    dist = np.full((n, 2), 0.5, dtype=np.float32)
+    g = KNNGraph(dst, dist)
+    r = SimpleKNNRanker(g, init_scores=np.zeros(n))
+    s0 = r.current_scores()
+    r.update([0], [1.0])
+    s1 = r.current_scores()
+    assert s1[0] == 1.0  # clamped
+    # ring neighbors of 0 get a positive vote
+    assert s1[1] > s0[1] and s1[7] > s0[7]
+    assert s1[4] == pytest.approx(s0[4])  # far vertex unchanged
+    # relabel to 0: neighbors drop back
+    r.update([0], [0.0])
+    s2 = r.current_scores()
+    assert s2[0] == 0.0
+    assert s2[1] < s1[1]
+
+
+def test_label_prop_ranker_flow():
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=4)
+    sym = symmetrize_weights(g, rbf_kernel(0.4))
+    r = LabelPropagationRanker2(
+        weights=sym,
+        normalize_scores=True,
+        normalize_epsilon=0.1,
+        sigmoid_before_propagate=True,
+        calib_a=2.0,
+        calib_b=-0.5,
+        prior_weight=1.0,
+    )
+    base = rng.normal(size=40)
+    r.set_base_scores(base)
+    s0 = r.current_scores()
+    assert (s0 >= 0).all() and (s0 <= 1).all()
+    # only positive label: no propagation happens
+    r.update([7], [1.0])
+    # positive + negative: propagation runs and clamps labels
+    r.update([12], [0.0])
+    s1 = r.current_scores()
+    assert s1[7] == pytest.approx(1.0)
+    assert s1[12] == pytest.approx(0.0)
+    top, scores = r.top_k(5)
+    assert 7 not in top and 12 not in top  # unlabeled_only default
+    assert len(top) == 5
+
+
+def test_normalize_scores():
+    s = np.array([1.0, 3.0, 5.0])
+    out = normalize_scores(s, 0.1)
+    assert out[0] == pytest.approx(0.1) and out[-1] == pytest.approx(0.9)
+    const = normalize_scores(np.ones(4), 0.1)
+    assert (const == 0.5).all()
