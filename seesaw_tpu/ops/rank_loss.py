@@ -52,20 +52,37 @@ def pairwise_logistic_loss_matrix(target: jnp.ndarray, scores: jnp.ndarray):
     return jnp.where(t_ij != 0, loss, 0.0)
 
 
-def pairwise_rank_loss_sum(target, scores, *, margin: float, return_max_inversions=False):
-    """Column-summed pairwise hinge loss (reference aggregate='sum')."""
-    loss = pairwise_rank_loss_matrix(target, scores, margin=margin).sum(axis=0)
+def pairwise_rank_loss_sum(
+    target, scores, *, margin: float, return_max_inversions=False, valid=None
+):
+    """Column-summed pairwise hinge loss (reference aggregate='sum').
+
+    ``valid`` masks padded rows: pairs involving an invalid element
+    contribute neither loss nor inversion counts (jit-friendly batching)."""
+    loss = pairwise_rank_loss_matrix(target, scores, margin=margin)
+    t_ij = _sign(target[:, None] - target[None, :])
+    comparable = (t_ij != 0).astype(loss.dtype)
+    if valid is not None:
+        pair_ok = (valid[:, None] & valid[None, :]).astype(loss.dtype)
+        loss = loss * pair_ok
+        comparable = comparable * pair_ok
+    loss = loss.sum(axis=0)
     if return_max_inversions:
-        t_ij = _sign(target[:, None] - target[None, :])
-        return loss, (t_ij != 0).sum(axis=0)
+        return loss, comparable.sum(axis=0)
     return loss
 
 
-def pairwise_logistic_loss_sum(target, scores, *, return_max_inversions=False):
-    loss = pairwise_logistic_loss_matrix(target, scores).sum(axis=0)
+def pairwise_logistic_loss_sum(target, scores, *, return_max_inversions=False, valid=None):
+    loss = pairwise_logistic_loss_matrix(target, scores)
+    t_ij = _sign(target[:, None] - target[None, :])
+    comparable = (t_ij != 0).astype(loss.dtype)
+    if valid is not None:
+        pair_ok = (valid[:, None] & valid[None, :]).astype(loss.dtype)
+        loss = loss * pair_ok
+        comparable = comparable * pair_ok
+    loss = loss.sum(axis=0)
     if return_max_inversions:
-        t_ij = _sign(target[:, None] - target[None, :])
-        return loss, (t_ij != 0).sum(axis=0)
+        return loss, comparable.sum(axis=0)
     return loss
 
 

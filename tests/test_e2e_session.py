@@ -145,6 +145,47 @@ def test_pseudo_lr_session(synth_root):
     assert run_info["nseen"] > 0
 
 
+MULTI_REG_OPTS = dict(
+    matrix_options=dict(knn_path="", knn_k=8, edist=0.5),
+    label_loss_type="pairwise_rank_loss",
+    rank_loss_margin=0.0,
+    pos_weight="balanced",
+    reg_data_lambda=0.1,
+    reg_norm_lambda=10.0,
+    reg_query_lambda=1.0,
+    max_iter=50,
+)
+
+
+def test_multi_reg_session(synth_root):
+    root, info = synth_root
+    p = _params("multi_reg")
+    p.interactive_options = MULTI_REG_OPTS
+    _, run_info, _ = _run(root, p, _bench(n_batches=10, max_results=8))
+    assert run_info["nseen"] > 0
+    base_rate = info["is_pos"].mean()
+    assert run_info["nfound"] / run_info["nseen"] > base_rate
+
+
+def test_multi_reg_ce_session(synth_root):
+    root, _ = synth_root
+    p = _params("multi_reg")
+    p.interactive_options = {**MULTI_REG_OPTS, "label_loss_type": "ce_loss"}
+    _, run_info, _ = _run(root, p, _bench(n_batches=6, max_results=5))
+    assert run_info["nseen"] > 0
+
+
+def test_multi_reg_neg_session(synth_root):
+    root, _ = synth_root
+    p = _params("multi_reg_neg")
+    p.interactive_options = dict(
+        reg_norm_lambda=10.0, reg_query_lambda=1.0, max_iter=50,
+        discount_neg=True,
+    )
+    _, run_info, _ = _run(root, p, _bench(n_batches=6, max_results=5))
+    assert run_info["nseen"] > 0
+
+
 def test_bench_runner_writes_summary(synth_root, tmp_path):
     root, _ = synth_root
     results = tmp_path / "results"
