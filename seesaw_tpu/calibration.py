@@ -48,10 +48,14 @@ class GroundTruthCalibrator:
         self.vectors = vectors
         self._y = np.asarray(y, dtype=np.float64)
 
-    def get_probabilities(self, qvec: np.ndarray) -> np.ndarray:
-        scores = self.vectors @ qvec.reshape(-1)
+    def get_probabilities(self, qvec: np.ndarray, vectors: np.ndarray = None) -> np.ndarray:
+        V = self.vectors if vectors is None else vectors
+        scores = V @ qvec.reshape(-1)
         a, b = _platt_fit(scores, self._y)
         return compute_calibrated_probabilities(scores, a, b)
+
+    def get_mean(self) -> float:
+        return float((self._y > 0).mean())
 
     def fit(self, scores: np.ndarray):
         return _platt_fit(np.asarray(scores, np.float64), self._y)
@@ -59,11 +63,19 @@ class GroundTruthCalibrator:
 
 class FixedCalibrator:
     """sigma(a * (s + b)) with fixed coefficients (reference `calibration.py:
-    44-57`)."""
+    44-57`); sigmoid=False passes a*(s+b) through raw."""
 
-    def __init__(self, a: float, b: float):
+    def __init__(self, a: float, b: float, sigmoid: bool = True):
         self.a = a
         self.b = b
+        self.sigmoid = sigmoid
 
-    def get_probabilities(self, scores: np.ndarray) -> np.ndarray:
-        return 1.0 / (1.0 + np.exp(-self.a * (np.asarray(scores) + self.b)))
+    def get_probabilities(self, scores_or_qvec: np.ndarray, vectors: np.ndarray = None) -> np.ndarray:
+        if vectors is not None:
+            scores = vectors @ np.asarray(scores_or_qvec).reshape(-1)
+        else:
+            scores = np.asarray(scores_or_qvec)
+        z = self.a * (scores + self.b)
+        if self.sigmoid:
+            return 1.0 / (1.0 + np.exp(-z))
+        return z

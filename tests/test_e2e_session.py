@@ -186,6 +186,33 @@ def test_multi_reg_neg_session(synth_root):
     assert run_info["nseen"] > 0
 
 
+def test_lknn_search_session(synth_root):
+    root, _ = synth_root
+    p = _params("lknn", batch_size=1)
+    p.interactive_options = dict(
+        matrix_options=dict(knn_path="", knn_k=8, edist=0.5),
+        gamma=0.15,
+        use_clip_as_gamma=False,
+    )
+    _, run_info, _ = _run(root, p, _bench(n_batches=10, max_results=4))
+    assert run_info["nseen"] == 10 or run_info["nfound"] >= 4
+
+
+def test_active_search_session(synth_root):
+    root, info = synth_root
+    p = _params("active_search", batch_size=1)
+    p.interactive_options = dict(
+        matrix_options=dict(knn_path="", knn_k=8, edist=0.5),
+        gamma=dict(mode="fixed", value=0.15),
+        reward_horizon=5,
+        adjust_horizon=False,
+        pruning_on=False,
+        implementation="vectorized",
+    )
+    _, run_info, _ = _run(root, p, _bench(n_batches=12, max_results=5))
+    assert run_info["nseen"] > 0
+
+
 def test_bench_runner_writes_summary(synth_root, tmp_path):
     root, _ = synth_root
     results = tmp_path / "results"
