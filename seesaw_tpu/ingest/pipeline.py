@@ -1,0 +1,187 @@
+"""Extraction pipeline: dataset images -> multiscale CLIP vectors -> index.
+
+Replaces the reference's Ray Data pipeline (`multiscale_tools.py:208-253`)
+with a thread-pool decode/tile stage feeding fixed-size jit-compiled ViT
+batches on device (one compile per bucket shape). On a multi-chip mesh the
+batch axis is sharded (data-parallel inference); on one chip batches stream
+back-to-back so the MXU stays busy while the CPU pool decodes ahead.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import PIL.Image
+
+from ..dataset import SeesawDataset
+from ..utils.transactional import transactional_folder
+from .tiling import generate_multiscale_tiling
+
+_SENTINEL = object()
+
+
+def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int) -> np.ndarray:
+    """Normalize + encode uint8 tiles in fixed-size padded batches."""
+    import jax.numpy as jnp
+
+    from ..models.preprocess import normalize_pixels
+
+    n = tiles_u8.shape[0]
+    out = np.empty((n, embedding.dim), dtype=np.float32)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        batch = np.zeros((batch_size,) + tiles_u8.shape[1:], dtype=np.float32)
+        batch[: hi - lo] = tiles_u8[lo:hi].astype(np.float32) / 255.0
+        px = normalize_pixels(jnp.asarray(batch))
+        vecs = np.asarray(embedding.encode_image_batch(px))
+        out[lo:hi] = vecs[: hi - lo]
+    norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-6)
+    return out / norms
+
+
+def run_multiscale_extraction(
+    ds: SeesawDataset,
+    embedding,
+    *,
+    tile_size: int = 224,
+    factor: float = 0.5,
+    min_tile_size: int = 224,
+    batch_size: int = 256,
+    n_decode_threads: int = 8,
+    limit: Optional[int] = None,
+):
+    """Returns (vectors (N,D), dbidx, zoom_level, boxes) sorted by dbidx."""
+    dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
+
+    work_q: "queue.Queue" = queue.Queue(maxsize=n_decode_threads * 2)
+
+    def decode_one(dbidx):
+        try:
+            im = PIL.Image.open(ds.file_path(int(dbidx)))
+            ts = generate_multiscale_tiling(
+                im, tile_size=tile_size, factor=factor, min_tile_size=min_tile_size
+            )
+            return (int(dbidx), ts)
+        except PIL.UnidentifiedImageError:
+            print(f"warning: cannot decode image for dbidx={dbidx}; skipping")
+            return None
+
+    def producer():
+        with ThreadPoolExecutor(n_decode_threads) as pool:
+            for res in pool.map(decode_one, dbidxs):
+                work_q.put(res)
+        work_q.put(_SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    all_vecs, all_dbidx, all_zoom, all_boxes = [], [], [], []
+    while True:
+        item = work_q.get()
+        if item is _SENTINEL:
+            break
+        if item is None:
+            continue
+        dbidx, ts = item
+        vecs = _encode_tiles_batched(embedding, ts.tiles, batch_size)
+        all_vecs.append(vecs)
+        all_dbidx.append(np.full(vecs.shape[0], dbidx, dtype=np.int32))
+        all_zoom.append(ts.zoom_level)
+        all_boxes.append(ts.boxes)
+
+    vectors = np.concatenate(all_vecs)
+    dbidx = np.concatenate(all_dbidx)
+    zoom = np.concatenate(all_zoom)
+    boxes = np.concatenate(all_boxes)
+    order = np.argsort(dbidx, kind="stable")
+    return vectors[order], dbidx[order], zoom[order], boxes[order]
+
+
+def create_multiscale_index(
+    ds: SeesawDataset,
+    index_name: str,
+    model_name: str,
+    *,
+    tile_size: int = 224,
+    factor: float = 0.5,
+    min_tile_size: int = 224,
+    batch_size: int = 256,
+    force: bool = False,
+    build_knn_graph: Optional[int] = None,
+    limit: Optional[int] = None,
+):
+    """Build `<ds>/indices/<index_name>` from the dataset's images.
+
+    model_name resolves through models.registry (e.g. 'clip-vit-b32',
+    'clip-vit-b32:/path/ckpt', 'hash-64'). Optionally also builds the exact
+    kNN graph with the given neighbor count."""
+    from ..models.registry import load_embedding
+
+    embedding = load_embedding(model_name)
+    index_path = ds.index_path(index_name)
+
+    with transactional_folder(index_path, force=force) as tmp:
+        vectors, dbidx, zoom, boxes = run_multiscale_extraction(
+            ds, embedding,
+            tile_size=tile_size, factor=factor, min_tile_size=min_tile_size,
+            batch_size=batch_size, limit=limit,
+        )
+        np.savez(
+            Path(tmp) / "vectors.npz",
+            vectors=vectors, dbidx=dbidx, zoom_level=zoom, boxes=boxes,
+        )
+        info = {
+            "constructor": "seesaw_tpu.indices.multiscale.MultiscaleIndex",
+            "model": model_name,
+            "dataset": str(ds.path),
+            "excluded": [],
+        }
+        (Path(tmp) / "info.json").write_text(json.dumps(info, indent=2))
+
+    idx = ds.load_index(index_name, options={})
+    if build_knn_graph:
+        from ..knn_graph import KNNGraph
+
+        KNNGraph.build(idx.vectors, n_neighbors=build_knn_graph).save(
+            idx.get_knng_path("")
+        )
+    return idx
+
+
+def infer_coarse_vectors(
+    vectors: np.ndarray, dbidx: np.ndarray, zoom: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-image vectors: mean of each image's most-zoomed-out tiles,
+    renormalized (reference `coarse/preprocessor.py:11-19`)."""
+    out_dbidx = np.unique(dbidx)
+    out = np.zeros((out_dbidx.shape[0], vectors.shape[1]), dtype=np.float32)
+    for i, d in enumerate(out_dbidx):
+        sel = dbidx == d
+        zmax = zoom[sel].max()
+        v = vectors[sel & (zoom == zmax)].mean(axis=0)
+        out[i] = v / max(np.linalg.norm(v), 1e-6)
+    return out, out_dbidx.astype(np.int32)
+
+
+def create_coarse_index(ds: SeesawDataset, index_name: str, *, from_index: str,
+                        force: bool = False):
+    """Derive a coarse (one vector per image) index from a multiscale one."""
+    fine = ds.load_index(from_index, options={})
+    info_src = json.loads((Path(ds.index_path(from_index)) / "info.json").read_text())
+    vecs, dbidx = infer_coarse_vectors(
+        fine.vectors, fine.meta.dbidx, fine.meta.zoom_level
+    )
+    out_path = ds.index_path(index_name)
+    with transactional_folder(out_path, force=force) as tmp:
+        np.savez(Path(tmp) / "vectors.npz", vectors=vecs, dbidx=dbidx)
+        info = {
+            "constructor": "seesaw_tpu.indices.coarse.CoarseIndex",
+            "model": info_src.get("model", ""),
+            "dataset": str(ds.path),
+        }
+        (Path(tmp) / "info.json").write_text(json.dumps(info, indent=2))
+    return ds.load_index(index_name, options={})
