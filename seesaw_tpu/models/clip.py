@@ -187,9 +187,12 @@ class TextTower(nn.Module):
     cfg: ClipConfig
 
     @nn.compact
-    def __call__(self, tokens, eot_positions=None):
+    def __call__(self, tokens, eot_positions=None, return_preprojection=False):
         """tokens: (B, L) int32. Pools at eot_positions (default: argmax id,
-        the OpenAI convention — EOT has the largest token id)."""
+        the OpenAI convention — EOT has the largest token id).
+        return_preprojection=True yields pooled features before the
+        projection head (textual-feedback fine-tuning trains only the
+        projection — reference `textual_feedback_box.py:162-203`)."""
         c = self.cfg
         emb = self.param(
             "token_embedding", nn.initializers.normal(0.02),
@@ -216,6 +219,8 @@ class TextTower(nn.Module):
             c.embed_dim, use_bias=False, dtype=c.dtype, param_dtype=jnp.float32,
             name="projection",
         )(pooled.astype(c.dtype))
+        if return_preprojection:
+            return pooled.astype(jnp.float32)
         return out.astype(jnp.float32)
 
 
@@ -234,6 +239,9 @@ class ClipModel(nn.Module):
 
     def encode_text(self, tokens, eot_positions=None):
         return self.text(tokens, eot_positions)
+
+    def encode_text_preproj(self, tokens):
+        return self.text(tokens, None, return_preprojection=True)
 
     def __call__(self, pixels, tokens):
         img = self.encode_image(pixels)
