@@ -157,6 +157,12 @@ class SeesawDataset:
     def load_qgt(self) -> pd.DataFrame:
         return pd.read_parquet(Path(self.ground_truth_path()) / "qgt.parquet")
 
+    def load_eval_categories(self) -> List[str]:
+        cats_file = Path(self.ground_truth_path()) / "categories.json"
+        if cats_file.exists():
+            return json.loads(cats_file.read_text())
+        return list(self.load_qgt().columns)
+
     def load_ground_truth_boxes(self, category: str) -> BoxTable:
         table, _ = self.load_ground_truth()
         keep = np.array([d == category for d in table.description], dtype=bool)

@@ -1,0 +1,216 @@
+"""HTTP server exposing the session API (reference `web/seesaw_app.py`).
+
+Same endpoint set and JSON schemas as the reference FastAPI app, on the
+stdlib threaded HTTP server (this image ships no ASGI stack, and the
+handlers are thin dispatches into per-session objects anyway). Cookie-based
+session routing; per-session serialization via WebSession's lock. Also
+serves dataset image files directly (the reference fronted those with
+nginx) so the frontend runs without extra infra.
+"""
+from __future__ import annotations
+
+import json
+import mimetypes
+import os
+import threading
+import traceback
+import urllib.parse
+from http import HTTPStatus
+from http.cookies import SimpleCookie
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+from ..basic_types import SessionParams, SessionState
+from ..configs import get_session_params_from_yaml
+from .common import (
+    AppState,
+    EndSession,
+    ResetReq,
+    SessionInfoReq,
+    SessionReq,
+    g_queries,
+    session_params,
+)
+from .session_manager import SessionManager
+
+
+class SeesawServer:
+    def __init__(self, root_dir: str, save_path: str,
+                 config_path: Optional[str] = None,
+                 serve_files_root: Optional[str] = None):
+        self.manager = SessionManager(root_dir, save_path)
+        self.config_path = config_path
+        self.serve_files_root = serve_files_root or "/"
+
+    # ------------------------------------------------------------------ #
+    def handle(self, method: str, path: str, query: dict, body: Optional[dict],
+               cookies: dict) -> tuple:
+        """Returns (status, payload_dict, set_cookie or None)."""
+        session_id = cookies.get("session_id")
+
+        def need_handle():
+            if session_id is None:
+                return None, (404, {"detail": "this API requires a session_id"})
+            h = self.manager.get_session(session_id)
+            if h is None:
+                return None, (404, {"detail": f"unknown session_id={session_id}"})
+            return h, None
+
+        if path == "/ping" or path == "/test":
+            if path == "/test" and session_id:
+                h, err = need_handle()
+                if err:
+                    return (*err, None)
+                return 200, h.call("test"), None
+            return 200, True, None
+
+        if path == "/user_session":
+            mode = query["mode"]
+            dataset = query["dataset"]
+            index = query["index"]
+            annotation_category = query.get("annotation_category")
+            new_cookie = None
+            if session_id is None or not self.manager.session_exists(session_id):
+                session_id = self.manager.new_session()
+                new_cookie = session_id
+            h = self.manager.get_session(session_id)
+            if new_cookie is not None:
+                if mode.startswith("yaml_"):
+                    assert self.config_path, "server started without a yaml config"
+                    params = get_session_params_from_yaml(
+                        mode[len("yaml_"):], dataset, index, annotation_category,
+                        config_path=self.config_path,
+                    )
+                else:
+                    params = session_params(mode, dataset, index)
+                h.call("_reset_dataset", params)
+            return 200, h.call("getstate").model_dump(), new_cookie
+
+        if path == "/session":
+            mode = query["mode"]
+            new_cookie = None
+            if session_id is None or not self.manager.session_exists(session_id):
+                session_id = self.manager.new_worker(mode)
+                new_cookie = session_id
+            h = self.manager.get_session(session_id)
+            return 200, h.call("getstate").model_dump(), new_cookie
+
+        if path == "/session_info":
+            req = SessionInfoReq(**body)
+            summary_path = Path(req.path) / "summary.json"
+            state = json.loads(summary_path.read_text())
+            return 200, state, None
+
+        if path == "/task_description":
+            code = query["code"]
+            sdesc = g_queries[code]
+            return 200, {
+                "urls": [], "neg_urls": [], "description": sdesc.model_dump(),
+            }, None
+
+        if path == "/session_end":
+            if session_id is not None and self.manager.session_exists(session_id):
+                h = self.manager.get_session(session_id)
+                h.call("save")
+                self.manager.end_session(session_id)
+            return 200, {"token": None}, None
+
+        # -- session-scoped forwards --------------------------------------
+        h, err = need_handle()
+        if err:
+            return (*err, None)
+
+        if path == "/getstate":
+            return 200, h.call("getstate").model_dump(), None
+        if path == "/reset":
+            return 200, h.call("reset", ResetReq(**(body or {}))).model_dump(), None
+        if path == "/next":
+            return 200, h.call("next", SessionReq(**body)).model_dump(), None
+        if path == "/text":
+            return 200, h.call("text", query["key"]).model_dump(), None
+        if path == "/save":
+            req = SessionReq(**body) if body else None
+            return 200, h.call("save", req).model_dump(), None
+        if path == "/next_task":
+            req = SessionReq(**body) if body else SessionReq(client_data=AppState())
+            return 200, h.call("next_task", req).model_dump(), None
+        if path == "/sleep":
+            return 200, h.call("sleep"), None
+
+        return 404, {"detail": f"unknown endpoint {path}"}, None
+
+    # ------------------------------------------------------------------ #
+    def serve(self, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
+        server = _make_http_server(self, host, port)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server
+
+
+def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send_json(self, status: int, payload, set_cookie: Optional[str]):
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            if set_cookie:
+                self.send_header(
+                    "Set-Cookie", f"session_id={set_cookie}; Max-Age=7200; Path=/"
+                )
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _cookies(self) -> dict:
+            c = SimpleCookie(self.headers.get("Cookie", ""))
+            return {k: v.value for k, v in c.items()}
+
+        def _dispatch(self, method):
+            parsed = urllib.parse.urlparse(self.path)
+            query = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                raw = self.rfile.read(length)
+                try:
+                    body = json.loads(raw) if raw else None
+                except json.JSONDecodeError:
+                    body = None
+            try:
+                status, payload, cookie = app.handle(
+                    method, parsed.path, query, body, self._cookies()
+                )
+                self._send_json(status, payload, cookie)
+            except Exception as e:
+                traceback.print_exc()
+                self._send_json(500, {"detail": repr(e)}, None)
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path in ("/ping",):
+                return self._send_json(200, True, None)
+            # static file serving for dataset images
+            fpath = os.path.normpath(
+                os.path.join(app.serve_files_root, parsed.path.lstrip("/"))
+            )
+            root = os.path.normpath(app.serve_files_root)
+            if fpath.startswith(root) and os.path.isfile(fpath):
+                ctype = mimetypes.guess_type(fpath)[0] or "application/octet-stream"
+                with open(fpath, "rb") as f:
+                    data = f.read()
+                self.send_response(HTTPStatus.OK)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._dispatch("GET")
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,110 @@
+"""Web API tests: cookie flow, full labeled session over HTTP (the
+reference's `tests/test_server.py` pattern, but hermetic)."""
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+from synth import build_synthetic_root, QSTR
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("web_root")
+    build_synthetic_root(str(root))
+    save = tmp_path_factory.mktemp("web_save")
+
+    from seesaw_tpu.web.app import SeesawServer
+
+    app = SeesawServer(str(root), str(save))
+    httpd = app.serve(port=0)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", app
+    httpd.shutdown()
+
+
+class Client:
+    def __init__(self, base):
+        self.base = base
+        self.cookie = None
+
+    def post(self, path, body=None):
+        req = urllib.request.Request(
+            self.base + path,
+            data=json.dumps(body).encode() if body is not None else b"",
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        if self.cookie:
+            req.add_header("Cookie", f"session_id={self.cookie}")
+        with urllib.request.urlopen(req) as resp:
+            sc = resp.headers.get("Set-Cookie")
+            if sc and "session_id=" in sc:
+                self.cookie = sc.split("session_id=")[1].split(";")[0]
+            return json.loads(resp.read())
+
+
+def test_ping(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/ping") as r:
+        assert json.loads(r.read()) is True
+
+
+def test_full_session_flow(server):
+    base, _ = server
+    c = Client(base)
+
+    state = c.post("/user_session?mode=plain&dataset=synth&index=multiscale")
+    assert c.cookie is not None
+    assert state["session"] is not None
+
+    state = c.post(f"/text?key={urllib.parse.quote(QSTR)}")
+    sess = state["session"]
+    assert sess["query_string"] == QSTR
+    assert len(sess["gdata"]) == 1
+    batch = sess["gdata"][0]
+    assert len(batch) == 3  # default batch_size
+
+    # label: accept the first image with a box, reject the rest
+    batch[0]["boxes"] = [
+        dict(x1=0, y1=0, x2=50, y2=50, description=None, marked_accepted=True)
+    ]
+    for im in batch[1:]:
+        im["boxes"] = []
+    state2 = c.post("/next", {"client_data": {"session": sess}})
+    sess2 = state2["session"]
+    assert len(sess2["gdata"]) == 2
+    # label roundtrip preserved
+    assert sess2["gdata"][0][0]["boxes"][0]["marked_accepted"] is True
+    # no repeats
+    seen = [im["dbidx"] for b in sess2["gdata"] for im in b]
+    assert len(seen) == len(set(seen))
+
+    # save writes a summary file
+    resp = c.post("/save", {"client_data": {"session": sess2}})
+    assert resp["path"]
+    state3 = c.post("/session_info", {"path": resp["path"]})
+    assert state3["session"]["query_string"] == QSTR
+
+    # end session invalidates the cookie
+    c.post("/session_end")
+    with pytest.raises(urllib.error.HTTPError):
+        c.post("/getstate")
+
+
+def test_task_description(server):
+    base, _ = server
+    c = Client(base)
+    out = c.post("/task_description?code=dg")
+    assert out["description"]["qstr"] == "dogs"
+
+
+def test_getstate_requires_cookie(server):
+    base, _ = server
+    c = Client(base)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        c.post("/getstate")
+    assert ei.value.code == 404
