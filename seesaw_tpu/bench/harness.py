@@ -39,10 +39,61 @@ from ..runtime.bitmap import BitMap, FrozenBitMap
 from ..session import Session, make_session
 from .search_terms import category2query
 
-# ObjectNet confusion-class pairs for textual-feedback benchmarks (reference
-# `seesaw_bench.py:186-235` objnet_dict). Filled per-dataset by callers; the
-# default covers the benchmark's hand-curated pairs lazily via identity.
-CONFUSION_CLASSES: dict = {}
+# ObjectNet confusion-class pairs for textual-feedback benchmarks — the
+# hand-curated near-miss category per target (reference `seesaw_bench.py:
+# 186-235` objnet_dict; benchmark protocol data). Callers may extend/override.
+CONFUSION_CLASSES: dict = {
+    "measuring cup": "drinking cup",
+    "nut for a screw": "screw",
+    "toy": "weight (exercise)",
+    "tablecloth": "blanket",
+    "skirt": "shorts",
+    "can opener": "canned food",
+    "document folder (closed)": "binder (closed)",
+    "coffee grinder": "coffee machine",
+    "nail (fastener)": "screw",
+    "tape measure": "ruler",
+    "power bar": "chocolate",
+    "table knife": "butcher's knife",
+    "spray bottle": "glue container",
+    "nightstand": "drawer (open)",
+    "laptop charger": "cellphone charger",
+    "pillow": "throw pillow",
+    "soap dispenser": "mouthwash",
+    "portable heater": "fan",
+    "tongs": "wrench",
+    "dishrag or hand towel": "tablecloth",
+    "squeegee": "dust pan",
+    "letter opener": "table knife",
+    "eraser (white board)": "floss container",
+    "air freshener": "deodorant",
+    "power cable": "usb cable",
+    "bread knife": "butcher's knife",
+    "hairclip": "comb",
+    "scrub brush": "hair brush",
+    "mixing / salad bowl": "plate",
+    "drinking cup": "wine glass",
+    "multitool": "wrench",
+    "placemat": "napkin",
+    "removable blade": "table knife",
+    "sugar container": "salt shaker",
+    "travel case": "suitcase",
+    "tarp": "trash bag",
+    "cellphone": "phone (landline)",
+    "flour container": "sugar container",
+    "peeler": "razor",
+    "water filter": "bucket",
+    "blouse": "dress shirt",
+    "night light": "light bulb",
+    "trash bin": "clothes hamper",
+    "squeeze bottle": "water bottle",
+    "extension cable": "usb cable",
+    "bookend": "book (closed)",
+    "flashlight": "air freshener",
+    "monitor": "tv",
+    "coffee table": "tablet / ipad",
+    "bottle stopper": "chess piece",
+}
 
 
 def fill_imdata(imdata: Imdata, box_table: BoxTable, b: BenchParams) -> Imdata:

@@ -1,0 +1,182 @@
+"""Offline CLIP fine-tuning: contrastive training + hyperparameter search.
+
+Re-derivation of the reference's `clip_module.py` stack
+(`/root/reference/seesaw/models/clip_module.py:44-495`): symmetric
+contrastive loss over (image, text) pairs, per-parameter-group optimizer
+configuration by name prefix (each group with its own lr/weight_decay;
+unlisted groups frozen), warmup schedule, and a successive-halving random
+hyperparameter search replacing the ray.tune ASHA harness.
+"""
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .clip import ClipEmbedding, ClipModel
+
+
+def clip_contrastive_loss(image_feats: jnp.ndarray, text_feats: jnp.ndarray,
+                          logit_scale: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric InfoNCE over a batch of aligned (image, text) pairs."""
+    img = image_feats / jnp.linalg.norm(image_feats, axis=-1, keepdims=True)
+    txt = text_feats / jnp.linalg.norm(text_feats, axis=-1, keepdims=True)
+    logits = jnp.exp(logit_scale) * img @ txt.T
+    labels = jnp.arange(logits.shape[0])
+    li = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    return (li + lt) / 2.0
+
+
+def _prefix_label(path_str: str, opt_config: Dict[str, Optional[dict]]) -> str:
+    """Longest configured prefix wins; unmatched params are frozen
+    (reference `add_to_group`, clip_module.py:111-158)."""
+    best, best_len = "frozen", -1
+    for prefix, cfg in opt_config.items():
+        if path_str.startswith(prefix) and len(prefix) > best_len:
+            best = prefix if cfg is not None else "frozen"
+            best_len = len(prefix)
+    return best
+
+
+def make_grouped_optimizer(params, opt_config: Dict[str, Optional[dict]],
+                           warmup_steps: int = 0):
+    """optax transform with per-prefix lr/weight_decay groups."""
+    def label_fn(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: _prefix_label(
+                "/".join(p.key if hasattr(p, "key") else str(p) for p in path),
+                opt_config,
+            ),
+            tree,
+        )
+
+    transforms = {"frozen": optax.set_to_zero()}
+    for prefix, cfg in opt_config.items():
+        if cfg is None:
+            continue
+        sched = (
+            optax.warmup_constant_schedule(0.0, cfg["lr"], warmup_steps)
+            if warmup_steps
+            else cfg["lr"]
+        )
+        transforms[prefix] = optax.adamw(
+            sched, weight_decay=cfg.get("weight_decay", 0.0)
+        )
+    return optax.multi_transform(transforms, label_fn)
+
+
+class CLIPFineTuner:
+    """Contrastive fine-tuning of the flax CLIP on (pixels, tokens) pairs."""
+
+    def __init__(self, embedding: ClipEmbedding, config: dict):
+        self.embedding = embedding
+        self.config = dict(config)
+        self.model = embedding.model
+        self.params = jax.tree.map(jnp.asarray, embedding.params)
+        opt_config = self.config.get("opt_config") or {
+            "text/projection": {"lr": self.config.get("lr", 5e-5),
+                                "weight_decay": 0.0}
+        }
+        self.tx = make_grouped_optimizer(
+            self.params, opt_config, warmup_steps=self.config.get("warmup", 0)
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.losses: List[float] = []
+
+        model = self.model
+        tx = self.tx
+
+        @jax.jit
+        def train_step(params, opt_state, pixels, tokens):
+            def loss_fn(p):
+                img = model.apply({"params": p}, pixels, method=ClipModel.encode_image)
+                txt = model.apply({"params": p}, tokens, method=ClipModel.encode_text)
+                return clip_contrastive_loss(img, txt, p["logit_scale"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, loss
+
+        self._train_step = train_step
+
+    def fit(self, pixels: np.ndarray, tokens: np.ndarray, *, epochs: int = 1,
+            batch_size: int = 32, seed: int = 0):
+        n = pixels.shape[0]
+        rng = np.random.default_rng(seed)
+        for _ in range(epochs):
+            order = rng.permutation(n)
+            for lo in range(0, n - batch_size + 1, batch_size):
+                sel = order[lo : lo + batch_size]
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(pixels[sel]), jnp.asarray(tokens[sel]),
+                )
+                self.losses.append(float(loss))
+        return self
+
+    def eval_loss(self, pixels: np.ndarray, tokens: np.ndarray) -> float:
+        img = self.model.apply({"params": self.params}, jnp.asarray(pixels),
+                               method=ClipModel.encode_image)
+        txt = self.model.apply({"params": self.params}, jnp.asarray(tokens),
+                               method=ClipModel.encode_text)
+        return float(clip_contrastive_loss(img, txt, self.params["logit_scale"]))
+
+    def to_embedding(self) -> ClipEmbedding:
+        return ClipEmbedding(
+            variant=self.embedding.variant,
+            params=jax.tree.map(np.asarray, self.params),
+            tokenizer=self.embedding.tokenizer,
+        )
+
+
+def sample_search_space(space: dict, rng: random.Random) -> dict:
+    """{k: {'choose': [...]}} or {'loguniform': [lo, hi]} leaves."""
+    out = {}
+    for k, v in space.items():
+        if isinstance(v, dict) and "choose" in v:
+            out[k] = rng.choice(v["choose"])
+        elif isinstance(v, dict) and "loguniform" in v:
+            lo, hi = v["loguniform"]
+            out[k] = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        elif isinstance(v, dict):
+            out[k] = sample_search_space(v, rng)
+        else:
+            out[k] = v
+    return out
+
+
+def successive_halving_search(
+    space: dict,
+    make_and_eval: Callable[[dict, int], float],
+    *,
+    n_trials: int = 8,
+    rungs: List[int] = (1, 2, 4),
+    eta: int = 2,
+    seed: int = 0,
+):
+    """Serial ASHA-style search: sample configs, train each for rung[0]
+    budget, keep the best 1/eta fraction per rung at increasing budget.
+    make_and_eval(config, budget_units) -> validation loss (lower better).
+    Returns (best_config, best_loss, history)."""
+    rng = random.Random(seed)
+    trials = [sample_search_space(space, rng) for _ in range(n_trials)]
+    history = []
+    survivors = trials
+    for rung in rungs:
+        scored = []
+        for cfg in survivors:
+            loss = make_and_eval(cfg, rung)
+            scored.append((loss, cfg))
+            history.append({"config": cfg, "budget": rung, "loss": loss})
+        scored.sort(key=lambda t: t[0])
+        keep = max(1, len(scored) // eta)
+        survivors = [cfg for _, cfg in scored[:keep]]
+    best_loss, best_cfg = min(
+        ((h["loss"], h["config"]) for h in history), key=lambda t: t[0]
+    )
+    return best_cfg, best_loss, history
