@@ -18,7 +18,8 @@ import time
 import numpy as np
 
 
-def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8):
+def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
+             dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -26,7 +27,11 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8):
     n_vectors = n_frames * tiles_per_frame
 
     key = jax.random.PRNGKey(0)
-    V = jax.random.normal(key, (n_vectors, d), dtype=jnp.bfloat16)
+    if dtype == "int8":
+        # quantized unit-ish vectors: scale 4/127 keeps values in range
+        V = jax.random.randint(key, (n_vectors, d), -127, 128, dtype=jnp.int8)
+    else:
+        V = jax.random.normal(key, (n_vectors, d), dtype=jnp.bfloat16)
     valid = jnp.ones((n_frames, tiles_per_frame), dtype=bool)
 
     # 4 quadrant tiles at zoom 1, 3 half-tiles zoom 2, 1 whole-frame zoom 3
@@ -50,14 +55,14 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8):
     return V, valid, boxes, zoom, n_frames
 
 
-def bench_rerank(n_vectors: int):
+def bench_rerank(n_vectors: int, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
 
     from seesaw_tpu.ops import frame_scoring
 
     d = 512
-    V, valid, boxes, zoom, n_frames = build_db(n_vectors, d)
+    V, valid, boxes, zoom, n_frames = build_db(n_vectors, d, dtype=dtype)
     excluded = jnp.zeros(n_frames, dtype=bool)
 
     def run(qvec, excluded):
@@ -109,9 +114,19 @@ def bench_clip_embed():
 
 def main():
     n_vectors = int(os.environ.get("SEESAW_BENCH_VECTORS", 10_000_000))
-    p50, p90, n_actual = bench_rerank(n_vectors)
+    p50, p90, n_actual = bench_rerank(n_vectors, dtype="bfloat16")
     extras = {"p90_rerank_ms": round(p90, 3), "n_vectors": n_actual,
               "topk_qps": round(1000.0 / p50, 1)}
+    try:
+        p50_i8, p90_i8, _ = bench_rerank(n_vectors, dtype="int8")
+        extras["p50_rerank_ms_int8"] = round(p50_i8, 3)
+        extras["p90_rerank_ms_int8"] = round(p90_i8, 3)
+        if p50_i8 < p50:
+            extras["p50_rerank_ms_bf16"] = round(p50, 3)
+            p50 = p50_i8
+            extras["topk_qps"] = round(1000.0 / p50, 1)
+    except Exception as e:
+        extras["int8_error"] = repr(e)
     if not os.environ.get("SEESAW_BENCH_SKIP_CLIP"):
         try:
             extras["clip_embed_img_per_s_chip"] = round(bench_clip_embed(), 1)

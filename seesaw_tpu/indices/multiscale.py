@@ -77,7 +77,12 @@ class MultiscaleIndex(AccessMethod):
         meta: VectorMeta,
         path: Optional[str] = None,
         excluded: Optional[BitMap] = None,
+        device_dtype: str = "float32",
     ):
+        """device_dtype: 'float32' (exact), 'bfloat16' (HBM-halving, default
+        for big indices), or 'int8' (quarter HBM traffic; symmetric global
+        scale — ~0.3% score error, ranking-safe for shortlisting since the
+        shortlist is rescored by the augmentation in f32)."""
         self.embedding = embedding
         self.path = path
         self.meta = meta
@@ -96,7 +101,18 @@ class MultiscaleIndex(AccessMethod):
         flat_valid = valid.reshape(-1)
         V_pad = self.vectors[flat_rows]
         V_pad[~flat_valid] = 0.0
-        self._V = jnp.asarray(V_pad)
+        self.device_dtype = device_dtype
+        if device_dtype == "int8":
+            self._q_scale = float(np.abs(V_pad).max()) / 127.0 or 1.0
+            self._V = jnp.asarray(
+                np.clip(np.round(V_pad / self._q_scale), -127, 127).astype(np.int8)
+            )
+        elif device_dtype == "bfloat16":
+            self._q_scale = 1.0
+            self._V = jnp.asarray(V_pad, dtype=jnp.bfloat16)
+        else:
+            self._q_scale = 1.0
+            self._V = jnp.asarray(V_pad)
         self._pad_rows = jnp.asarray(flat_rows.astype(np.int32))
         self._pad_valid_flat = jnp.asarray(flat_valid)
         self._valid = jnp.asarray(valid)
@@ -122,10 +138,9 @@ class MultiscaleIndex(AccessMethod):
 
     def score_frames(self, vec: np.ndarray) -> np.ndarray:
         """Max tile score per frame, on device."""
+        q = np.asarray(vec, np.float32).reshape(-1) * self._q_scale
         return np.asarray(
-            frame_scoring.score_frames_max(
-                self._V, self._valid, jnp.asarray(np.asarray(vec, np.float32).reshape(-1))
-            )
+            frame_scoring.score_frames_max(self._V, self._valid, jnp.asarray(q))
         )
 
     def __len__(self) -> int:
@@ -169,8 +184,8 @@ class MultiscaleIndex(AccessMethod):
             self._valid,
             self._boxes,
             self._zoom,
-            jnp.asarray(np.asarray(vector, np.float32).reshape(-1)),
-            (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
+            jnp.asarray(np.asarray(vector, np.float32).reshape(-1) * self._q_scale),
+            (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1) * self._q_scale)
              if vector2 is not None else None),
             jnp.asarray(excluded_mask),
             shortlist_size=shortlist_size,
