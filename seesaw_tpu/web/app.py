@@ -196,6 +196,15 @@ def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPS
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path in ("/ping",):
                 return self._send_json(200, True, None)
+            if parsed.path in ("/", "/index.html"):
+                page = Path(__file__).parent / "static" / "index.html"
+                data = page.read_bytes()
+                self.send_response(HTTPStatus.OK)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             # static file serving for dataset images
             fpath = os.path.normpath(
                 os.path.join(app.serve_files_root, parsed.path.lstrip("/"))
