@@ -28,8 +28,20 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
 
     key = jax.random.PRNGKey(0)
     if dtype == "int8":
-        # quantized unit-ish vectors: scale 4/127 keeps values in range
-        V = jax.random.randint(key, (n_vectors, d), -127, 128, dtype=jnp.int8)
+        # chunked generation: full-size random bits would transiently need
+        # several x the final 5GB
+        n_chunks = 16
+        rows = n_vectors // n_chunks
+
+        @jax.jit
+        def gen_chunk(k):
+            bits = jax.random.bits(k, (rows, d), dtype=jnp.uint8)
+            return jax.lax.bitcast_convert_type(bits, jnp.int8)
+
+        keys = jax.random.split(key, n_chunks)
+        chunks = [gen_chunk(k) for k in keys]
+        V = jnp.concatenate(chunks)
+        del chunks
     else:
         V = jax.random.normal(key, (n_vectors, d), dtype=jnp.bfloat16)
     valid = jnp.ones((n_frames, tiles_per_frame), dtype=bool)
@@ -87,6 +99,11 @@ def bench_rerank(n_vectors: int, dtype: str = "bfloat16"):
         lat.append((time.perf_counter() - t0) * 1000)
         # evolving exclusion set, like a real session
         excluded = excluded.at[int(res.frame_ids[0])].set(True)
+    # free the database before the caller builds the next variant
+    del V, valid, boxes, zoom, excluded, res
+    import gc
+
+    gc.collect()
     return float(np.percentile(lat, 50)), float(np.percentile(lat, 90)), n_frames * 8
 
 
