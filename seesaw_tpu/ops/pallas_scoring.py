@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: fused score + frame-max over the padded layout.
+
+One pass over the HBM-resident embedding matrix per query: each grid step
+loads a (BF*T, D) block into VMEM, runs the matvec on the MXU (bf16 or
+int8->int32), reshapes to (BF, T), masks padding/exclusion and writes the
+per-frame maxima — the shortlist stage of `ops.frame_scoring.query_program`
+without materializing the (N,) score vector in HBM (SURVEY.md 'TPU kernel
+target #1'). Top-k over the (F,) maxima and the shortlist augmentation stay
+in XLA (tiny arrays).
+
+The kernel is numerically identical to the XLA formulation; `interpret=True`
+makes it testable on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _kernel(q_ref, v_ref, valid_ref, excluded_ref, out_ref, *, tile_bound: int):
+    V = v_ref[...]  # (BF*T, D)
+    q = q_ref[...]  # (D, 1) f32
+    if V.dtype == jnp.int8:
+        scores = jax.lax.dot_general(
+            V, q.astype(jnp.int8),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        scores = jnp.dot(
+            V, q.astype(V.dtype), preferred_element_type=jnp.float32
+        )
+    BF = valid_ref.shape[0]
+    s = scores.reshape(BF, tile_bound)
+    s = jnp.where(valid_ref[...], s, NEG_INF)
+    fmax = jnp.max(s, axis=1)
+    out_ref[...] = jnp.where(excluded_ref[...], NEG_INF, fmax)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_bound", "block_frames", "interpret")
+)
+def fused_frame_max(
+    vectors: jnp.ndarray,  # (F*T, D) frame-major padded, bf16/f32/int8
+    valid: jnp.ndarray,  # (F, T) bool
+    excluded: jnp.ndarray,  # (F,) bool
+    qvec: jnp.ndarray,  # (D,) f32 (matrix scale pre-applied for int8)
+    *,
+    tile_bound: int,
+    block_frames: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    F, T = valid.shape
+    assert T == tile_bound
+    D = vectors.shape[1]
+    # Mosaic tiling: 1-D operands carry XLA's T(1024) layout, so frame-axis
+    # blocks must be multiples of 1024 (index build pads F accordingly).
+    BF = max(1024, (block_frames // 1024) * 1024)
+    grid = -(-F // BF)
+    Fp = grid * BF
+    assert vectors.shape[0] == Fp * T, (
+        f"vectors must be padded to {Fp} frames x {T} tiles "
+        f"(= {Fp * T} rows, got {vectors.shape[0]}); pad at index build"
+    )
+    if Fp != F:
+        valid = jnp.pad(valid, ((0, Fp - F), (0, 0)))
+        excluded = jnp.pad(excluded, ((0, Fp - F),), constant_values=True)
+
+    # int8 query quantization (same scheme as ops.frame_scoring.scoring_matvec)
+    if vectors.dtype == jnp.int8:
+        qmax = jnp.max(jnp.abs(qvec)) + 1e-12
+        q_in = jnp.clip(jnp.round(qvec / qmax * 127.0), -127, 127).astype(jnp.float32)
+        scale = qmax / 127.0
+    else:
+        q_in = qvec
+        scale = None
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile_bound=T),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF * T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Fp,), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # double-buffered (BF*T, D) bf16 blocks exceed the default 16MB
+            # scoped budget; v5e has headroom above it
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(q_in.reshape(D, 1), vectors, valid, excluded)
+
+    out = out[:F]
+    if scale is not None:
+        # -inf * scale stays -inf; finite maxima rescale to score units
+        out = jnp.where(jnp.isfinite(out), out * scale, out)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shortlist_size", "topk", "tile_bound", "block_frames",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom", "interpret",
+    ),
+)
+def query_program_fused(
+    vectors: jnp.ndarray,  # (Fp*T, D) padded to block_frames granularity
+    valid: jnp.ndarray,  # (F, T)
+    boxes: jnp.ndarray,  # (F*T, 4) (unpadded tail ok — gathered via fids < F)
+    zoom: jnp.ndarray,  # (F*T,)
+    qvec: jnp.ndarray,
+    excluded: jnp.ndarray,  # (F,)
+    *,
+    shortlist_size: int,
+    topk: int,
+    tile_bound: int,
+    block_frames: int = 1024,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+    interpret: bool = False,
+):
+    """Full query with the Pallas shortlist stage: the (N,) score vector is
+    never materialized in HBM — per-tile scores are recomputed only for the
+    shortlisted frames (B*T rows). Returns ops.frame_scoring.QueryResult."""
+    from .frame_scoring import NEG_INF as NI, QueryResult, augment_tile_scores, scoring_matvec
+
+    F, T = valid.shape
+    fmax = fused_frame_max(
+        vectors, valid, excluded, qvec,
+        tile_bound=tile_bound, block_frames=block_frames, interpret=interpret,
+    )
+    short_scores, short_fids = jax.lax.top_k(fmax, shortlist_size)
+    short_valid = short_scores > NI
+
+    rows = short_fids[:, None] * T + jnp.arange(T, dtype=jnp.int32)[None, :]
+    tile_valid = valid[short_fids] & short_valid[:, None]
+    t_vecs = vectors[rows.reshape(-1)]  # (B*T, D)
+    t_scores = scoring_matvec(t_vecs, qvec).reshape(shortlist_size, T)
+    t_scores = jnp.where(tile_valid, t_scores, NI)
+    t_boxes = boxes[rows]
+    t_zoom = zoom[rows]
+
+    aug = jax.vmap(
+        lambda b, z, s, v: augment_tile_scores(
+            b, z, s, v, aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=max_zoom,
+        )
+    )(t_boxes, t_zoom, t_scores, tile_valid)
+
+    frame_score = jnp.max(aug, axis=1)
+    top_tile = jnp.argmax(aug, axis=1)
+    bidx = jnp.arange(aug.shape[0])
+    act_box = t_boxes[bidx, top_tile]
+    act_score = aug[bidx, top_tile]
+
+    frame_score = jnp.where(short_valid, frame_score, NI)
+    final_scores, final_pos = jax.lax.top_k(frame_score, min(topk, shortlist_size))
+    n_valid = (final_scores > NI).sum()
+    return QueryResult(
+        frame_ids=jnp.where(final_scores > NI, short_fids[final_pos], -1),
+        frame_scores=final_scores,
+        act_boxes=act_box[final_pos],
+        act_scores=act_score[final_pos],
+        n_valid=n_valid,
+    )
