@@ -23,7 +23,8 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
     import jax
     import jax.numpy as jnp
 
-    n_frames = n_vectors // tiles_per_frame
+    # frame count padded to the Pallas kernel's 1024-frame block granularity
+    n_frames = (n_vectors // tiles_per_frame // 1024) * 1024
     n_vectors = n_frames * tiles_per_frame
 
     key = jax.random.PRNGKey(0)
@@ -77,7 +78,18 @@ def bench_rerank(n_vectors: int, dtype: str = "bfloat16"):
     V, valid, boxes, zoom, n_frames = build_db(n_vectors, d, dtype=dtype)
     excluded = jnp.zeros(n_frames, dtype=bool)
 
+    from seesaw_tpu.ops.pallas_scoring import query_program_fused
+
+    use_pallas = os.environ.get("SEESAW_BENCH_NO_PALLAS") is None
+
     def run(qvec, excluded):
+        if use_pallas:
+            return query_program_fused(
+                V, valid, boxes, zoom, qvec, excluded,
+                shortlist_size=50, topk=10, tile_bound=8, block_frames=1024,
+                aug_larger="all", aug_weight="level_max",
+                agg_method="avg_score", max_zoom=3,
+            )
         return frame_scoring.query_program(
             V, valid, boxes, zoom, qvec, None, excluded,
             shortlist_size=50, topk=10,

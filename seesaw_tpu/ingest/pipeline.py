@@ -25,11 +25,26 @@ from .tiling import generate_multiscale_tiling
 _SENTINEL = object()
 
 
-def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int) -> np.ndarray:
-    """Normalize + encode uint8 tiles in fixed-size padded batches."""
+def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int,
+                          mesh=None) -> np.ndarray:
+    """Normalize + encode uint8 tiles in fixed-size padded batches.
+
+    With a mesh, the batch axis is sharded across devices (data-parallel
+    inference: each chip encodes batch_size/n_devices tiles per step — the
+    v5e-8 embed-1M-images path)."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.preprocess import normalize_pixels
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        batch_size = -(-batch_size // n_dev) * n_dev
+        sharding = NamedSharding(mesh, P("data"))
+    else:
+        sharding = None
 
     n = tiles_u8.shape[0]
     out = np.empty((n, embedding.dim), dtype=np.float32)
@@ -37,7 +52,10 @@ def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int) -> n
         hi = min(lo + batch_size, n)
         batch = np.zeros((batch_size,) + tiles_u8.shape[1:], dtype=np.float32)
         batch[: hi - lo] = tiles_u8[lo:hi].astype(np.float32) / 255.0
-        px = normalize_pixels(jnp.asarray(batch))
+        px = jnp.asarray(batch)
+        if sharding is not None:
+            px = jax.device_put(px, sharding)
+        px = normalize_pixels(px)
         vecs = np.asarray(embedding.encode_image_batch(px))
         out[lo:hi] = vecs[: hi - lo]
     norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-6)
@@ -54,6 +72,7 @@ def run_multiscale_extraction(
     batch_size: int = 256,
     n_decode_threads: int = 8,
     limit: Optional[int] = None,
+    mesh=None,
 ):
     """Returns (vectors (N,D), dbidx, zoom_level, boxes) sorted by dbidx."""
     dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
@@ -87,7 +106,7 @@ def run_multiscale_extraction(
         if item is None:
             continue
         dbidx, ts = item
-        vecs = _encode_tiles_batched(embedding, ts.tiles, batch_size)
+        vecs = _encode_tiles_batched(embedding, ts.tiles, batch_size, mesh=mesh)
         all_vecs.append(vecs)
         all_dbidx.append(np.full(vecs.shape[0], dbidx, dtype=np.int32))
         all_zoom.append(ts.zoom_level)
@@ -113,6 +132,7 @@ def create_multiscale_index(
     force: bool = False,
     build_knn_graph: Optional[int] = None,
     limit: Optional[int] = None,
+    mesh=None,
 ):
     """Build `<ds>/indices/<index_name>` from the dataset's images.
 
@@ -128,7 +148,7 @@ def create_multiscale_index(
         vectors, dbidx, zoom, boxes = run_multiscale_extraction(
             ds, embedding,
             tile_size=tile_size, factor=factor, min_tile_size=min_tile_size,
-            batch_size=batch_size, limit=limit,
+            batch_size=batch_size, limit=limit, mesh=mesh,
         )
         np.savez(
             Path(tmp) / "vectors.npz",

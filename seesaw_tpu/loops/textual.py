@@ -36,6 +36,34 @@ def join_vecs2annotations(index, dbidx: int, annotations):
     return vecs, descs, accepted, best_iou
 
 
+def compute_box_vectors(index, dataset, dbidx: int, annotations, *, min_side=64):
+    """'computed' image_vector_strategy: embed a square crop around each
+    labeled box with the index's CLIP model (the reference left this branch
+    unfinished — `loops/textual.py:86-99`). Uses best_square_box to pick the
+    maximal-overlap near-centered square within the image."""
+    import PIL.Image
+
+    from ..box_utils import BoundingBoxBatch, BoxBatch
+
+    im = PIL.Image.open(dataset.file_path(dbidx))
+    if im.mode != "RGB":
+        im = im.convert("RGB")
+    w, h = im.size
+    boxes = np.array(
+        [(b.x1, b.y1, min(b.x2, w), min(b.y2, h)) for b in annotations],
+        dtype=np.float64,
+    )
+    bb = BoundingBoxBatch.from_boxbatch(BoxBatch.from_xyxy(boxes), w, h)
+    squares = bb.best_square_box(min_side=min_side).to_xyxy()
+    vecs = []
+    for (x1, y1, x2, y2) in squares:
+        crop = im.crop((round(x1), round(y1), round(x2), round(y2)))
+        vecs.append(index.embedding.from_image(image=crop)[0])
+    descs = np.array([b.description or "" for b in annotations], dtype=object)
+    accepted = np.array([bool(b.marked_accepted) for b in annotations])
+    return np.stack(vecs), descs, accepted
+
+
 class TextualFeedback(LoopBase):
     def __init__(self, gdm, q, params):
         super().__init__(gdm, q, params)
@@ -43,6 +71,10 @@ class TextualFeedback(LoopBase):
         self.model = OnlineModel(self.index.embedding, cfg)
         self.vector_box_min_iou = cfg.get("vector_box_min_iou", 0.0)
         self.mode = cfg["mode"]
+        self.image_vector_strategy = params.image_vector_strategy or "matched"
+        self._dataset = None  # needed for 'computed' crops
+        if self.image_vector_strategy == "computed" and gdm is not None:
+            self._dataset = gdm.get_dataset(params.index_spec.d_name)
         self._updated = False
 
     @staticmethod
@@ -80,6 +112,14 @@ class TextualFeedback(LoopBase):
         for dbidx in self.q.label_db.get_seen():
             annot = self.q.label_db.get(int(dbidx), format="box")
             if not annot:
+                continue
+            if self.image_vector_strategy == "computed" and self._dataset is not None:
+                v, d, a = compute_box_vectors(
+                    self.index, self._dataset, int(dbidx), annot
+                )
+                vecs.append(v)
+                strs.append(d)
+                acc.append(a)
                 continue
             v, d, a, iou = join_vecs2annotations(self.index, int(dbidx), annot)
             keep = iou > self.vector_box_min_iou

@@ -142,3 +142,23 @@ def test_create_coarse_index(image_dataset):
     cq.label_db.put(1, [])
     pos, neg = cq.getXy(get_positions=True)
     assert len(pos) == 1 and len(neg) == 1
+
+
+def test_sharded_extraction_matches_single(image_dataset):
+    """Data-parallel batch encoding over the virtual 8-device mesh produces
+    the same vectors as single-device."""
+    from seesaw_tpu.ingest.pipeline import run_multiscale_extraction
+    from seesaw_tpu.models.registry import load_embedding
+    from seesaw_tpu.parallel import make_mesh
+
+    gdm, ds = image_dataset
+    emb = load_embedding("clip-test")
+    v1, d1, z1, b1 = run_multiscale_extraction(
+        ds, emb, tile_size=32, min_tile_size=32, batch_size=16
+    )
+    mesh = make_mesh(8)
+    v2, d2, z2, b2 = run_multiscale_extraction(
+        ds, emb, tile_size=32, min_tile_size=32, batch_size=16, mesh=mesh
+    )
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)

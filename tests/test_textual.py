@@ -155,3 +155,52 @@ def test_textual_loop_e2e(tmp_path):
         box_table=box_table, b=b, p=p,
     )
     assert info["nseen"] > 0
+
+
+def test_computed_image_vector_strategy(tmp_path):
+    """'computed' strategy: square crops around labeled boxes embedded with
+    the index's CLIP model."""
+    import PIL.Image
+    from seesaw_tpu.basic_types import Box, IndexSpec, SessionParams
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.ingest.pipeline import create_multiscale_index
+    from seesaw_tpu.loops.textual import TextualFeedback, compute_box_vectors
+    from seesaw_tpu.query_interface import InteractiveQuery
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        arr = (rng.random((80, 96, 3)) * 255).astype(np.uint8)
+        PIL.Image.fromarray(arr).save(img_dir / f"i{i}.png")
+    gdm = GlobalDataManager(str(tmp_path / "root"))
+    ds = gdm.create_dataset("cimg", image_src=str(img_dir))
+    idx = create_multiscale_index(ds, "ms", "clip-test", tile_size=32,
+                                  min_tile_size=32, batch_size=8, force=True)
+
+    boxes = [Box(x1=10, y1=10, x2=50, y2=40, description="a cat",
+                 marked_accepted=False)]
+    vecs, descs, acc = compute_box_vectors(idx, ds, 0, boxes)
+    assert vecs.shape == (1, idx.embedding.dim)
+    assert np.isfinite(vecs).all()
+    assert descs[0] == "a cat" and acc[0] == False  # noqa: E712
+
+    # loop wiring: refine with computed vectors runs end to end
+    p = SessionParams(
+        index_spec=IndexSpec(d_name="cimg", i_name="ms"),
+        interactive="textual", batch_size=2, shortlist_size=4,
+        image_vector_strategy="computed",
+        interactive_options=dict(mode="linear", rounds=4, num_warmup_steps=1,
+                                 image_loss_weight=0.5, rank_margin=0.1),
+    )
+    q = idx.new_query()
+    loop = TextualFeedback(gdm, q, p)
+    loop.state.curr_str = "a dog"
+    loop.set_text_vec(idx.string2vec("a dog"))
+    q.label_db.put(0, boxes)
+    q.label_db.put(1, [Box(x1=5, y1=5, x2=60, y2=60, description="a dog",
+                           marked_accepted=True)])
+    loop.refine()
+    assert loop._updated
+    out = loop.next_batch()
+    assert len(out["dbidxs"]) > 0
