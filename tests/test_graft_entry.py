@@ -13,6 +13,32 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_conditions():
+    """Regression for round-1 failure: the driver calls dryrun_multichip(8) in
+    a process WITHOUT the conftest virtual-mesh env; dryrun must self-configure
+    the virtual CPU mesh (or subprocess-fallback) rather than assert on device
+    count."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "_GRAFT_DRYRUN_CHILD")
+    }
+    repo = str(Path(__file__).resolve().parent.parent)
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
 def test_entry_signature():
     import __graft_entry__ as ge
 
