@@ -49,10 +49,14 @@ class GroundTruthCalibrator:
         self._y = np.asarray(y, dtype=np.float64)
 
     def get_probabilities(self, qvec: np.ndarray, vectors: np.ndarray = None) -> np.ndarray:
+        """Fit sigma(A s + B) on the *training* scores (self.vectors @ q vs
+        y), then apply to the inference vectors' scores — reference
+        `calibration.py:35-42` fits on self.X and predicts on `vectors`."""
+        q = np.asarray(qvec).reshape(-1)
+        train_scores = self.vectors @ q
+        a, b = _platt_fit(np.asarray(train_scores, np.float64), self._y)
         V = self.vectors if vectors is None else vectors
-        scores = V @ qvec.reshape(-1)
-        a, b = _platt_fit(scores, self._y)
-        return compute_calibrated_probabilities(scores, a, b)
+        return compute_calibrated_probabilities(V @ q, a, b)
 
     def get_mean(self) -> float:
         return float((self._y > 0).mean())

@@ -1,0 +1,405 @@
+"""Differential fidelity tests: the oracle IS the literal reference code.
+
+Each test imports the reference implementation from /root/reference (via
+refimpl's minimal stubs) and asserts our TPU-native programs agree with it on
+randomized inputs:
+
+- frame augmentation vs `score_frame2` (multiscale_index.py:112-150), full
+  aug_larger x aug_weight x agg_method matrix;
+- rank-loss values + gradients vs `seesaw.rank_loss` / `pairwise_rank_loss`;
+- symmetric RBF weights + Laplacian vs `knn_graph.get_weight_matrix`;
+- label propagation vs `LabelPropagation.fit_transform`;
+- LKNN posteriors/conditioning vs `loops/LKNN_model.py`;
+- metrics vs `seesaw.metrics`;
+- Platt calibration vs `GroundTruthCalibrator` (sklearn _SigmoidCalibration).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from refimpl import ref  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# frame augmentation vs score_frame2
+# ---------------------------------------------------------------------------
+
+def _random_frame_meta(rng, n_tiles):
+    """Random multiscale-looking tile set for one frame."""
+    rows = []
+    for _ in range(n_tiles):
+        zl = int(rng.integers(1, 4))
+        size = 40.0 * zl
+        x1 = float(rng.uniform(0, 150))
+        y1 = float(rng.uniform(0, 150))
+        rows.append(
+            dict(
+                x1=x1, y1=y1, x2=x1 + size, y2=y1 + size,
+                zoom_level=zl, score=float(rng.normal()),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+AUG_MATRIX = [
+    ("all", "level_max", "avg_score"),
+    ("greater", "level_max", "avg_score"),
+    ("adjacent", "level_max", "avg_score"),
+    ("all", "cont_weighted", "avg_score"),
+    ("greater", "cont_weighted", "avg_score"),
+    ("adjacent", "cont_weighted", "avg_score"),
+    ("all", "level_max", "plain_score"),
+]
+
+
+@pytest.mark.parametrize("aug_larger,aug_weight,agg_method", AUG_MATRIX)
+def test_augment_vs_score_frame2(aug_larger, aug_weight, agg_method):
+    msi = ref.load("seesaw.indices.multiscale.multiscale_index")
+    from seesaw_tpu.ops.frame_scoring import augment_tile_scores
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n_tiles = int(rng.integers(1, 12))
+        meta = _random_frame_meta(rng, n_tiles)
+
+        ref_row = msi.score_frame2(
+            meta.copy(),
+            aug_larger=aug_larger, aug_weight=aug_weight, agg_method=agg_method,
+        )
+        ref_score = float(ref_row.score.values[0])
+        ref_iloc = int(ref_row.index[0])
+
+        boxes = meta[["x1", "y1", "x2", "y2"]].values.astype(np.float32)
+        zoom = meta.zoom_level.values.astype(np.int32)
+        scores = meta.score.values.astype(np.float32)
+        valid = np.ones(n_tiles, dtype=bool)
+        adj = np.asarray(
+            augment_tile_scores(
+                boxes, zoom, scores, valid,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=4,
+            )
+        )
+        ours_score = float(adj.max())
+        ours_iloc = int(adj.argmax())
+
+        assert np.isclose(ours_score, ref_score, atol=1e-4), (
+            f"trial {trial}: {ours_score} vs ref {ref_score}"
+        )
+        # tile choice must match unless scores tie within fp tolerance
+        ties = np.isclose(adj, ours_score, atol=1e-5).sum()
+        if ties == 1:
+            assert ours_iloc == ref_iloc, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# rank losses and gradients vs seesaw.rank_loss / pairwise_rank_loss
+# ---------------------------------------------------------------------------
+
+def _random_target_scores(rng, n, tie_prob=0.4):
+    target = rng.integers(0, 2, size=n).astype(np.float64)
+    scores = rng.normal(size=n)
+    # force some exact score ties (the boundary convention under test)
+    if n >= 4 and rng.uniform() < tie_prob:
+        scores[1] = scores[0]
+        scores[3] = scores[2]
+    return target, scores
+
+
+def test_pairwise_rank_loss_matrix_vs_ref():
+    import torch
+
+    rl = ref.load("seesaw.rank_loss")
+    from seesaw_tpu.ops.rank_loss import pairwise_rank_loss_matrix
+
+    rng = np.random.default_rng(3)
+    for margin in (0.0, 0.1, 0.5):
+        for _ in range(10):
+            n = int(rng.integers(2, 30))
+            target, scores = _random_target_scores(rng, n)
+            ref_l = rl.ref_pairwise_rank_loss(
+                torch.tensor(target), scores=torch.tensor(scores),
+                margin=margin, aggregate="none",
+            ).numpy()
+            ours = np.asarray(
+                pairwise_rank_loss_matrix(target, scores, margin=margin)
+            )
+            # reference convention: loss_ij has i varying along rows of
+            # target.reshape(-1,1) - target.reshape(1,-1) — same as ours
+            assert np.allclose(ours, ref_l, atol=1e-6)
+
+
+def test_quick_pairwise_gradient_vs_ref_autograd():
+    import torch
+
+    rl = ref.load("seesaw.rank_loss")
+    from seesaw_tpu.ops.rank_loss import quick_pairwise_gradient_parts
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(2, 60))
+        target, scores = _random_target_scores(rng, n)
+        ref_grad = rl.ref_pairwise_rank_loss_gradient(
+            torch.tensor(target), scores=torch.tensor(scores), margin=0.0
+        ).numpy()
+        ref_quick = rl.quick_pairwise_gradient_zero_margin(
+            torch.tensor(target), scores=torch.tensor(scores)
+        ).numpy()
+        grads, _, _ = quick_pairwise_gradient_parts(target, scores)
+        ours = np.asarray(grads)
+        assert np.allclose(ref_quick, ref_grad, atol=1e-6)  # ref self-check
+        assert np.allclose(ours, ref_grad, atol=1e-6), (
+            f"n={n} ours={ours} ref={ref_grad}"
+        )
+
+
+def test_cheap_pairwise_rank_loss_vs_ref():
+    import jax
+    import torch
+
+    rl = ref.load("seesaw.rank_loss")
+    from seesaw_tpu.ops.rank_loss import cheap_pairwise_rank_loss
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        n = int(rng.integers(3, 40))
+        target, scores = _random_target_scores(rng, n)
+
+        t = torch.tensor(target)
+        s = torch.tensor(scores, requires_grad=True)
+        ref_vals = rl.cheap_pairwise_rank_loss(t, scores=s)
+        ref_vals.sum().backward()
+        ref_grad = s.grad.numpy()
+
+        ours_vals = np.asarray(cheap_pairwise_rank_loss(target, scores))
+        ours_grad = np.asarray(
+            jax.grad(lambda sc: cheap_pairwise_rank_loss(target, sc).sum())(scores)
+        )
+        assert np.allclose(ours_vals, ref_vals.detach().numpy(), atol=1e-6)
+        assert np.allclose(ours_grad, ref_grad, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# graph weights / Laplacian vs knn_graph.get_weight_matrix
+# ---------------------------------------------------------------------------
+
+def _unit_vectors(rng, n, d):
+    v = rng.normal(size=(n, d))
+    return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+
+def _ref_weight_matrix(kg, vectors, k, edist, laplacian=False, normalized=False):
+    df = kg.compute_exact_knn(vectors, n_neighbors=k)
+    return kg.get_weight_matrix(
+        df, kfun=kg.rbf_kernel(edist), self_edges=False,
+        normalized=normalized, laplacian=laplacian, symmetric=True,
+    )
+
+
+def test_symmetric_weights_vs_ref():
+    kg = ref.load("seesaw.knn_graph")
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+
+    rng = np.random.default_rng(0)
+    n, d, k, edist = 60, 16, 5, 0.5
+    vectors = _unit_vectors(rng, n, d)
+
+    W_ref = _ref_weight_matrix(kg, vectors, k, edist).toarray()
+
+    g = KNNGraph.build(vectors.astype(np.float64), k)
+    sw = symmetrize_weights(g, rbf_kernel(edist))
+    W_ours = np.zeros((n, n))
+    for i in range(n):
+        m = sw.nbr[i] >= 0
+        W_ours[i, sw.nbr[i][m]] = sw.w[i][m]
+
+    assert np.allclose(W_ours, W_ref, atol=1e-5), (
+        f"max diff {np.abs(W_ours - W_ref).max()}"
+    )
+    # degree and Laplacian quadratic form
+    assert np.allclose(sw.degree, W_ref.sum(axis=1), atol=1e-4)
+    L_ref = _ref_weight_matrix(kg, vectors, k, edist, laplacian=True).toarray()
+    for _ in range(5):
+        x = rng.normal(size=n)
+        assert np.isclose(sw.laplacian_quadratic(x), x @ (L_ref @ x), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# label propagation vs LabelPropagation.fit_transform
+# ---------------------------------------------------------------------------
+
+def _sw_from_csr(W):
+    """Convert a scipy CSR weight matrix into our padded SymmetricWeights."""
+    from seesaw_tpu.knn_graph import SymmetricWeights
+
+    W = W.tocsr()
+    n = W.shape[0]
+    counts = np.diff(W.indptr)
+    Kp = max(int(counts.max()), 1)
+    nbr = np.full((n, Kp), -1, dtype=np.int32)
+    w = np.zeros((n, Kp), dtype=np.float32)
+    for i in range(n):
+        s, e = W.indptr[i], W.indptr[i + 1]
+        nbr[i, : e - s] = W.indices[s:e]
+        w[i, : e - s] = W.data[s:e]
+    return SymmetricWeights(nbr=nbr, w=w, degree=np.asarray(W.sum(axis=1)).reshape(-1).astype(np.float32))
+
+
+def test_label_propagation_vs_ref():
+    kg = ref.load("seesaw.knn_graph")
+    lp = ref.load("seesaw.label_propagation")
+    from seesaw_tpu.label_propagation import LabelPropagation
+
+    rng = np.random.default_rng(42)
+    n, d, k, edist = 80, 16, 6, 0.5
+    vectors = _unit_vectors(rng, n, d)
+    W = _ref_weight_matrix(kg, vectors, k, edist)
+
+    label_ids = np.array([3, 17, 40, 66])
+    label_values = np.array([1.0, 0.0, 1.0, 0.0])
+    reg_values = rng.uniform(0.1, 0.9, size=n)
+
+    for reg_lambda in (0.5, 2.0):
+        ref_prop = lp.LabelPropagation(
+            W, reg_lambda=reg_lambda, max_iter=300, epsilon=1e-12
+        )
+        ref_out = ref_prop.fit_transform(
+            label_ids=label_ids, label_values=label_values,
+            reg_values=reg_values.copy(),
+        )
+
+        ours = LabelPropagation(
+            _sw_from_csr(W), reg_lambda=reg_lambda, max_iter=300, epsilon=1e-12
+        ).fit_transform(
+            label_ids=label_ids, label_values=label_values,
+            reg_values=reg_values.copy(),
+        )
+        assert np.allclose(ours, ref_out, atol=1e-3), (
+            f"lambda={reg_lambda} max diff {np.abs(ours - ref_out).max()}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# LKNN posteriors vs loops/LKNN_model.py
+# ---------------------------------------------------------------------------
+
+def test_lknn_vs_ref():
+    kg = ref.load("seesaw.knn_graph")
+    lk = ref.load("seesaw.loops.LKNN_model")
+    common = ref.load("seesaw.research.active_search.common")
+    from seesaw_tpu.loops.lknn_model import Dataset as OurDataset, LKNNModel as OurLKNN
+
+    rng = np.random.default_rng(1)
+    n, d, k = 50, 8, 4
+    vectors = _unit_vectors(rng, n, d)
+    df = kg.compute_exact_knn(vectors, n_neighbors=k)
+    W = kg.get_weight_matrix(
+        df, kfun=kg.knn_kernel(), self_edges=False,
+        normalized=False, laplacian=False, symmetric=True,
+    )
+    gamma = lk.initial_gamma_array(0.3, (n,))
+
+    ref_ds = common.Dataset.from_vectors(vectors)
+    ref_model = lk.LKNNModel.from_dataset(ref_ds, weight_matrix=W, gamma=gamma)
+
+    # our nbr rows mirror the CSR structure so conditioning updates the same
+    # index sets (the reference's stored-zero diagonal included)
+    counts = np.diff(W.indptr)
+    Kp = int(counts.max())
+    nbr = np.full((n, Kp), -1, dtype=np.int32)
+    for i in range(n):
+        s, e = W.indptr[i], W.indptr[i + 1]
+        nbr[i, : e - s] = W.indices[s:e]
+    our_ds = OurDataset.from_vectors(vectors)
+    our_model = OurLKNN.from_dataset(our_ds, nbr=nbr, gamma=gamma)
+
+    # initial posteriors
+    assert np.allclose(our_model.scores(), ref_model.score, atol=1e-12)
+
+    # condition on a labeling sequence (in-place, as sessions do), compare the
+    # posterior over remaining indices each step, plus the top-k order
+    labels = [(5, 1), (12, 0), (30, 1), (44, 0), (7, 1)]
+    for idx, y in labels:
+        ref_model.condition_(idx, y)
+        our_model.condition_(idx, y)
+        remaining = np.array(sorted(our_model.dataset.remaining_indices()))
+        ref_scores = ref_model.score[remaining]
+        our_scores = our_model.predict_proba(remaining)
+        assert np.allclose(our_scores, ref_scores, atol=1e-12), f"after ({idx},{y})"
+
+        ref_order = remaining[np.argsort(-ref_scores, kind="stable")][:5]
+        ref_top_val = ref_model.score[ref_order]
+        our_top_idx, our_top_val = our_model.top_k_remaining(5)
+        assert np.allclose(our_top_val, ref_top_val, atol=1e-12)
+        assert np.allclose(ref_model.score[our_top_idx], ref_top_val, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# metrics vs seesaw.metrics
+# ---------------------------------------------------------------------------
+
+def test_metrics_vs_ref():
+    rm = ref.load("seesaw.metrics")
+    import seesaw_tpu.metrics as om
+
+    rng = np.random.default_rng(9)
+    for _ in range(40):
+        nseen = int(rng.integers(1, 60))
+        npos = int(rng.integers(1, 30))
+        nfound = int(rng.integers(0, min(nseen, npos) + 1))
+        hits = np.sort(rng.choice(nseen, size=nfound, replace=False))
+        max_results = int(rng.integers(1, npos + 5))
+
+        assert np.isclose(
+            om.average_precision(hits, npositive=npos, max_results=max_results),
+            rm.average_precision(hits, npositive=npos, max_results=max_results),
+        )
+        assert np.isclose(
+            om.average_reciprocal_gap(hits, npositive=npos),
+            rm.average_reciprocal_gap(hits, npositive=npos),
+        )
+        if nfound > 0:
+            assert np.isclose(om.dcg_score(hits), rm.dcg_score(hits))
+        assert np.isclose(
+            om.ndcg_score(hits, nseen=nseen, npositive=npos),
+            rm.ndcg_score(hits, nseen=nseen, npositive=npos),
+        )
+        assert np.isclose(
+            om.normalizedAP(hits, nseen=nseen, npositive=npos, max_results=max_results),
+            rm.normalizedAP(hits, nseen=nseen, npositive=npos, max_results=max_results),
+        )
+        ks = np.array([1, 2, 3, 10])
+        ours_r = om.rank_kth(hits, ntotal=npos, ks=ks)
+        ref_r = rm.rank_kth(hits, ntotal=npos, ks=ks)
+        assert ((ours_r == ref_r) | (np.isnan(ours_r) & np.isnan(ref_r))).all()
+
+
+# ---------------------------------------------------------------------------
+# calibration vs GroundTruthCalibrator (sklearn _SigmoidCalibration)
+# ---------------------------------------------------------------------------
+
+def test_calibrator_vs_ref_sklearn():
+    rc = ref.load("seesaw.calibration")
+    from seesaw_tpu.calibration import GroundTruthCalibrator
+
+    rng = np.random.default_rng(21)
+    n, d = 200, 16
+    X = _unit_vectors(rng, n, d).astype(np.float64)
+    qvec = rng.normal(size=d)
+    true_scores = X @ qvec
+    y = (true_scores + rng.normal(scale=0.5, size=n) > 0).astype(np.float64)
+    infer = _unit_vectors(rng, 50, d).astype(np.float64)
+
+    ref_cal = rc.GroundTruthCalibrator(X, y)
+    ref_probs = ref_cal.get_probabilities(qvec, infer)
+
+    our_cal = GroundTruthCalibrator(X, y)
+    our_probs = our_cal.get_probabilities(qvec, infer)
+
+    assert np.allclose(our_probs, ref_probs, atol=2e-3), (
+        f"max diff {np.abs(our_probs - ref_probs).max()}"
+    )
