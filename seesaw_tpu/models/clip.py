@@ -323,6 +323,39 @@ def convert_hf_state_dict(sd: dict, cfg: ClipConfig) -> dict:
     }
 
 
+def config_from_hf(hf_cfg: dict) -> ClipConfig:
+    """Derive a ClipConfig from an HF CLIP config.json dict."""
+    tc, vc = hf_cfg["text_config"], hf_cfg["vision_config"]
+    return ClipConfig(
+        embed_dim=hf_cfg.get("projection_dim", 512),
+        image_size=vc.get("image_size", 224),
+        patch_size=vc.get("patch_size", 32),
+        vision_width=vc.get("hidden_size", 768),
+        vision_layers=vc.get("num_hidden_layers", 12),
+        vision_heads=vc.get("num_attention_heads", 12),
+        vocab_size=tc.get("vocab_size", 49408),
+        context_length=tc.get("max_position_embeddings", 77),
+        text_width=tc.get("hidden_size", 512),
+        text_layers=tc.get("num_hidden_layers", 12),
+        text_heads=tc.get("num_attention_heads", 8),
+    )
+
+
+_CONFIG_FIELDS = (
+    "embed_dim", "image_size", "patch_size", "vision_width", "vision_layers",
+    "vision_heads", "vocab_size", "context_length", "text_width",
+    "text_layers", "text_heads",
+)
+
+
+def config_to_info(cfg: ClipConfig) -> dict:
+    return {f: getattr(cfg, f) for f in _CONFIG_FIELDS}
+
+
+def config_from_info(info: dict) -> ClipConfig:
+    return ClipConfig(**{f: int(info[f]) for f in _CONFIG_FIELDS if f in info})
+
+
 def init_params(cfg: ClipConfig, seed: int = 0) -> dict:
     model = ClipModel(cfg)
     pixels = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
@@ -344,8 +377,10 @@ class ClipEmbedding:
         dtype=jnp.float32,
         params: Optional[dict] = None,
         tokenizer=None,
+        cfg: Optional[ClipConfig] = None,
     ):
-        cfg = VARIANTS[variant]
+        if cfg is None:
+            cfg = VARIANTS[variant]
         if dtype is not None and dtype != cfg.dtype:
             cfg = dataclasses.replace(cfg, dtype=dtype)
         self.cfg = cfg
@@ -407,12 +442,37 @@ class ClipEmbedding:
     def from_raw(self, data) -> np.ndarray:
         return self.from_string(string=data) if isinstance(data, str) else self.from_image(image=data)
 
+    @staticmethod
+    def from_artifact(path: str, dtype=jnp.float32) -> "ClipEmbedding":
+        """Load a converted checkpoint directory (params.npz + info.json +
+        vocab.json/merges.txt) as produced by scripts/convert_clip_checkpoint.py
+        — the 'images -> real-CLIP index -> session' entry point."""
+        import json
+        import pathlib
+
+        from .tokenizer import default_tokenizer
+
+        p = pathlib.Path(path)
+        info = json.loads((p / "info.json").read_text())
+        cfg = config_from_info(info)
+        if dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=dtype)
+        params = load_checkpoint(str(p / "params.npz"), cfg)
+        tok = default_tokenizer(cfg.context_length, cfg.vocab_size, vocab_dir=p)
+        emb = ClipEmbedding(
+            variant=info.get("variant", "vit-b32"), params=params,
+            tokenizer=tok, dtype=None, cfg=cfg,
+        )
+        return emb
+
 
 def load_checkpoint(path: str, cfg: ClipConfig) -> dict:
     """Load params from .npz (flax flat) or a torch state-dict file."""
     import pathlib
 
     p = pathlib.Path(path)
+    if p.is_dir():
+        p = p / "params.npz"
     if p.suffix == ".npz":
         import flax.traverse_util as tu
 

@@ -27,8 +27,12 @@ def preprocess_image(image, target: int = 224) -> np.ndarray:
     if image.mode != "RGB":
         image = image.convert("RGB")
     w, h = image.size
-    scale = target / min(w, h)
-    nw, nh = round(w * scale), round(h * scale)
+    # torchvision T.Resize semantics (the reference transform): short side ==
+    # target, long side truncated — int(target * long / short), not rounded
+    if w <= h:
+        nw, nh = target, int(target * h / w)
+    else:
+        nw, nh = int(target * w / h), target
     image = image.resize((nw, nh), Image.BICUBIC)
     left, top = (nw - target) // 2, (nh - target) // 2
     image = image.crop((left, top, left + target, top + target))

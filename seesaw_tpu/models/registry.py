@@ -28,10 +28,16 @@ def _construct(name: str):
 
         return HashEmbedding(d=int(name.split("-", 1)[1]))
     if name.startswith("clip-"):
+        import pathlib
+
         from .clip import ClipEmbedding
 
-        # "clip-<variant>" or "clip-<variant>:<checkpoint_path>"
+        # "clip-<variant>" or "clip-<variant>:<checkpoint_path>"; the path may
+        # be a converted artifact dir (params.npz + info.json + vocab), a
+        # params .npz, or a torch state-dict file
         spec = name.split("-", 1)[1]
         variant, _, ckpt = spec.partition(":")
+        if ckpt and pathlib.Path(ckpt).is_dir() and (pathlib.Path(ckpt) / "info.json").exists():
+            return ClipEmbedding.from_artifact(ckpt)
         return ClipEmbedding(variant=variant, checkpoint=ckpt or None)
     raise ValueError(f"unknown model spec {name!r}")
