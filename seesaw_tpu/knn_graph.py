@@ -63,10 +63,20 @@ class KNNGraph:
         return self.dst.shape[1]
 
     @staticmethod
-    def build(vectors: np.ndarray, n_neighbors: int, block_size: int = 8192) -> "KNNGraph":
-        from .ops.knn import exact_knn
+    def build(
+        vectors: np.ndarray, n_neighbors: int, block_size: int = 8192, mesh=None
+    ) -> "KNNGraph":
+        """Exact kNN build; pass a jax.sharding.Mesh to scan row blocks
+        against systolically rotating column shards across chips
+        (parallel.sharded_graph) — same result, N²/S work per chip."""
+        if mesh is not None and mesh.devices.size > 1:
+            from .parallel.sharded_graph import sharded_exact_knn
 
-        dst, dist = exact_knn(vectors, n_neighbors, block_size=block_size)
+            dst, dist = sharded_exact_knn(vectors, n_neighbors, mesh)
+        else:
+            from .ops.knn import exact_knn
+
+            dst, dist = exact_knn(vectors, n_neighbors, block_size=block_size)
         return KNNGraph(dst, dist)
 
     def restrict_k(self, *, k: int) -> "KNNGraph":

@@ -26,6 +26,7 @@ class LabelPropagation:
         max_iter: int = 300,
         epsilon: float = 1e-5,
         verbose: int = 0,
+        mesh=None,
     ):
         assert reg_lambda >= 0
         self.weights = weights
@@ -34,6 +35,9 @@ class LabelPropagation:
         self.max_iter = max_iter
         self.epsilon = epsilon
         self.verbose = verbose
+        # with a multi-device mesh the Jacobi loop runs row-sharded
+        # (parallel.sharded_graph), numerically identical to single-device
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self._nbr = jnp.asarray(weights.nbr)
         self._w = jnp.asarray(weights.w)
         self._deg = jnp.asarray(weights.degree)
@@ -63,15 +67,25 @@ class LabelPropagation:
         else:
             start = reg_values.copy()
 
-        res = propagate(
-            self._nbr, self._w, self._deg,
-            jnp.asarray(reg_values), jnp.asarray(labels), jnp.asarray(is_labeled),
-            jnp.asarray(start),
-            reg_lambda=float(self.reg_lambda),
-            max_iter=self.max_iter,
-            epsilon=self.epsilon,
-        )
-        out = np.asarray(res.scores)
+        if self.mesh is not None:
+            from .parallel.sharded_graph import sharded_propagate
+
+            out = sharded_propagate(
+                self.weights.nbr, self.weights.w, self.weights.degree,
+                reg_values, labels, is_labeled, start, self.mesh,
+                reg_lambda=float(self.reg_lambda),
+                max_iter=self.max_iter, epsilon=self.epsilon,
+            )
+        else:
+            res = propagate(
+                self._nbr, self._w, self._deg,
+                jnp.asarray(reg_values), jnp.asarray(labels), jnp.asarray(is_labeled),
+                jnp.asarray(start),
+                reg_lambda=float(self.reg_lambda),
+                max_iter=self.max_iter,
+                epsilon=self.epsilon,
+            )
+            out = np.asarray(res.scores)
         lo = min(0.0, float(reg_values.min(initial=0.0)))
         hi = max(1.0, float(reg_values.max(initial=1.0)))
         assert (out >= lo - 1e-5).all(), "scores must stay within prior bounds"

@@ -9,3 +9,4 @@ tower fine-tuning is data-parallel with psum gradient reduction (SURVEY.md
 
 from .mesh import make_mesh  # noqa: F401
 from .sharded_index import ShardedFrameIndex, sharded_query_topk  # noqa: F401
+from .sharded_graph import sharded_exact_knn, sharded_propagate  # noqa: F401

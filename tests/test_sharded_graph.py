@@ -1,0 +1,99 @@
+"""Sharded graph stack must match the single-device programs bit-for-bit
+(8-device virtual CPU mesh via conftest)."""
+import jax
+import numpy as np
+import pytest
+
+from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+from seesaw_tpu.label_propagation import LabelPropagation
+from seesaw_tpu.ops.knn import exact_knn
+from seesaw_tpu.ops.propagation import propagate
+from seesaw_tpu.parallel import make_mesh, sharded_exact_knn, sharded_propagate
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def _unit(rng, n, d):
+    v = rng.normal(size=(n, d))
+    return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n,k", [(64, 5), (100, 8), (37, 3), (8, 7)])
+def test_sharded_knn_matches_single_device(mesh, n, k):
+    rng = np.random.default_rng(n)
+    V = _unit(rng, n, 16)
+    ids1, d1 = exact_knn(V, k)
+    ids8, d8 = sharded_exact_knn(V, k, mesh)
+    # neighbor sets identical; distances may differ by 1 ulp because the
+    # single-device path reduces a differently-shaped matmul
+    np.testing.assert_array_equal(ids8, ids1)
+    np.testing.assert_allclose(d8, d1, atol=1e-6)
+
+
+def test_sharded_knn_uneven_rows(mesh):
+    # N not divisible by the shard count; N smaller than S*k
+    rng = np.random.default_rng(0)
+    V = _unit(rng, 13, 8)
+    ids1, d1 = exact_knn(V, 4)
+    ids8, d8 = sharded_exact_knn(V, 4, mesh)
+    np.testing.assert_array_equal(ids8, ids1)
+    np.testing.assert_allclose(d8, d1, atol=1e-6)
+
+
+def test_knn_graph_build_with_mesh(mesh):
+    rng = np.random.default_rng(3)
+    V = _unit(rng, 50, 12)
+    g1 = KNNGraph.build(V, 6)
+    g8 = KNNGraph.build(V, 6, mesh=mesh)
+    np.testing.assert_array_equal(g8.dst, g1.dst)
+    np.testing.assert_allclose(g8.dist, g1.dist, atol=1e-6)
+
+
+def test_sharded_propagation_matches_single_device(mesh):
+    rng = np.random.default_rng(7)
+    n = 90
+    V = _unit(rng, n, 16)
+    g = KNNGraph.build(V, 6)
+    sw = symmetrize_weights(g, rbf_kernel(0.5))
+
+    label_ids = np.array([2, 31, 55, 78])
+    label_values = np.array([1.0, 0.0, 1.0, 0.0], np.float32)
+    prior = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[label_ids] = label_values
+    is_labeled = np.zeros(n, bool)
+    is_labeled[label_ids] = True
+    start = prior.copy()
+
+    for reg_lambda in (0.5, 2.0):
+        res1 = propagate(
+            sw.nbr, sw.w, sw.degree, prior, labels, is_labeled, start,
+            reg_lambda=reg_lambda, max_iter=200, epsilon=1e-10,
+        )
+        out8 = sharded_propagate(
+            sw.nbr, sw.w, sw.degree, prior, labels, is_labeled, start,
+            mesh, reg_lambda=reg_lambda, max_iter=200, epsilon=1e-10,
+        )
+        np.testing.assert_array_equal(out8, np.asarray(res1.scores))
+
+
+def test_label_propagation_wrapper_with_mesh(mesh):
+    """LabelPropagation(mesh=...) routes through the sharded program."""
+    rng = np.random.default_rng(11)
+    n = 40
+    V = _unit(rng, n, 8)
+    sw = symmetrize_weights(KNNGraph.build(V, 5), rbf_kernel(0.5))
+    prior = rng.uniform(0.2, 0.8, size=n).astype(np.float32)
+    ids = np.array([1, 20])
+    vals = np.array([1.0, 0.0])
+
+    single = LabelPropagation(sw, reg_lambda=1.0, max_iter=150, epsilon=1e-10)
+    sharded = LabelPropagation(
+        sw, reg_lambda=1.0, max_iter=150, epsilon=1e-10, mesh=mesh
+    )
+    a = single.fit_transform(label_ids=ids, label_values=vals, reg_values=prior)
+    b = sharded.fit_transform(label_ids=ids, label_values=vals, reg_values=prior)
+    np.testing.assert_array_equal(a, b)
