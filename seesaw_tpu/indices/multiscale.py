@@ -103,16 +103,21 @@ class MultiscaleIndex(AccessMethod):
         V_pad[~flat_valid] = 0.0
         self.device_dtype = device_dtype
         if device_dtype == "int8":
-            self._q_scale = float(np.abs(V_pad).max()) / 127.0 or 1.0
+            # per-row symmetric scales (the standard near-free accuracy win
+            # over one global scale): row r stores round(V_r / s_r), s_r =
+            # max|V_r|/127, dequantized inside the scoring matvec
+            row_max = np.abs(V_pad).max(axis=1)
+            scales = np.where(row_max > 0, row_max / 127.0, 1.0).astype(np.float32)
             self._V = jnp.asarray(
-                np.clip(np.round(V_pad / self._q_scale), -127, 127).astype(np.int8)
+                np.clip(np.round(V_pad / scales[:, None]), -127, 127).astype(np.int8)
             )
+            self._row_scale = jnp.asarray(scales)
         elif device_dtype == "bfloat16":
-            self._q_scale = 1.0
             self._V = jnp.asarray(V_pad, dtype=jnp.bfloat16)
+            self._row_scale = None
         else:
-            self._q_scale = 1.0
             self._V = jnp.asarray(V_pad)
+            self._row_scale = None
         self._pad_rows = jnp.asarray(flat_rows.astype(np.int32))
         self._pad_valid_flat = jnp.asarray(flat_valid)
         self._valid = jnp.asarray(valid)
@@ -138,9 +143,11 @@ class MultiscaleIndex(AccessMethod):
 
     def score_frames(self, vec: np.ndarray) -> np.ndarray:
         """Max tile score per frame, on device."""
-        q = np.asarray(vec, np.float32).reshape(-1) * self._q_scale
+        q = np.asarray(vec, np.float32).reshape(-1)
         return np.asarray(
-            frame_scoring.score_frames_max(self._V, self._valid, jnp.asarray(q))
+            frame_scoring.score_frames_max(
+                self._V, self._valid, jnp.asarray(q), self._row_scale
+            )
         )
 
     def __len__(self) -> int:
@@ -184,10 +191,11 @@ class MultiscaleIndex(AccessMethod):
             self._valid,
             self._boxes,
             self._zoom,
-            jnp.asarray(np.asarray(vector, np.float32).reshape(-1) * self._q_scale),
-            (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1) * self._q_scale)
+            jnp.asarray(np.asarray(vector, np.float32).reshape(-1)),
+            (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
              if vector2 is not None else None),
             jnp.asarray(excluded_mask),
+            self._row_scale,
             shortlist_size=shortlist_size,
             topk=topk_eff,
             aug_larger=aug_larger,

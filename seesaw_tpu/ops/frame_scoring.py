@@ -131,13 +131,17 @@ class QueryResult(NamedTuple):
     n_valid: jnp.ndarray
 
 
-def scoring_matvec(vectors: jnp.ndarray, qvec: jnp.ndarray) -> jnp.ndarray:
+def scoring_matvec(
+    vectors: jnp.ndarray, qvec: jnp.ndarray, row_scale: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """V @ q with dtype-appropriate MXU paths.
 
     int8 vectors take the true int8xint8 MXU path (int32 accumulate): the
     query is quantized symmetrically per call and the result rescaled —
-    HBM traffic quarters vs f32 and the MXU runs at double rate. The
-    caller owns the matrix-side scale (bakes it into qvec)."""
+    HBM traffic quarters vs f32 and the MXU runs at double rate.
+    `row_scale` (N,) carries per-row dequantization scales (each row was
+    quantized by its own max, the standard near-free accuracy win); without
+    it the caller owns a single global matrix scale (bakes it into qvec)."""
     if vectors.dtype == jnp.int8:
         qmax = jnp.max(jnp.abs(qvec)) + 1e-12
         q_i8 = jnp.clip(jnp.round(qvec / qmax * 127.0), -127, 127).astype(jnp.int8)
@@ -145,7 +149,8 @@ def scoring_matvec(vectors: jnp.ndarray, qvec: jnp.ndarray) -> jnp.ndarray:
             vectors, q_i8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return acc.astype(jnp.float32) * (qmax / 127.0)
+        out = acc.astype(jnp.float32) * (qmax / 127.0)
+        return out * row_scale if row_scale is not None else out
     return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
 
 
@@ -220,6 +225,7 @@ def query_program(
     qvec: jnp.ndarray,  # (D,)
     qvec2: jnp.ndarray | None,  # (D,) or None — subtracted (discount) score
     excluded: jnp.ndarray,  # (F,) bool — frames to skip
+    row_scale: jnp.ndarray | None = None,  # (F*T,) int8 per-row dequant scales
     *,
     shortlist_size: int,
     topk: int,
@@ -229,9 +235,9 @@ def query_program(
     max_zoom: int = 8,
 ) -> QueryResult:
     """The full per-click query as one XLA program. See module docstring."""
-    scores = scoring_matvec(vectors, qvec)
+    scores = scoring_matvec(vectors, qvec, row_scale)
     if qvec2 is not None:
-        scores = scores - scoring_matvec(vectors, qvec2)
+        scores = scores - scoring_matvec(vectors, qvec2, row_scale)
     return _rank_frames(
         scores, valid, boxes, zoom, excluded,
         shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
@@ -264,15 +270,18 @@ def rank_frames_from_scores(
 
 @jax.jit
 def score_frames_max(
-    vectors: jnp.ndarray, valid: jnp.ndarray, qvec: jnp.ndarray
+    vectors: jnp.ndarray, valid: jnp.ndarray, qvec: jnp.ndarray,
+    row_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Max tile score per frame — `index.score` analogue at frame granularity."""
     F, T = valid.shape
-    scores = scoring_matvec(vectors, qvec)
+    scores = scoring_matvec(vectors, qvec, row_scale)
     return jnp.max(jnp.where(valid, scores.reshape(F, T), NEG_INF), axis=1)
 
 
 @jax.jit
-def score_vectors(vectors: jnp.ndarray, qvec: jnp.ndarray) -> jnp.ndarray:
+def score_vectors(
+    vectors: jnp.ndarray, qvec: jnp.ndarray, row_scale: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Raw per-vector scores V @ q (reference `multiscale_index.py:284`)."""
-    return scoring_matvec(vectors, qvec)
+    return scoring_matvec(vectors, qvec, row_scale)

@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _kernel(q_ref, v_ref, valid_ref, excluded_ref, out_ref, *, tile_bound: int):
+def _kernel(q_ref, v_ref, valid_ref, excluded_ref, *rest, tile_bound: int):
+    *scale_refs, out_ref = rest
     V = v_ref[...]  # (BF*T, D)
     q = q_ref[...]  # (D, 1) f32
     if V.dtype == jnp.int8:
@@ -32,6 +33,8 @@ def _kernel(q_ref, v_ref, valid_ref, excluded_ref, out_ref, *, tile_bound: int):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
+        if scale_refs:  # per-row dequantization scales (BF*T, 1)
+            scores = scores * scale_refs[0][...]
     else:
         scores = jnp.dot(
             V, q.astype(V.dtype), preferred_element_type=jnp.float32
@@ -50,7 +53,8 @@ def fused_frame_max(
     vectors: jnp.ndarray,  # (F*T, D) frame-major padded, bf16/f32/int8
     valid: jnp.ndarray,  # (F, T) bool
     excluded: jnp.ndarray,  # (F,) bool
-    qvec: jnp.ndarray,  # (D,) f32 (matrix scale pre-applied for int8)
+    qvec: jnp.ndarray,  # (D,) f32
+    row_scale: jnp.ndarray | None = None,  # (F*T,) int8 per-row dequant scales
     *,
     tile_bound: int,
     block_frames: int = 256,
@@ -81,15 +85,24 @@ def fused_frame_max(
         q_in = qvec
         scale = None
 
+    in_specs = [
+        pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BF * T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BF, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+    ]
+    operands = [q_in.reshape(D, 1), vectors, valid, excluded]
+    if vectors.dtype == jnp.int8 and row_scale is not None:
+        assert row_scale.shape[0] == vectors.shape[0]
+        in_specs.append(
+            pl.BlockSpec((BF * T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(row_scale.reshape(-1, 1))
+
     out = pl.pallas_call(
         functools.partial(_kernel, tile_bound=T),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BF * T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BF, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Fp,), jnp.float32),
         interpret=interpret,
@@ -98,7 +111,7 @@ def fused_frame_max(
             # scoped budget; v5e has headroom above it
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(q_in.reshape(D, 1), vectors, valid, excluded)
+    )(*operands)
 
     out = out[:F]
     if scale is not None:
@@ -121,6 +134,7 @@ def query_program_fused(
     zoom: jnp.ndarray,  # (F*T,)
     qvec: jnp.ndarray,
     excluded: jnp.ndarray,  # (F,)
+    row_scale: jnp.ndarray | None = None,  # (Fp*T,) int8 per-row scales
     *,
     shortlist_size: int,
     topk: int,
@@ -139,7 +153,7 @@ def query_program_fused(
 
     F, T = valid.shape
     fmax = fused_frame_max(
-        vectors, valid, excluded, qvec,
+        vectors, valid, excluded, qvec, row_scale,
         tile_bound=tile_bound, block_frames=block_frames, interpret=interpret,
     )
     short_scores, short_fids = jax.lax.top_k(fmax, shortlist_size)
@@ -148,7 +162,8 @@ def query_program_fused(
     rows = short_fids[:, None] * T + jnp.arange(T, dtype=jnp.int32)[None, :]
     tile_valid = valid[short_fids] & short_valid[:, None]
     t_vecs = vectors[rows.reshape(-1)]  # (B*T, D)
-    t_scores = scoring_matvec(t_vecs, qvec).reshape(shortlist_size, T)
+    t_scale = row_scale[rows.reshape(-1)] if row_scale is not None else None
+    t_scores = scoring_matvec(t_vecs, qvec, t_scale).reshape(shortlist_size, T)
     t_scores = jnp.where(tile_valid, t_scores, NI)
     t_boxes = boxes[rows]
     t_zoom = zoom[rows]

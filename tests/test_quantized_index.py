@@ -52,3 +52,53 @@ def test_int8_score_frames(db):
     np.testing.assert_allclose(
         quant.score_frames(q), exact.score_frames(q), atol=0.05
     )
+
+
+def _clip_like_vectors(rng, n, d, n_clusters=32):
+    """Realistic CLIP-ish distribution: clustered unit vectors with an
+    anisotropic common component (CLIP embeddings are strongly non-uniform)."""
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    common = rng.normal(size=d)
+    common /= np.linalg.norm(common)
+    which = rng.integers(0, n_clusters, size=n)
+    V = 0.6 * centers[which] + 0.35 * common + 0.25 * rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return V.astype(np.float32)
+
+
+def test_per_row_int8_shortlist_recall():
+    """Quantization-error study (scaled-down; bench.py repeats at 10M on
+    chip). The int8 scores only pick the shortlist — shortlisted frames are
+    re-scored in f32 by the augmentation stage — so the ranking-safety
+    property is: the f32 top-k must be CONTAINED in the int8 shortlist
+    (5x oversized, the index default). Require >=99.9% containment with
+    per-row scales, and per-row >= global-scale quality."""
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.frame_scoring import scoring_matvec
+
+    rng = np.random.default_rng(0)
+    n, d, topk, shortlist = 200_000, 64, 10, 50
+    V = _clip_like_vectors(rng, n, d)
+
+    row_max = np.abs(V).max(axis=1)
+    scales = (row_max / 127.0).astype(np.float32)
+    V8 = np.clip(np.round(V / scales[:, None]), -127, 127).astype(np.int8)
+    g_scale = float(np.abs(V).max()) / 127.0
+    V8g = np.clip(np.round(V / g_scale), -127, 127).astype(np.int8)
+
+    hits_row, hits_glob = 0, 0
+    trials = 50
+    for t in range(trials):
+        q = _clip_like_vectors(rng, 1, d)[0]
+        exact = np.argsort(-(V @ q))[:topk]
+        s_row = np.asarray(scoring_matvec(jnp.asarray(V8), jnp.asarray(q), jnp.asarray(scales)))
+        s_glob = np.asarray(scoring_matvec(jnp.asarray(V8g), jnp.asarray(q * g_scale)))
+        hits_row += len(set(exact) & set(np.argsort(-s_row)[:shortlist]))
+        hits_glob += len(set(exact) & set(np.argsort(-s_glob)[:shortlist]))
+
+    recall_row = hits_row / (trials * topk)
+    recall_glob = hits_glob / (trials * topk)
+    assert recall_row >= 0.999, f"per-row int8 top-{topk} in shortlist: {recall_row}"
+    assert recall_row >= recall_glob, (recall_row, recall_glob)
