@@ -98,7 +98,35 @@ def run_multiscale_extraction(
 
     threading.Thread(target=producer, daemon=True).start()
 
+    # cross-image batching: tiles from many images fill each fixed-size
+    # device batch exactly (per-image batches would waste most of the batch
+    # on padding — images yield ~10 tiles, batches are 256)
     all_vecs, all_dbidx, all_zoom, all_boxes = [], [], [], []
+    buf_tiles, buf_meta = [], []  # aligned per-tile buffers
+    n_buf = 0
+
+    def flush(final=False):
+        nonlocal buf_tiles, buf_meta, n_buf
+        while n_buf >= batch_size or (final and n_buf > 0):
+            tiles = np.concatenate(buf_tiles) if len(buf_tiles) > 1 else buf_tiles[0]
+            take = min(batch_size, n_buf)
+            vecs = _encode_tiles_batched(
+                embedding, tiles[:take], batch_size, mesh=mesh
+            )
+            dbidx_a, zoom_a, boxes_a = (
+                np.concatenate([m[i] for m in buf_meta]) for i in range(3)
+            )
+            all_vecs.append(vecs)
+            all_dbidx.append(dbidx_a[:take])
+            all_zoom.append(zoom_a[:take])
+            all_boxes.append(boxes_a[:take])
+            buf_tiles = [tiles[take:]] if take < tiles.shape[0] else []
+            buf_meta = (
+                [(dbidx_a[take:], zoom_a[take:], boxes_a[take:])]
+                if take < dbidx_a.shape[0] else []
+            )
+            n_buf -= take
+
     while True:
         item = work_q.get()
         if item is _SENTINEL:
@@ -106,11 +134,14 @@ def run_multiscale_extraction(
         if item is None:
             continue
         dbidx, ts = item
-        vecs = _encode_tiles_batched(embedding, ts.tiles, batch_size, mesh=mesh)
-        all_vecs.append(vecs)
-        all_dbidx.append(np.full(vecs.shape[0], dbidx, dtype=np.int32))
-        all_zoom.append(ts.zoom_level)
-        all_boxes.append(ts.boxes)
+        n_tiles = ts.tiles.shape[0]
+        buf_tiles.append(ts.tiles)
+        buf_meta.append(
+            (np.full(n_tiles, dbidx, dtype=np.int32), ts.zoom_level, ts.boxes)
+        )
+        n_buf += n_tiles
+        flush()
+    flush(final=True)
 
     vectors = np.concatenate(all_vecs)
     dbidx = np.concatenate(all_dbidx)
