@@ -35,11 +35,38 @@ from .common import (
 from .session_manager import SessionManager
 
 
+def get_image_reference_data(dataset, *, annotation_category, idxbatch):
+    """Imdata rows prefilled with a category's ground-truth boxes — the
+    re-annotation seed (reference `seesaw_app.py:175-198`)."""
+    from ..labeldb import LabelDB
+
+    bd = dataset.load_ground_truth_boxes(annotation_category)
+
+    if idxbatch is None or len(idxbatch) == 0:
+        idxbatch = np.unique(bd.dbidx).tolist()
+
+    label_db = LabelDB()
+    label_db.fill(bd)
+    urls = dataset.get_urls(idxbatch)
+    from ..basic_types import Imdata
+
+    return [
+        Imdata(url=url, dbidx=int(dbidx),
+               boxes=label_db.get(int(dbidx), format="box"),
+               activations=None, timing=[])
+        for url, dbidx in zip(urls, idxbatch)
+    ]
+
+
+import numpy as np  # noqa: E402
+
+
 class SeesawServer:
     def __init__(self, root_dir: str, save_path: str,
                  config_path: Optional[str] = None,
                  serve_files_root: Optional[str] = None):
         self.manager = SessionManager(root_dir, save_path)
+        self.root_dir = root_dir
         self.config_path = config_path
         self.serve_files_root = serve_files_root or "/"
 
@@ -96,11 +123,95 @@ class SeesawServer:
             h = self.manager.get_session(session_id)
             return 200, h.call("getstate").model_dump(), new_cookie
 
+        if path == "/annotate":
+            # re-annotation entry (reference seesaw_app.py:204-243): a dummy
+            # frontend-compatible session prefilled with a category's ground
+            # truth, to be edited and saved via /session_end
+            dataset = query["dataset"]
+            category = query["category"]
+            pathfile = query["pathfile"].rstrip("/")
+            save_file = Path(pathfile) / "summary.json"
+            if save_file.exists():
+                return 400, {"detail": f"{save_file} already exists"}, None
+
+            from ..dataset import GlobalDataManager
+
+            gdm = GlobalDataManager(self.root_dir)
+            ds = gdm.get_dataset(dataset)
+
+            idxs = []
+            yamlfile = Path(pathfile) / "paths.yaml"
+            if yamlfile.exists():
+                import yaml
+
+                paths = yaml.safe_load(yamlfile.read_text())
+                path2dbidx = {p: i for i, p in enumerate(ds.paths)}
+                for p in paths:
+                    if p not in path2dbidx:
+                        return 400, {"detail": f"unknown path {p}"}, None
+                    idxs.append(path2dbidx[p])
+
+            from ..basic_types import IndexSpec, SessionParams, SessionState
+
+            params = SessionParams(
+                annotation_category=category,
+                interactive="plain",  # dummy, not used in annotation mode
+                batch_size=max(len(idxs), 1),
+                index_spec=IndexSpec(d_name=dataset, i_name="multiscale"),
+            )
+            gdata = get_image_reference_data(
+                ds, annotation_category=category, idxbatch=idxs
+            )
+            session = SessionState(
+                params=params, gdata=[gdata], timing=[], reference_categories=[]
+            )
+            state = AppState(
+                indices=None, worker_state=None, session=session,
+                default_params=session.params, save_path=pathfile,
+            )
+            return 200, state.model_dump(), None
+
         if path == "/session_info":
-            req = SessionInfoReq(**body)
+            req = SessionInfoReq(**(body or {})) if body else SessionInfoReq(path=query["path"])
             summary_path = Path(req.path) / "summary.json"
-            state = json.loads(summary_path.read_text())
-            return 200, state, None
+            all_info = json.loads(summary_path.read_text())
+            if "bench_params" in all_info:  # saved benchmark result
+                session = all_info["result"]["session"]
+            elif "session" in all_info:  # saved web session / AppState
+                session = all_info["session"]
+            else:
+                session = all_info
+
+            annotation_category = query.get("annotation_category")
+            save_path = req.path.rstrip("/")
+            if annotation_category is not None:
+                # reconstruct-from-saved-JSON re-annotation: refill gdata
+                # with the category's current ground truth for the same
+                # dbidxs (reference seesaw_app.py:246-288)
+                import random
+                import string
+
+                rid = "".join(random.choice(string.ascii_lowercase) for _ in range(10))
+                save_path = f"{save_path}_annot_{rid}"
+                session["params"]["annotation_category"] = annotation_category
+                from ..dataset import GlobalDataManager
+
+                gdm = GlobalDataManager(self.root_dir)
+                ds = gdm.get_dataset(session["params"]["index_spec"]["d_name"])
+                idxs = [
+                    int(elt["dbidx"]) for r in session["gdata"] for elt in r
+                ]
+                new_gdata = get_image_reference_data(
+                    ds, annotation_category=annotation_category, idxbatch=idxs
+                )
+                session["gdata"] = [[g.model_dump() for g in new_gdata]]
+
+            state = AppState(
+                indices=None, worker_state=None,
+                session=session, default_params=session["params"],
+                save_path=save_path,
+            )
+            return 200, state.model_dump(), None
 
         if path == "/task_description":
             code = query["code"]
@@ -114,6 +225,18 @@ class SeesawServer:
                 h = self.manager.get_session(session_id)
                 h.call("save")
                 self.manager.end_session(session_id)
+                return 200, {"token": session_id}, None
+            if body:
+                # annotation flow: no live session — the edited AppState is
+                # posted back and persisted at its save_path (reference
+                # seesaw_app.py:326-337)
+                state = SessionReq(**body).client_data
+                if state.save_path:
+                    out = Path(state.save_path)
+                    out.mkdir(parents=True, exist_ok=True)
+                    (out / "summary.json").write_text(
+                        json.dumps(state.model_dump())
+                    )
             return 200, {"token": None}, None
 
         # -- session-scoped forwards --------------------------------------
