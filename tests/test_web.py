@@ -108,3 +108,38 @@ def test_getstate_requires_cookie(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         c.post("/getstate")
     assert ei.value.code == 404
+
+
+def test_box_feedback_drives_multi_reg(server):
+    """Per-box feedback (the box annotator's payload: partial-image boxes
+    with descriptions) must flow through /next into MultiReg."""
+    import copy
+
+    base, _ = server
+    c = Client(base)
+    c.post("/user_session?mode=multi_reg&dataset=synth&index=multiscale")
+    state = c.post(f"/text?key={urllib.parse.quote(QSTR)}")
+    sess = state["session"]
+    batch = sess["gdata"][0]
+
+    # draw a box on the first image (partial coords + description), reject rest
+    batch[0]["boxes"] = [
+        dict(x1=10.0, y1=12.0, x2=90.0, y2=80.0,
+             description="a drawn feedback box", marked_accepted=True)
+    ]
+    for im in batch[1:]:
+        im["boxes"] = []
+
+    before = copy.deepcopy(sess["gdata"])
+    state2 = c.post("/next", {"client_data": {"session": sess}})
+    sess2 = state2["session"]
+    assert len(sess2["gdata"]) == 2
+    # the box round-tripped exactly (coords + description preserved)
+    b = sess2["gdata"][0][0]["boxes"][0]
+    assert b["x1"] == 10.0 and b["y2"] == 80.0
+    assert b["description"] == "a drawn feedback box"
+    # refine consumed it: new results, no repeats
+    seen = [im["dbidx"] for bt in sess2["gdata"] for im in bt]
+    assert len(seen) == len(set(seen))
+    assert len(sess2["gdata"][1]) > 0
+    del before
