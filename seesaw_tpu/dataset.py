@@ -188,6 +188,9 @@ class SeesawDataset:
     def load_subset(self, subset_name: str) -> "SeesawDatasetSubset":
         return SeesawDatasetSubset(self, f"{self.path}/subsets/{subset_name}")
 
+    def leave_one_out(self, excluded_dbidx: int) -> "LeaveOneOutSubset":
+        return LeaveOneOutSubset(self, excluded_dbidx)
+
 
 class SeesawDatasetSubset:
     """A dbidx-preserving view over a parent dataset (reference
@@ -240,6 +243,52 @@ class SeesawDatasetSubset:
             description=[d for d, k in zip(table.description, mask) if k],
             marked_accepted=table.marked_accepted[mask],
         )
+
+    def load_subset(self, subset_name: str):
+        raise NotImplementedError("nested subsets not supported")
+
+
+class LeaveOneOutSubset:
+    """All of the parent dataset except one image (reference
+    `dataset.py:438-469`): used by analysis flows that score a query image
+    against a database that must not contain it."""
+
+    def __init__(self, parent: SeesawDataset, excluded_dbidx: int):
+        self.parent = parent
+        self.excluded_dbidx = int(excluded_dbidx)
+        self.image_root = parent.image_root
+        keep = parent.dbidxs != self.excluded_dbidx
+        self.file_meta = parent.file_meta[keep]
+        self.paths = parent.paths[keep]
+        self.dbidxs = parent.dbidxs[keep]
+        self.dataset_name = f"{parent.dataset_name}/loo_{self.excluded_dbidx}"
+
+    def size(self) -> int:
+        return len(self.dbidxs)
+
+    def list_indices(self):
+        return self.parent.list_indices()
+
+    def get_urls(self, idxbatch):
+        return self.parent.get_urls(idxbatch)
+
+    def file_path(self, dbidx: int) -> str:
+        return self.parent.file_path(dbidx)
+
+    def load_index(self, index_name: str, *, options: Optional[dict] = None) -> AccessMethod:
+        full = self.parent.load_index(index_name, options=options)
+        return full.subset(BitMap(self.dbidxs))
+
+    def load_ground_truth(self):
+        table, qgt = self.parent.load_ground_truth()
+        keep = table.dbidx != self.excluded_dbidx
+        sub_table = BoxTable(
+            dbidx=table.dbidx[keep],
+            boxes=table.boxes[keep],
+            description=[d for d, k in zip(table.description, keep) if k],
+            marked_accepted=table.marked_accepted[keep],
+        )
+        return sub_table, qgt.loc[self.dbidxs]
 
     def load_subset(self, subset_name: str):
         raise NotImplementedError("nested subsets not supported")

@@ -61,3 +61,9 @@ class HashEmbedding(XEmbedding):
 
     def from_raw(self, data) -> np.ndarray:
         return _hash_vec(repr(data), self._d)
+
+    def encode_image_batch(self, pixels) -> np.ndarray:
+        """Batch analogue of from_image (host-side; test/dev model)."""
+        return np.stack(
+            [self.from_image(preprocessed_image=np.asarray(p)) for p in pixels]
+        )
