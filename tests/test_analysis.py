@@ -69,3 +69,138 @@ def test_action_log_timing(bench_results):
     # time to find 1 should exist for the plain run (it finds positives)
     if state.params.interactive == "plain":
         assert analysis.time_to_find_k(state, 1) is not None
+
+
+# -- figures-layer tables (reference figures.py:201-345) ---------------------
+def _stats_frame():
+    rng = np.random.default_rng(0)
+    rows = []
+    for ds in ("bdd", "coco"):
+        for cat in "abcdefgh":
+            base = float(rng.uniform(0.02, 0.9))
+            for variant, boost in (("baseline", 1.0), ("seesaw", 1.3)):
+                rows.append(dict(dataset=ds, category=cat, variant=variant,
+                                 average_precision=min(base * boost, 1.0)))
+    return pd.DataFrame(rows)
+
+
+def test_side_by_side_comparison_and_bsw():
+    from seesaw_tpu.analysis import bsw_table, side_by_side_comparison
+
+    stats = _stats_frame()
+    sbs = side_by_side_comparison(
+        stats, baseline_variant="baseline", metric="average_precision"
+    )
+    assert {"base", "ratio", "delta"} <= set(sbs.columns)
+    base_rows = sbs[sbs.variant == "baseline"]
+    assert np.allclose(base_rows.ratio, 1.0)
+
+    bsw = bsw_table(sbs, variant="seesaw", metric="average_precision", reltol=1.05)
+    assert set(bsw.columns) == {"better", "same", "worse", "total"}
+    # seesaw is uniformly 1.3x baseline (capped at 1.0) -> mostly better
+    assert bsw.loc["total", "better"] >= bsw.loc["total", "worse"]
+
+
+def test_summary_breakdown_and_tables(tmp_path):
+    from seesaw_tpu.analysis import (
+        ablation_table,
+        comparison_table,
+        rel_plot,
+        side_by_side_comparison,
+        summary_breakdown,
+    )
+
+    stats = _stats_frame()
+    mid = stats[stats.variant == "baseline"].assign(
+        variant="multiscale",
+        average_precision=lambda d: np.minimum(d.average_precision * 1.15, 1.0),
+    )
+    stats = pd.concat([stats, mid], ignore_index=True)
+    sbs = side_by_side_comparison(
+        stats, baseline_variant="baseline", metric="average_precision"
+    )
+    tot = summary_breakdown(sbs, "average_precision")
+    assert "counts" in tot.index
+    assert set(tot.columns) <= {".1", ".3", "1."}
+
+    comp = comparison_table(tot, variant="seesaw", baseline_variant="baseline")
+    assert list(comp.index) == ["counts", "baseline", "this work", "ratio"]
+    assert (comp.loc["ratio"].dropna() >= 1.0).all()
+
+    abl = ablation_table(tot, ["baseline", "multiscale", "seesaw"])
+    assert "+ feedback fusion" in abl.index
+    assert any(c.endswith("delta") for c in abl.columns)
+
+    out = rel_plot(sbs, variant="seesaw", metric="average_precision",
+                   out_path=str(tmp_path / "rel.png"))
+    assert (tmp_path / "rel.png").exists()
+
+
+# -- user-study session-log analysis (reference user_data_analysis.py) -------
+def _fake_session(session_id, qkey, mode, accepts, duration, t0=1000.0,
+                  path="/tmp/s1/"):
+    log = [
+        dict(logger="client", message="init", time=t0, seen=0, accepted=0),
+        dict(logger="client", message="task.started", time=t0 + 1, seen=0, accepted=0),
+    ]
+    t = t0 + 1
+    for i, dt in enumerate(accepts):
+        t += dt
+        log.append(dict(logger="client", message="selection.start", time=t - 0.5,
+                        seen=i, accepted=i, other_fields={"i": 0, "j": i}))
+        log.append(dict(logger="client", message="selection.end", time=t - 0.1,
+                        seen=i + 1, accepted=i, other_fields={"i": 0, "j": i}))
+        log.append(dict(logger="client", message="accept", time=t, seen=i + 1,
+                        accepted=i + 1))
+    log.append(dict(logger="client", message="task.end", time=t0 + 1 + duration,
+                    seen=len(accepts), accepted=len(accepts)))
+    return {
+        "session_path": path,
+        "session": {
+            "params": {
+                "other_params": {"session_id": session_id, "qkey": qkey, "mode": mode}
+            },
+            "action_log": log,
+            "gdata": [],
+        },
+    }
+
+
+def test_user_analysis_tables():
+    from seesaw_tpu.user_analysis import (
+        bootstrap_stat,
+        compute_session_tables,
+        find_k_intervals,
+        get_session_summaries,
+        process_action_log,
+    )
+
+    sessions = [
+        _fake_session("s1", "pc", "plain", [5, 10, 20], 60, path="/tmp/a/"),
+        _fake_session("s2", "pc", "seesaw", [2, 3, 4], 30, path="/tmp/b/"),
+        # timed-out session: only 1 accept, censored at 6 min
+        _fake_session("s3", "pc", "plain", [100], 60 * 6 + 5, path="/tmp/c/"),
+    ]
+    df = get_session_summaries(sessions)
+    assert len(df) == 3 and set(df.session_id) == {"s1", "s2", "s3"}
+
+    log_res = process_action_log(sessions[0]["session"]["action_log"])
+    # timeline starts at accepted=0 (reference convention) then 1, 2, 3
+    assert [e["accepted"] for e in log_res["accepted_timeline"]] == [0, 1, 2, 3]
+    assert len(log_res["per_image_times"]) == 3
+
+    tables = compute_session_tables(sessions)
+    assert len(tables["adf"]) == 3
+    acc = tables["accept_df"]
+    # censored session got padded up to accepted=10 at 360s
+    censored = acc[(acc.session_id == "s3") & (acc.accepted == 10)]
+    assert len(censored) == 1 and censored.elapsed_time.iloc[0] == 360
+
+    iv = find_k_intervals(acc, k=2)
+    assert {"qkey", "mode", "lower", "med", "high"} <= set(iv.columns)
+    plain = iv[iv["mode"] == "plain"]
+    seesaw = iv[iv["mode"] == "seesaw"]
+    assert seesaw.med.iloc[0] < plain.med.iloc[0]  # seesaw finds 2 faster
+
+    bs = bootstrap_stat(pd.Series([1.0, 2.0, 3.0, 4.0]), n_resamples=500)
+    assert bs.lower.iloc[0] <= bs.med.iloc[0] <= bs.high.iloc[0]
