@@ -2,12 +2,22 @@
 
 Primary metric: p50 per-feedback re-rank latency over a 10M-vector
 multiscale database (BASELINE.md target: < 50 ms on-device). The re-rank is
-the full fused query program — bf16 matvec over the HBM-resident matrix,
+the full fused query program — matvec over the HBM-resident matrix,
 distinct-frame shortlist under exclusion, frame augmentation, final top-k.
-Also measures CLIP ViT-B/32 embed throughput (images/sec/chip).
+
+Wall-clock latencies here include the axon tunnel RTT, so the bench also
+isolates DEVICE time by chaining K queries inside one jitted lax.scan (one
+dispatch, K full queries with an evolving exclusion set): per-query device
+time = total/K. The measured RTT of an empty dispatch is reported alongside.
+
+Also measured: CLIP ViT-B/32 embed throughput (images/sec/chip), END-TO-END
+ingest throughput (JPEG decode -> multiscale tiling -> encode; BASELINE.md
+target #1: 1M images < 10 min on v5e-8), and the int8 shortlist recall study
+at 1M rows (per-row scales vs exact f32).
 
 Env overrides: SEESAW_BENCH_VECTORS (default 10_000_000),
-SEESAW_BENCH_SKIP_CLIP=1 to skip the embed benchmark.
+SEESAW_BENCH_SKIP_CLIP=1 / SEESAW_BENCH_SKIP_INGEST=1 /
+SEESAW_BENCH_SKIP_RECALL=1, SEESAW_BENCH_NO_PALLAS=1.
 """
 from __future__ import annotations
 
@@ -17,8 +27,10 @@ import time
 
 import numpy as np
 
+SHORTLIST, TOPK, TILES = 50, 10, 8
 
-def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
+
+def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = TILES,
              dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
@@ -28,6 +40,7 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
     n_vectors = n_frames * tiles_per_frame
 
     key = jax.random.PRNGKey(0)
+    row_scale = None
     if dtype == "int8":
         # chunked generation: full-size random bits would transiently need
         # several x the final 5GB
@@ -43,6 +56,10 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
         chunks = [gen_chunk(k) for k in keys]
         V = jnp.concatenate(chunks)
         del chunks
+        # per-row dequantization scales, as the real index stores them
+        row_scale = jax.random.uniform(
+            key, (n_vectors,), minval=0.5, maxval=1.0
+        ) * (1.0 / 127.0)
     else:
         V = jax.random.normal(key, (n_vectors, d), dtype=jnp.bfloat16)
     valid = jnp.ones((n_frames, tiles_per_frame), dtype=bool)
@@ -65,43 +82,66 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = 8,
     zoom_pat = np.array([1, 1, 1, 1, 2, 2, 2, 3], dtype=np.int32)
     boxes = jnp.tile(jnp.asarray(quads), (n_frames, 1))
     zoom = jnp.tile(jnp.asarray(zoom_pat), (n_frames,))
-    return V, valid, boxes, zoom, n_frames
+    return V, valid, boxes, zoom, row_scale, n_frames
 
 
-def bench_rerank(n_vectors: int, dtype: str = "bfloat16"):
-    import jax
-    import jax.numpy as jnp
-
+def _query_fn(V, valid, boxes, zoom, row_scale, use_pallas):
     from seesaw_tpu.ops import frame_scoring
 
-    d = 512
-    V, valid, boxes, zoom, n_frames = build_db(n_vectors, d, dtype=dtype)
-    excluded = jnp.zeros(n_frames, dtype=bool)
+    if use_pallas:
+        from seesaw_tpu.ops.pallas_scoring import query_program_fused
 
-    from seesaw_tpu.ops.pallas_scoring import query_program_fused
-
-    use_pallas = os.environ.get("SEESAW_BENCH_NO_PALLAS") is None
-
-    def run(qvec, excluded):
-        if use_pallas:
+        def run(qvec, excluded):
             return query_program_fused(
-                V, valid, boxes, zoom, qvec, excluded,
-                shortlist_size=50, topk=10, tile_bound=8, block_frames=1024,
+                V, valid, boxes, zoom, qvec, excluded, row_scale,
+                shortlist_size=SHORTLIST, topk=TOPK, tile_bound=TILES,
+                block_frames=1024, aug_larger="all", aug_weight="level_max",
+                agg_method="avg_score", max_zoom=3,
+            )
+    else:
+        def run(qvec, excluded):
+            return frame_scoring.query_program(
+                V, valid, boxes, zoom, qvec, None, excluded, row_scale,
+                shortlist_size=SHORTLIST, topk=TOPK,
                 aug_larger="all", aug_weight="level_max",
                 agg_method="avg_score", max_zoom=3,
             )
-        return frame_scoring.query_program(
-            V, valid, boxes, zoom, qvec, None, excluded,
-            shortlist_size=50, topk=10,
-            aug_larger="all", aug_weight="level_max", agg_method="avg_score",
-            max_zoom=3,
-        )
+    return run
+
+
+def measure_rtt() -> float:
+    """p50 round-trip of a trivial dispatch (tunnel + dispatch overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(8)
+    jax.block_until_ready(f(x))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        lat.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(lat, 50))
+
+
+def bench_rerank(n_vectors: int, dtype: str = "bfloat16",
+                 use_pallas: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    d = 512
+    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors, d, dtype=dtype)
+    excluded = jnp.zeros(n_frames, dtype=bool)
+    run = _query_fn(V, valid, boxes, zoom, row_scale, use_pallas)
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=d).astype(np.float32))
     res = run(q, excluded)  # compile
     jax.block_until_ready(res)
+    print(f"[bench]   single-query compiled ({dtype})", flush=True)
 
+    # -- wall-clock per query (includes tunnel RTT) -------------------------
     lat = []
     for i in range(30):
         q = jnp.asarray(rng.normal(size=d).astype(np.float32))
@@ -111,12 +151,45 @@ def bench_rerank(n_vectors: int, dtype: str = "bfloat16"):
         lat.append((time.perf_counter() - t0) * 1000)
         # evolving exclusion set, like a real session
         excluded = excluded.at[int(res.frame_ids[0])].set(True)
-    # free the database before the caller builds the next variant
+
+    # -- device time: K chained queries inside ONE dispatch -----------------
+    # the database rides as jit ARGUMENTS (already device-resident), not as
+    # captured constants — capture would bake 10GB into the executable
+    K = 32
+
+    @jax.jit
+    def chain(V_a, valid_a, boxes_a, zoom_a, rs_a, qs, excluded0):
+        inner = _query_fn(V_a, valid_a, boxes_a, zoom_a, rs_a, use_pallas)
+
+        def body(excl, qv):
+            r = inner(qv, excl)
+            excl = excl.at[jnp.maximum(r.frame_ids[0], 0)].set(True)
+            return excl, (r.frame_ids, r.frame_scores)
+        _, out = jax.lax.scan(body, excluded0, qs)
+        return out
+
+    qs = jnp.asarray(rng.normal(size=(K, d)).astype(np.float32))
+    excl0 = jnp.zeros(n_frames, dtype=bool)
+    args = (V, valid, boxes, zoom, row_scale, qs, excl0)
+    print(f"[bench]   wall p50={float(np.percentile(lat,50)):.1f}ms; compiling chain", flush=True)
+    jax.block_until_ready(chain(*args))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(*args))
+        times.append((time.perf_counter() - t0) * 1000 / K)
+    device_ms = float(min(times))
+
     del V, valid, boxes, zoom, excluded, res
     import gc
 
     gc.collect()
-    return float(np.percentile(lat, 50)), float(np.percentile(lat, 90)), n_frames * 8
+    return {
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p90_ms": float(np.percentile(lat, 90)),
+        "device_ms": device_ms,
+        "n_vectors": n_frames * TILES,
+    }
 
 
 def bench_clip_embed():
@@ -141,26 +214,145 @@ def bench_clip_embed():
     return B * iters / dt
 
 
+def bench_ingest(n_images: int = 200) -> dict:
+    """End-to-end ingest: JPEG decode -> multiscale tiling -> CLIP encode
+    (BASELINE.md target #1). Synthetic 640x480 JPEGs; real ViT-B/32 bf16."""
+    import tempfile
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+    import PIL.Image
+
+    from seesaw_tpu.ingest.pipeline import run_multiscale_extraction
+    from seesaw_tpu.models.clip import ClipEmbedding
+
+    tmp = tempfile.mkdtemp(prefix="ingest_bench_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_images):
+        arr = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
+        p = f"{tmp}/img_{i:05d}.jpg"
+        PIL.Image.fromarray(arr).save(p, quality=85)
+        paths.append(p)
+
+    ds = SimpleNamespace(
+        dbidxs=np.arange(n_images), file_path=lambda i: paths[int(i)]
+    )
+    emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
+
+    # warmup (compile both batch shapes) on a small prefix
+    warm = SimpleNamespace(dbidxs=np.arange(8), file_path=ds.file_path)
+    run_multiscale_extraction(warm, emb, batch_size=256)
+
+    t0 = time.perf_counter()
+    vectors, dbidx, zoom, boxes = run_multiscale_extraction(
+        ds, emb, batch_size=256
+    )
+    dt = time.perf_counter() - t0
+    img_per_s = n_images / dt
+    est_min_1m_v5e8 = 1e6 / (img_per_s * 8) / 60.0  # ingest shards by batch axis
+    return {
+        "ingest_img_per_s_chip": round(img_per_s, 2),
+        "ingest_tiles_per_s_chip": round(vectors.shape[0] / dt, 1),
+        "ingest_tiles_per_image": round(vectors.shape[0] / n_images, 2),
+        "ingest_1M_images_v5e8_min": round(est_min_1m_v5e8, 2),
+    }
+
+
+def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> float:
+    """On-chip shortlist-recall study: fraction of the exact f32 top-10
+    contained in the per-row int8 top-50 shortlist, CLIP-like vectors."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, 64, size=n_vectors)
+    V = 0.6 * centers[which] + 0.3 * rng.normal(size=(n_vectors, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V.astype(np.float32)
+
+    row_max = np.abs(V).max(axis=1)
+    scales = (row_max / 127.0).astype(np.float32)
+    V8 = np.clip(np.round(V / scales[:, None]), -127, 127).astype(np.int8)
+
+    from seesaw_tpu.ops.frame_scoring import scoring_matvec
+
+    Vd = jnp.asarray(V)
+    V8d = jnp.asarray(V8)
+    sd = jnp.asarray(scales)
+
+    @jax.jit
+    def tops(Vx, V8x, sx, q):  # arrays as args: closing over them would
+        exact = jax.lax.top_k(scoring_matvec(Vx, q), TOPK)[1]  # bake 2.5GB
+        quant = jax.lax.top_k(scoring_matvec(V8x, q, sx), SHORTLIST)[1]
+        return exact, quant
+
+    hits = 0
+    trials = 20
+    for t in range(trials):
+        q = 0.6 * centers[t] + 0.3 * rng.normal(size=d)
+        exact, quant = tops(Vd, V8d, sd,
+                            jnp.asarray(q / np.linalg.norm(q), dtype=jnp.float32))
+        hits += len(set(np.asarray(exact).tolist()) & set(np.asarray(quant).tolist()))
+    return hits / (trials * TOPK)
+
+
+def _progress(msg):
+    import sys
+
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     n_vectors = int(os.environ.get("SEESAW_BENCH_VECTORS", 10_000_000))
-    p50, p90, n_actual = bench_rerank(n_vectors, dtype="bfloat16")
-    extras = {"p90_rerank_ms": round(p90, 3), "n_vectors": n_actual,
-              "topk_qps": round(1000.0 / p50, 1)}
+    use_pallas = os.environ.get("SEESAW_BENCH_NO_PALLAS") is None
+    extras = {"tunnel_rtt_ms": round(measure_rtt(), 2)}
+
+    _progress(f"rerank bf16 n={n_vectors} pallas={use_pallas}")
+    bf16 = bench_rerank(n_vectors, dtype="bfloat16", use_pallas=use_pallas)
+    extras.update(
+        p90_rerank_ms=round(bf16["p90_ms"], 3),
+        p50_device_ms_bf16=round(bf16["device_ms"], 3),
+        n_vectors=bf16["n_vectors"],
+    )
+    p50, device_ms = bf16["p50_ms"], bf16["device_ms"]
+
     try:
-        p50_i8, p90_i8, _ = bench_rerank(n_vectors, dtype="int8")
-        extras["p50_rerank_ms_int8"] = round(p50_i8, 3)
-        extras["p90_rerank_ms_int8"] = round(p90_i8, 3)
-        if p50_i8 < p50:
+        _progress("rerank int8")
+        i8 = bench_rerank(n_vectors, dtype="int8", use_pallas=use_pallas)
+        extras["p50_rerank_ms_int8"] = round(i8["p50_ms"], 3)
+        extras["p50_device_ms_int8"] = round(i8["device_ms"], 3)
+        if i8["device_ms"] < device_ms:
             extras["p50_rerank_ms_bf16"] = round(p50, 3)
-            p50 = p50_i8
-            extras["topk_qps"] = round(1000.0 / p50, 1)
+            p50, device_ms = i8["p50_ms"], i8["device_ms"]
     except Exception as e:
         extras["int8_error"] = repr(e)
+
+    extras["p50_device_ms"] = round(device_ms, 3)
+    extras["topk_qps_device"] = round(1000.0 / device_ms, 1)
+
     if not os.environ.get("SEESAW_BENCH_SKIP_CLIP"):
         try:
+            _progress("clip embed")
             extras["clip_embed_img_per_s_chip"] = round(bench_clip_embed(), 1)
         except Exception as e:  # keep the headline metric even if CLIP fails
             extras["clip_embed_error"] = repr(e)
+
+    if not os.environ.get("SEESAW_BENCH_SKIP_INGEST"):
+        try:
+            _progress("ingest")
+            extras.update(bench_ingest())
+        except Exception as e:
+            extras["ingest_error"] = repr(e)
+
+    if not os.environ.get("SEESAW_BENCH_SKIP_RECALL"):
+        try:
+            _progress("int8 recall study")
+            extras["int8_shortlist_recall_1M"] = round(bench_int8_recall(), 4)
+        except Exception as e:
+            extras["int8_recall_error"] = repr(e)
 
     print(
         json.dumps(
