@@ -24,6 +24,24 @@ from .tiling import generate_multiscale_tiling
 
 _SENTINEL = object()
 
+_u8_to_clip = None  # jitted lazily (jax import cost)
+
+
+def _get_u8_to_clip():
+    """uint8 tiles -> CLIP-normalized f32 on device: tiles cross host->device
+    as uint8 (4x less transfer); /255 + normalization fuse into one op."""
+    global _u8_to_clip
+    if _u8_to_clip is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.preprocess import normalize_pixels
+
+        _u8_to_clip = jax.jit(
+            lambda u8: normalize_pixels(u8.astype(jnp.float32) / 255.0)
+        )
+    return _u8_to_clip
+
 
 def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int,
                           mesh=None) -> np.ndarray:
@@ -34,8 +52,6 @@ def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int,
     v5e-8 embed-1M-images path)."""
     import jax
     import jax.numpy as jnp
-
-    from ..models.preprocess import normalize_pixels
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -48,16 +64,25 @@ def _encode_tiles_batched(embedding, tiles_u8: np.ndarray, batch_size: int,
 
     n = tiles_u8.shape[0]
     out = np.empty((n, embedding.dim), dtype=np.float32)
+    # 2-deep software pipeline: dispatch is async, so batch i+1's host->device
+    # transfer overlaps batch i's ViT compute; materialize one batch behind
+    pending = None  # (device_vecs, lo, hi)
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
-        batch = np.zeros((batch_size,) + tiles_u8.shape[1:], dtype=np.float32)
-        batch[: hi - lo] = tiles_u8[lo:hi].astype(np.float32) / 255.0
+        batch = np.zeros((batch_size,) + tiles_u8.shape[1:], dtype=np.uint8)
+        batch[: hi - lo] = tiles_u8[lo:hi]
         px = jnp.asarray(batch)
         if sharding is not None:
             px = jax.device_put(px, sharding)
-        px = normalize_pixels(px)
-        vecs = np.asarray(embedding.encode_image_batch(px))
-        out[lo:hi] = vecs[: hi - lo]
+        px = _get_u8_to_clip()(px)
+        vecs_d = embedding.encode_image_batch(px)
+        if pending is not None:
+            pvecs, plo, phi = pending
+            out[plo:phi] = np.asarray(pvecs)[: phi - plo]
+        pending = (vecs_d, lo, hi)
+    if pending is not None:
+        pvecs, plo, phi = pending
+        out[plo:phi] = np.asarray(pvecs)[: phi - plo]
     norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-6)
     return out / norms
 
