@@ -204,3 +204,20 @@ def test_user_analysis_tables():
 
     bs = bootstrap_stat(pd.Series([1.0, 2.0, 3.0, 4.0]), n_resamples=500)
     assert bs.lower.iloc[0] <= bs.med.iloc[0] <= bs.high.iloc[0]
+
+
+def test_bench_to_figures_workflow(bench_results):
+    """Full eval workflow: bench summaries -> metrics -> comparison tables
+    (the reference's seesaw_bench -> figures.py path)."""
+    stats = analysis.add_metrics(bench_results)  # has variant/dataset/category
+    sbs = analysis.side_by_side_comparison(
+        stats, baseline_variant="random", metric="average_precision"
+    )
+    assert len(sbs) == 2
+    plain = sbs[sbs.variant == "plain"]
+    assert float(plain.ratio.iloc[0]) >= 1.0  # plain CLIP beats random order
+
+    bsw = analysis.bsw_table(
+        sbs, variant="plain", metric="average_precision", reltol=1.01
+    )
+    assert bsw.loc["total", "total"] == 1  # one (dataset, category) pair
