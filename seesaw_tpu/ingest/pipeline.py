@@ -98,8 +98,21 @@ def run_multiscale_extraction(
     n_decode_threads: int = 8,
     limit: Optional[int] = None,
     mesh=None,
+    tiling: str = "host",
 ):
-    """Returns (vectors (N,D), dbidx, zoom_level, boxes) sorted by dbidx."""
+    """Returns (vectors (N,D), dbidx, zoom_level, boxes) sorted by dbidx.
+
+    tiling='device' moves the pyramid+grid extraction into a jitted XLA
+    program (ingest/device_tiling.py): the host only decodes JPEGs, the raw
+    image is the only host->device transfer, and tiles stay device-resident
+    through the ViT. Host tiling remains the default for hosts without a
+    device attached."""
+    if tiling == "device":
+        return _run_device_tiling_extraction(
+            ds, embedding, tile_size=tile_size, factor=factor,
+            min_tile_size=min_tile_size, batch_size=batch_size,
+            n_decode_threads=n_decode_threads, limit=limit,
+        )
     dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
 
     work_q: "queue.Queue" = queue.Queue(maxsize=n_decode_threads * 2)
@@ -169,6 +182,109 @@ def run_multiscale_extraction(
     flush(final=True)
 
     vectors = np.concatenate(all_vecs)
+    dbidx = np.concatenate(all_dbidx)
+    zoom = np.concatenate(all_zoom)
+    boxes = np.concatenate(all_boxes)
+    order = np.argsort(dbidx, kind="stable")
+    return vectors[order], dbidx[order], zoom[order], boxes[order]
+
+
+def _run_device_tiling_extraction(
+    ds, embedding, *, tile_size, factor, min_tile_size, batch_size,
+    n_decode_threads, limit,
+):
+    """Decode on host threads; tile + normalize + encode on device. Tiles
+    never return to the host — device buffers concatenate into exact
+    fixed-size ViT batches."""
+    import jax.numpy as jnp
+
+    from .device_tiling import build_tiler, make_plan
+
+    dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
+    work_q: "queue.Queue" = queue.Queue(maxsize=n_decode_threads * 2)
+
+    def decode_one(dbidx):
+        try:
+            im = PIL.Image.open(ds.file_path(int(dbidx)))
+            if im.mode != "RGB":
+                im = im.convert("RGB")
+            return (int(dbidx), np.asarray(im))
+        except PIL.UnidentifiedImageError:
+            print(f"warning: cannot decode image for dbidx={dbidx}; skipping")
+            return None
+
+    def producer():
+        with ThreadPoolExecutor(n_decode_threads) as pool:
+            for res in pool.map(decode_one, dbidxs):
+                work_q.put(res)
+        work_q.put(_SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    all_vecs, all_dbidx, all_zoom, all_boxes = [], [], [], []
+    buf_tiles = []  # device arrays, CLIP-normalized
+    buf_meta = []  # aligned (dbidx, zoom, boxes) numpy
+    n_buf = 0
+    pending = None  # (device_vecs, n_valid) one batch behind
+
+    def materialize():
+        nonlocal pending
+        if pending is not None:
+            pvecs, n_valid = pending
+            all_vecs.append(np.asarray(pvecs)[:n_valid])
+            pending = None
+
+    def flush(final=False):
+        nonlocal buf_tiles, buf_meta, n_buf, pending
+        while n_buf >= batch_size or (final and n_buf > 0):
+            cat = buf_tiles[0] if len(buf_tiles) == 1 else jnp.concatenate(buf_tiles)
+            take = min(batch_size, n_buf)
+            block = cat[:take]
+            if take < batch_size:  # final partial batch: pad to shape bucket
+                block = jnp.pad(block, ((0, batch_size - take), (0, 0), (0, 0), (0, 0)))
+            vecs_d = embedding.encode_image_batch(block)
+            dbidx_a, zoom_a, boxes_a = (
+                np.concatenate([m[i] for m in buf_meta]) for i in range(3)
+            )
+            materialize()
+            pending = (vecs_d, take)
+            all_dbidx.append(dbidx_a[:take])
+            all_zoom.append(zoom_a[:take])
+            all_boxes.append(boxes_a[:take])
+            buf_tiles = [cat[take:]] if take < n_buf else []
+            buf_meta = (
+                [(dbidx_a[take:], zoom_a[take:], boxes_a[take:])]
+                if take < dbidx_a.shape[0] else []
+            )
+            n_buf -= take
+
+    tilers = {}
+    while True:
+        item = work_q.get()
+        if item is _SENTINEL:
+            break
+        if item is None:
+            continue
+        dbidx, img = item
+        h, w = img.shape[:2]
+        plan = make_plan(h, w, tile_size, factor, min_tile_size)
+        tiler = tilers.get((h, w))
+        if tiler is None:
+            tiler = tilers[(h, w)] = build_tiler(plan)
+        tiles_d = tiler(jnp.asarray(img))
+        buf_tiles.append(tiles_d)
+        buf_meta.append(
+            (np.full(plan.n_tiles, dbidx, dtype=np.int32),
+             plan.zoom_level, plan.boxes)
+        )
+        n_buf += plan.n_tiles
+        flush()
+    flush(final=True)
+    materialize()
+
+    vectors = np.concatenate(all_vecs)
+    norms = np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-6)
+    vectors = vectors / norms
     dbidx = np.concatenate(all_dbidx)
     zoom = np.concatenate(all_zoom)
     boxes = np.concatenate(all_boxes)
