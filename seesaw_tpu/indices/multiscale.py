@@ -80,9 +80,11 @@ class MultiscaleIndex(AccessMethod):
         device_dtype: str = "float32",
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' (HBM-halving, default
-        for big indices), or 'int8' (quarter HBM traffic; symmetric global
-        scale — ~0.3% score error, ranking-safe for shortlisting since the
-        shortlist is rescored by the augmentation in f32)."""
+        for big indices — fastest measured scan), or 'int8' (per-row
+        symmetric scales; HALF of bf16's HBM capacity, i.e. ~20M 512-d
+        vectors on one v5e. Shortlist recall vs f32 measured 1.0 at 1M rows;
+        note the current TPU toolchain reads int8 at ~1/4 HBM rate, so int8
+        trades a slower scan for 2x capacity rather than speed)."""
         self.embedding = embedding
         self.path = path
         self.meta = meta

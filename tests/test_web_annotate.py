@@ -120,3 +120,24 @@ def test_session_info_reannotation(server):
     # fresh save path so the original log isn't clobbered
     assert "_annot_" in state2["save_path"]
     assert not Path(state2["save_path"]).exists()
+
+
+def test_annotate_with_paths_yaml(server, tmp_path):
+    """paths.yaml restricts the annotation set to the listed image paths."""
+    base, app = server
+    import yaml
+
+    from seesaw_tpu.dataset import GlobalDataManager
+
+    ds = GlobalDataManager(app[1].root_dir if isinstance(app, tuple) else app.root_dir).get_dataset("synth")
+    chosen = [str(ds.paths[3]), str(ds.paths[7])]
+    pathfile = tmp_path / "annot_paths"
+    pathfile.mkdir()
+    (pathfile / "paths.yaml").write_text(yaml.safe_dump(chosen))
+
+    c = Client(base)
+    state = c.post(
+        f"/annotate?dataset=synth&category={CATEGORY}&pathfile={pathfile}"
+    )
+    gdata = state["session"]["gdata"][0]
+    assert [im["dbidx"] for im in gdata] == [3, 7]
