@@ -23,8 +23,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_one(ds, index_name: str, *, knng_name: str, n_neighbors: int, mesh):
-    from seesaw_tpu.knn_graph import KNNGraph
+def build_one(ds, index_name: str, *, knng_name: str, n_neighbors: int, mesh,
+              k_intra: int = 0):
+    from seesaw_tpu.knn_graph import KNNGraph, factor_neighbors
 
     idx = ds.load_index(index_name, options={})
     # subset indices carry no on-disk path; the graph lives under the
@@ -33,6 +34,13 @@ def build_one(ds, index_name: str, *, knng_name: str, n_neighbors: int, mesh):
     g = KNNGraph.build(idx.vectors, n_neighbors=n_neighbors, mesh=mesh)
     g.save(out)
     print(f"{ds.dataset_name}/{index_name}: {g.nvecs} vectors k={g.k} -> {out}")
+    if k_intra:
+        # diversified variant (reference process_lvis_graphs / factor_neighbors):
+        # 1 nearest vector per distinct other frame + k_intra within-frame
+        fg = factor_neighbors(g, idx.meta.dbidx, k_intra=k_intra)
+        fout = Path(str(out).rstrip("/") + "_factored")
+        fg.save(fout)
+        print(f"  factored (k_intra={k_intra}) -> {fout}")
 
 
 def main(argv=None):
@@ -50,6 +58,9 @@ def main(argv=None):
                     help="also build the whole-dataset graph")
     ap.add_argument("--sharded", action="store_true",
                     help="build on a device mesh (all local devices)")
+    ap.add_argument("--factored_k_intra", type=int, default=0,
+                    help="also write the diversified '<name>_factored' graph "
+                         "(1 nearest per other frame + this many within-frame)")
     args = ap.parse_args(argv)
 
     from seesaw_tpu.dataset import GlobalDataManager
@@ -67,7 +78,8 @@ def main(argv=None):
 
     if args.full or not (args.categories or args.all_categories):
         build_one(ds, args.index, knng_name=args.knng_name,
-                  n_neighbors=args.n_neighbors, mesh=mesh)
+                  n_neighbors=args.n_neighbors, mesh=mesh,
+                  k_intra=args.factored_k_intra)
 
     categories = args.categories or []
     if args.all_categories:
@@ -86,7 +98,7 @@ def main(argv=None):
             sub = ds.create_named_subset(sub_name, members)
         build_one(sub, args.index, knng_name=args.knng_name,
                   n_neighbors=min(args.n_neighbors, members.size - 1),
-                  mesh=mesh)
+                  mesh=mesh, k_intra=args.factored_k_intra)
 
 
 if __name__ == "__main__":

@@ -185,6 +185,50 @@ class SymmetricWeights:
         return xlx
 
 
+def factor_neighbors(
+    graph: KNNGraph, dbidx: np.ndarray, k_intra: int, k_inter: int = 1
+) -> KNNGraph:
+    """Diversified neighbor lists (reference `knn_graph.py:213-242`): per
+    vertex keep the k_inter closest vectors of each DISTINCT other frame plus
+    up to k_intra same-frame neighbors — stops one image's tiles from
+    monopolizing propagation. Returns a padded fixed-degree graph (padding =
+    self-edges with distance 0, dropped by symmetrize_weights)."""
+    N, K = graph.dst.shape
+    dbidx = np.asarray(dbidx)
+    src_frame = dbidx[np.arange(N)][:, None]  # (N, 1)
+    dst_frame = dbidx[graph.dst]  # (N, K)
+
+    intra = dst_frame == src_frame
+    # rank among same-frame neighbors (rows already ascending by distance)
+    intra_rank = np.cumsum(intra, axis=1)
+    keep_intra = intra & (intra_rank <= k_intra)
+
+    # inter: rank within each (row, dst_frame) group by order of appearance
+    keep_inter = np.zeros_like(intra)
+    for r in range(N):  # host-side build step; N = graph vertices
+        seen: dict = {}
+        row_frames = dst_frame[r]
+        for c in range(K):
+            if intra[r, c]:
+                continue
+            f = row_frames[c]
+            cnt = seen.get(f, 0)
+            if cnt < k_inter:
+                keep_inter[r, c] = True
+                seen[f] = cnt + 1
+
+    keep = keep_intra | keep_inter
+    counts = keep.sum(axis=1)
+    Kp = max(int(counts.max(initial=1)), 1)
+    new_dst = np.repeat(np.arange(N, dtype=np.int32)[:, None], Kp, axis=1)  # self-pad
+    new_dist = np.zeros((N, Kp), dtype=np.float32)
+    rows, cols = np.nonzero(keep)
+    slots = (np.cumsum(keep, axis=1) - 1)[rows, cols]
+    new_dst[rows, slots] = graph.dst[rows, cols]
+    new_dist[rows, slots] = graph.dist[rows, cols]
+    return KNNGraph(new_dst, new_dist)
+
+
 def symmetrize_weights(
     graph: KNNGraph, kfun: Callable[[np.ndarray], np.ndarray]
 ) -> SymmetricWeights:

@@ -87,3 +87,30 @@ def test_make_knn_graphs_batch_script(root):
     sub = ds.load_subset(f"cat_{CATEGORY}")
     gs = KNNGraph.from_file(Path(sub.path) / "indices" / "multiscale" / "knn_graph")
     assert gs.nvecs < g.nvecs
+
+
+def test_factored_graph_script(root):
+    import make_knn_graphs_batch
+
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    make_knn_graphs_batch.main([
+        "--root", root, "--dataset", "synth", "--index", "multiscale",
+        "--n_neighbors", "6", "--full", "--factored_k_intra", "2",
+    ])
+    ds = GlobalDataManager(root).get_dataset("synth")
+    base = Path(ds.path) / "indices" / "multiscale" / "knn_graph"
+    fg = KNNGraph.from_file(str(base) + "_factored")
+    g = KNNGraph.from_file(base)
+    # diversified graph keeps at most 2 intra + 1-per-other-frame edges
+    assert fg.nvecs == g.nvecs
+    idx = ds.load_index("multiscale", options={})
+    dbidx = idx.meta.dbidx
+    for i in range(0, fg.nvecs, 37):
+        nbrs = fg.dst[i][fg.dst[i] != i]
+        intra = (dbidx[nbrs] == dbidx[i]).sum()
+        assert intra <= 2
+        inter = dbidx[nbrs][dbidx[nbrs] != dbidx[i]]
+        vals, counts = np.unique(inter, return_counts=True)
+        assert (counts <= 1).all()

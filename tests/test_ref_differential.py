@@ -403,3 +403,55 @@ def test_calibrator_vs_ref_sklearn():
     assert np.allclose(our_probs, ref_probs, atol=2e-3), (
         f"max diff {np.abs(our_probs - ref_probs).max()}"
     )
+
+
+# ---------------------------------------------------------------------------
+# factored (diversified) neighbors vs knn_graph.factor_neighbors
+# ---------------------------------------------------------------------------
+
+def test_factor_neighbors_vs_ref():
+    kg = ref.load("seesaw.knn_graph")
+    from seesaw_tpu.knn_graph import KNNGraph, factor_neighbors
+
+    rng = np.random.default_rng(4)
+    n_frames, tiles, d, k = 12, 4, 8, 6
+    dbidx = np.repeat(np.arange(n_frames), tiles)
+    V = _unit_vectors(rng, n_frames * tiles, d)
+
+    g = KNNGraph.build(V.astype(np.float64), k)
+
+    # reference structures: knn_df (incl. rank-0 self edges) + vector_meta
+    N = g.nvecs
+    src = np.repeat(np.arange(N, dtype=np.int32), k)
+    df = pd.DataFrame({
+        "src_vertex": np.concatenate([src, np.arange(N, dtype=np.int32)]),
+        "dst_vertex": np.concatenate([g.dst.reshape(-1), np.arange(N, dtype=np.int32)]),
+        "distance": np.concatenate([g.dist.reshape(-1), np.zeros(N, np.float32)]),
+        "dst_rank": np.concatenate([np.tile(np.arange(1, k + 1, dtype=np.int32), N),
+                                    np.zeros(N, np.int32)]),
+    }).sort_values(["src_vertex", "dst_rank"]).reset_index(drop=True)
+    knng = kg.KNNGraph(df)
+
+    class IdxStub:
+        vector_meta = pd.DataFrame({"dbidx": dbidx})
+
+    k_intra = 2
+    # the reference counts the rank-0 self edge as the first intra neighbor
+    ref_df = kg.factor_neighbors(knng, IdxStub(), k_intra=k_intra + 1)
+    ref_edges = {
+        (int(r.src_vertex), int(r.dst_vertex))
+        for r in ref_df.itertuples()
+        if r.src_vertex != r.dst_vertex
+    }
+
+    fg = factor_neighbors(g, dbidx, k_intra=k_intra, k_inter=1)
+    our_edges = set()
+    for i in range(fg.nvecs):
+        for j, dst in enumerate(fg.dst[i]):
+            if dst != i:
+                our_edges.add((i, int(dst)))
+
+    assert our_edges == ref_edges, (
+        f"missing={sorted(ref_edges - our_edges)[:5]} "
+        f"extra={sorted(our_edges - ref_edges)[:5]}"
+    )
