@@ -78,13 +78,19 @@ class MultiscaleIndex(AccessMethod):
         path: Optional[str] = None,
         excluded: Optional[BitMap] = None,
         device_dtype: str = "float32",
+        mesh=None,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' (HBM-halving, default
         for big indices — fastest measured scan), or 'int8' (per-row
         symmetric scales; HALF of bf16's HBM capacity, i.e. ~20M 512-d
         vectors on one v5e. Shortlist recall vs f32 measured 1.0 at 1M rows;
         note the current TPU toolchain reads int8 at ~1/4 HBM rate, so int8
-        trades a slower scan for 2x capacity rather than speed)."""
+        trades a slower scan for 2x capacity rather than speed).
+
+        mesh: a multi-device jax.sharding.Mesh row-shards the embedding
+        matrix across chips (parallel.ShardedFrameIndex); query() then runs
+        the per-shard program + ICI top-k merge while the lighter programs
+        (rank_by_scores, getXy) stay single-device/host."""
         self.embedding = embedding
         self.path = path
         self.meta = meta
@@ -104,7 +110,18 @@ class MultiscaleIndex(AccessMethod):
         V_pad = self.vectors[flat_rows]
         V_pad[~flat_valid] = 0.0
         self.device_dtype = device_dtype
-        if device_dtype == "int8":
+        self._sharded = None
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.sharded_index import ShardedFrameIndex
+
+            self._sharded = ShardedFrameIndex.build(self.vectors, meta, mesh)
+        if self._sharded is not None:
+            # the big matrix lives sharded across the mesh; skip the
+            # single-device copy (the metadata arrays below stay local for
+            # the ranking-tail programs)
+            self._V = None
+            self._row_scale = None
+        elif device_dtype == "int8":
             # per-row symmetric scales (the standard near-free accuracy win
             # over one global scale): row r stores round(V_r / s_r), s_r =
             # max|V_r|/127, dequantized inside the scoring matvec
@@ -146,6 +163,9 @@ class MultiscaleIndex(AccessMethod):
     def score_frames(self, vec: np.ndarray) -> np.ndarray:
         """Max tile score per frame, on device."""
         q = np.asarray(vec, np.float32).reshape(-1)
+        if self._sharded is not None:  # host segment-max; V lives on the mesh
+            s = self.vectors @ q
+            return np.maximum.reduceat(s, self.meta.frame_starts[:-1])
         return np.asarray(
             frame_scoring.score_frames_max(
                 self._V, self._valid, jnp.asarray(q), self._row_scale
@@ -187,6 +207,30 @@ class MultiscaleIndex(AccessMethod):
         topk_eff = min(topk, self.n_frames)
 
         excluded_mask = self._frame_exclusion_mask(exclude)
+
+        if self._sharded is not None:
+            from ..parallel.sharded_index import sharded_query_topk
+
+            assert vector2 is None, "vector2 discount not yet sharded"
+            dbidxs, scores, act_boxes, act_scores = sharded_query_topk(
+                self._sharded,
+                np.asarray(vector, np.float32).reshape(-1),
+                excluded_mask,
+                topk=topk_eff,
+                shortlist_size=min(shortlist_size, self._sharded.n_frames_local),
+                aug_larger=aug_larger,
+                aug_weight=aug_weight,
+                agg_method=agg_method,
+            )
+            activations = [
+                {
+                    "x1": float(b[0]), "y1": float(b[1]),
+                    "x2": float(b[2]), "y2": float(b[3]),
+                    "dbidx": int(dbx), "score": float(s),
+                }
+                for b, s, dbx in zip(act_boxes, act_scores, dbidxs)
+            ]
+            return {"dbidxs": dbidxs.astype(np.int64), "activations": activations}
 
         res = frame_scoring.query_program(
             self._V,
@@ -311,9 +355,18 @@ class MultiscaleIndex(AccessMethod):
 
             embedding = load_embedding(info["model"])
         excluded = BitMap(info.get("excluded") or [])
+        mesh = options.get("mesh")
+        if mesh is None and options.get("sharded"):
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(len(jax.devices()))
         return MultiscaleIndex(
             embedding=embedding, vectors=vectors, meta=meta,
             path=str(p), excluded=excluded,
+            device_dtype=options.get("device_dtype", "float32"),
+            mesh=mesh,
         )
 
     def get_knng_path(self, name: str = "") -> str:

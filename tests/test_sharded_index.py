@@ -105,3 +105,44 @@ def test_uneven_small_db():
     )
     assert len(got_dbidx) == 3
     assert set(got_dbidx.tolist()) == {0, 1, 2}
+
+
+def test_session_over_sharded_index(tmp_path):
+    """End-to-end session with the index row-sharded over the 8-device mesh
+    (index_options={'sharded': True}): same results as the single-device
+    index."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+    from synth import build_synthetic_root, CATEGORY, QSTR
+
+    import seesaw_tpu.dataset as dsm
+    from seesaw_tpu.basic_types import BenchParams, IndexSpec, SessionParams
+    from seesaw_tpu.bench.harness import benchmark_loop
+    from seesaw_tpu.runtime.bitmap import FrozenBitMap
+    from seesaw_tpu.session import make_session
+
+    root = tmp_path / "root"
+    build_synthetic_root(str(root))
+
+    def run(index_options):
+        p = SessionParams(
+            index_spec=IndexSpec(d_name="synth", i_name="multiscale"),
+            interactive="plain", batch_size=3, shortlist_size=20,
+            index_options=index_options,
+        )
+        b = BenchParams(name="t", ground_truth_category=CATEGORY, qstr=QSTR,
+                        n_batches=6, max_results=5)
+        gdm = dsm.GlobalDataManager(str(root))
+        ret = make_session(gdm, p, b=b)
+        ds = ret["dataset"]
+        box_table, _ = ds.load_ground_truth()
+        info = benchmark_loop(session=ret["session"], subset=FrozenBitMap(ds.dbidxs),
+                              box_table=box_table, b=b, p=p)
+        seen = [im.dbidx for batch in ret["session"].get_state().gdata for im in batch]
+        return info, seen
+
+    info_single, seen_single = run({})
+    info_sharded, seen_sharded = run({"sharded": True})
+    assert seen_sharded == seen_single
+    assert info_sharded["nfound"] == info_single["nfound"]
