@@ -351,6 +351,13 @@ def _progress(msg):
 
 
 def main():
+    from seesaw_tpu.utils.profiling import maybe_trace_from_env
+
+    with maybe_trace_from_env():  # SEESAW_PROFILE_DIR=<dir> for a jax trace
+        _main()
+
+
+def _main():
     n_vectors = int(os.environ.get("SEESAW_BENCH_VECTORS", 10_000_000))
     use_pallas = os.environ.get("SEESAW_BENCH_NO_PALLAS") is None
     extras = {"tunnel_rtt_ms": round(measure_rtt(), 2)}

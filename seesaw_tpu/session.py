@@ -95,9 +95,12 @@ class Session:
 
     # -- the loop ----------------------------------------------------------
     def next(self) -> np.ndarray:
+        from .utils.profiling import annotate
+
         self._log("next.start")
         start = time.time()
-        r = self.loop.next_batch_external()
+        with annotate("session.next"):
+            r = self.loop.next_batch_external()
         delta = time.time() - start
 
         self.acc_indices.append(np.asarray(r["dbidxs"]))
@@ -135,8 +138,11 @@ class Session:
         return False
 
     def refine(self):
+        from .utils.profiling import annotate
+
         self._log("refine.start")
-        self.loop.refine_external(self._last_change)
+        with annotate("session.refine"):
+            self.loop.refine_external(self._last_change)
         self._log("refine.end")
 
     # -- state (de)serialization ------------------------------------------
