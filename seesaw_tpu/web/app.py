@@ -69,6 +69,7 @@ class SeesawServer:
         self.root_dir = root_dir
         self.config_path = config_path
         self.serve_files_root = serve_files_root or "/"
+        self._explore_cache: dict = {}
 
     # ------------------------------------------------------------------ #
     def handle(self, method: str, path: str, query: dict, body: Optional[dict],
@@ -122,6 +123,11 @@ class SeesawServer:
                 new_cookie = session_id
             h = self.manager.get_session(session_id)
             return 200, h.call("getstate").model_dump(), new_cookie
+
+        if path == "/explore":
+            # embedding-map explorer for a dataset index (embedding_plot.py):
+            # frame-pooled vectors -> PCA + k-means -> standalone HTML
+            return self._explore(query)
 
         if path == "/annotate":
             # re-annotation entry (reference seesaw_app.py:204-243): a dummy
@@ -264,6 +270,44 @@ class SeesawServer:
         return 404, {"detail": f"unknown endpoint {path}"}, None
 
     # ------------------------------------------------------------------ #
+    def _explore(self, query: dict) -> tuple:
+        dataset = query["dataset"]
+        index = query.get("index", "multiscale")
+        k = int(query.get("clusters", 12))
+        qstr = query.get("q")
+
+        cache_key = (dataset, index, k)
+        html = self._explore_cache.get(cache_key)
+        if html is None:
+            from ..dataset import GlobalDataManager
+            from ..embedding_plot import Visualizer
+
+            gdm = GlobalDataManager(self.root_dir)
+            ds = gdm.get_dataset(dataset)
+            idx = ds.load_index(index, options={})
+            # frame-pooled mean vector per image keeps the map one-point-per-image
+            starts = idx.meta.frame_starts
+            sums = np.add.reduceat(idx.vectors, starts[:-1], axis=0)
+            counts = np.diff(starts)[:, None]
+            vz = Visualizer(sums / counts, dbidx=idx.meta.frame_dbidx)
+            vz.fit_projection()
+            vz.assign_clusters(k=min(k, len(vz.vectors)))
+            self._explore_cache[cache_key] = html = (vz, ds)
+        vz, ds = html
+
+        if qstr and getattr(ds.load_index(index, options={}), "embedding", None):
+            idx = ds.load_index(index, options={})
+            vz.queries = []
+            vz.add_query(qstr, idx.string2vec(qstr))
+
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("r", suffix=".html") as f:
+            vz.write_html(f.name, urls=ds.get_urls(vz.dbidx),
+                          title=f"{dataset}/{index} embedding map")
+            page = open(f.name).read()
+        return 200, {"__html__": page}, None
+
     def serve(self, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
         server = _make_http_server(self, host, port)
         t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -307,6 +351,14 @@ def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPS
                 status, payload, cookie = app.handle(
                     method, parsed.path, query, body, self._cookies()
                 )
+                if isinstance(payload, dict) and "__html__" in payload:
+                    data = payload["__html__"].encode()
+                    self.send_response(status)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 self._send_json(status, payload, cookie)
             except Exception as e:
                 traceback.print_exc()

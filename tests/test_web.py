@@ -143,3 +143,18 @@ def test_box_feedback_drives_multi_reg(server):
     assert len(seen) == len(set(seen))
     assert len(sess2["gdata"][1]) > 0
     del before
+
+
+def test_explore_endpoint(server):
+    """/explore serves the standalone embedding-map HTML for an index."""
+    base, _ = server
+    with urllib.request.urlopen(base + "/explore?dataset=synth&clusters=4") as r:
+        assert "text/html" in r.headers["Content-Type"]
+        page = r.read().decode()
+    assert "embedding map" in page
+    assert "const D = " in page
+    # query overlay path
+    q = urllib.parse.quote(QSTR)
+    with urllib.request.urlopen(base + f"/explore?dataset=synth&clusters=4&q={q}") as r:
+        page2 = r.read().decode()
+    assert QSTR in page2
