@@ -211,7 +211,6 @@ class MultiscaleIndex(AccessMethod):
         if self._sharded is not None:
             from ..parallel.sharded_index import sharded_query_topk
 
-            assert vector2 is None, "vector2 discount not yet sharded"
             dbidxs, scores, act_boxes, act_scores = sharded_query_topk(
                 self._sharded,
                 np.asarray(vector, np.float32).reshape(-1),
@@ -221,6 +220,7 @@ class MultiscaleIndex(AccessMethod):
                 aug_larger=aug_larger,
                 aug_weight=aug_weight,
                 agg_method=agg_method,
+                qvec2=vector2,
             )
             activations = [
                 {

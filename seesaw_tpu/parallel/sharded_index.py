@@ -114,7 +114,7 @@ class ShardedFrameIndex:
     ),
 )
 def _sharded_query(
-    V, valid, boxes, zoom, frame_offset, qvec, excluded,
+    V, valid, boxes, zoom, frame_offset, qvec, qvec2, excluded,
     *,
     mesh: Mesh,
     shortlist_size: int,
@@ -131,7 +131,7 @@ def _sharded_query(
     def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
         res = frame_scoring.query_program(
             V[0], valid[0], boxes[0], zoom[0],
-            qvec, None, excluded[0],
+            qvec, qvec2, excluded[0],
             shortlist_size=shortlist_local,
             topk=topk_local,
             aug_larger=aug_larger,
@@ -178,6 +178,7 @@ def sharded_query_topk(
     aug_larger: str = "all",
     aug_weight: str = "level_max",
     agg_method: str = "avg_score",
+    qvec2: np.ndarray | None = None,  # subtracted (discount) query
 ):
     """Query the sharded index. Returns (dbidxs, frame_scores, act_boxes,
     act_scores) truncated to valid rows."""
@@ -197,6 +198,8 @@ def sharded_query_topk(
     gfids, scores, boxes, act_scores, n_valid = _sharded_query(
         idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
         jnp.asarray(np.asarray(qvec, np.float32).reshape(-1)),
+        (jnp.asarray(np.asarray(qvec2, np.float32).reshape(-1))
+         if qvec2 is not None else None),
         exc_dev,
         mesh=idx.mesh,
         shortlist_size=shortlist_size,

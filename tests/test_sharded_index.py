@@ -146,3 +146,36 @@ def test_session_over_sharded_index(tmp_path):
     info_sharded, seen_sharded = run({"sharded": True})
     assert seen_sharded == seen_single
     assert info_sharded["nfound"] == info_single["nfound"]
+
+
+def test_sharded_vector2_discount(tmp_path):
+    """The two-query discount (MultiRegNeg) matches single-device results on
+    the sharded index."""
+    import numpy as np
+
+    from seesaw_tpu.indices.meta import VectorMeta
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    n_frames, tiles, d = 40, 4, 16
+    dbidx = np.repeat(np.arange(n_frames), tiles)
+    zoom = np.tile([1, 1, 2, 2], n_frames)
+    xy = rng.uniform(0, 100, size=(n_frames * tiles, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + 60], axis=1)
+    meta, order = VectorMeta.from_arrays(dbidx, zoom, boxes)
+    V = rng.normal(size=(n_frames * tiles, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    q = rng.normal(size=d).astype(np.float32)
+    q2 = rng.normal(size=d).astype(np.float32)
+
+    single = MultiscaleIndex(vectors=V[order], meta=meta)
+    sharded = MultiscaleIndex(vectors=V[order], meta=meta, mesh=make_mesh(8))
+
+    r1 = single.query(vector=q, vector2=q2, topk=8, shortlist_size=20)
+    r2 = sharded.query(vector=q, vector2=q2, topk=8, shortlist_size=20)
+    np.testing.assert_array_equal(r2["dbidxs"], r1["dbidxs"])
+    s1 = [a["score"] for a in r1["activations"]]
+    s2 = [a["score"] for a in r2["activations"]]
+    np.testing.assert_allclose(s2, s1, atol=1e-5)
