@@ -193,30 +193,40 @@ def _run_device_tiling_extraction(
     ds, embedding, *, tile_size, factor, min_tile_size, batch_size,
     n_decode_threads, limit,
 ):
-    """Decode on host threads; tile + normalize + encode on device. Tiles
-    never return to the host — device buffers concatenate into exact
-    fixed-size ViT batches."""
+    """Decode on host threads (native C++ libjpeg pool when available, PIL
+    otherwise); tile + normalize + encode on device. Tiles never return to
+    the host — device buffers concatenate into exact fixed-size ViT
+    batches."""
     import jax.numpy as jnp
 
+    from ..runtime.jpeg_decode import decode_pool
     from .device_tiling import build_tiler, make_plan
 
     dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
     work_q: "queue.Queue" = queue.Queue(maxsize=n_decode_threads * 2)
+    paths = [ds.file_path(int(i)) for i in dbidxs]
+    jpeg_only = all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths)
 
-    def decode_one(dbidx):
+    def decode_pil(i):
         try:
-            im = PIL.Image.open(ds.file_path(int(dbidx)))
+            im = PIL.Image.open(paths[i])
             if im.mode != "RGB":
                 im = im.convert("RGB")
-            return (int(dbidx), np.asarray(im))
-        except PIL.UnidentifiedImageError:
-            print(f"warning: cannot decode image for dbidx={dbidx}; skipping")
-            return None
+            return i, np.asarray(im)
+        except Exception:
+            return i, None
 
     def producer():
-        with ThreadPoolExecutor(n_decode_threads) as pool:
-            for res in pool.map(decode_one, dbidxs):
-                work_q.put(res)
+        if jpeg_only:
+            it = decode_pool(paths, n_threads=n_decode_threads)
+        else:
+            pool = ThreadPoolExecutor(n_decode_threads)
+            it = pool.map(decode_pil, range(len(paths)))
+        for i, img in it:
+            if img is None:
+                print(f"warning: cannot decode image for dbidx={dbidxs[i]}; skipping")
+                continue
+            work_q.put((int(dbidxs[i]), img))
         work_q.put(_SENTINEL)
 
     threading.Thread(target=producer, daemon=True).start()
