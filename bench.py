@@ -268,18 +268,13 @@ def bench_ingest(n_images: int = 200) -> dict:
     run_multiscale_extraction(warm, emb, batch_size=256)
 
     # component 1: host decode throughput (with device tiling, JPEG decode is
-    # the host's only remaining job)
-    from concurrent.futures import ThreadPoolExecutor
-
-    import PIL.Image as PILImage
-
-    def decode_one(p):
-        return np.asarray(PILImage.open(p).convert("RGB")).shape[0]
+    # the host's only remaining job; native C++ pool when available)
+    from seesaw_tpu.runtime.jpeg_decode import decode_pool
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(8) as pool:
-        _ = sum(pool.map(decode_one, paths))
+    n_ok = sum(1 for _, img in decode_pool(paths, n_threads=8) if img is not None)
     decode_dt = time.perf_counter() - t0
+    assert n_ok == n_images
     decode_img_per_s = n_images / decode_dt
 
     # component 2: device encode throughput (from the embed bench's tile

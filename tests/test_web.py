@@ -158,3 +158,29 @@ def test_explore_endpoint(server):
     with urllib.request.urlopen(base + f"/explore?dataset=synth&clusters=4&q={q}") as r:
         page2 = r.read().decode()
     assert QSTR in page2
+
+
+def test_concurrent_sessions_isolated(server):
+    """Parallel clients get isolated sessions (per-session locks, distinct
+    cookies) and concurrent requests don't corrupt state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, _ = server
+
+    def drive(i):
+        c = Client(base)
+        c.post("/user_session?mode=plain&dataset=synth&index=multiscale")
+        state = c.post(f"/text?key={urllib.parse.quote(QSTR)}")
+        sess = state["session"]
+        for im in sess["gdata"][0]:
+            im["boxes"] = []
+        state2 = c.post("/next", {"client_data": {"session": sess}})
+        seen = [im["dbidx"] for b in state2["session"]["gdata"] for im in b]
+        return c.cookie, seen
+
+    with ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(drive, range(4)))
+    cookies = [r[0] for r in results]
+    assert len(set(cookies)) == 4
+    for _, seen in results:
+        assert len(seen) == len(set(seen))  # no repeats within any session
