@@ -16,6 +16,23 @@ against the reference carry over. See SURVEY.md for the component map.
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):  # lazy: keep bare import light (no jax/pandas pull)
+    if name == "GlobalDataManager":
+        from .dataset import GlobalDataManager
+
+        return GlobalDataManager
+    if name == "make_session":
+        from .session import make_session
+
+        return make_session
+    if name == "load_embedding":
+        from .models.registry import load_embedding
+
+        return load_embedding
+    raise AttributeError(name)
+
+
 from .basic_types import (  # noqa: F401
     Box,
     Annotation,
