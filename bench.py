@@ -299,6 +299,58 @@ def bench_ingest(n_images: int = 200) -> dict:
     }
 
 
+def bench_refine(d: int = 512, n_labeled: int = 512) -> dict:
+    """Per-round refine (fit) device latency: the multi-regularized 'seesaw'
+    objective (LBFGS with the XLX Laplacian term) at a realistic round size —
+    BASELINE.md's 'per-round refine+rank latency' alongside the rank bench.
+    Measured as K chained fits inside one dispatch (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.learners.multi_reg import _fit_reg
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(n_labeled, d)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    y = rng.integers(0, 2, size=n_labeled).astype(np.float32)
+    sample_w = np.ones(n_labeled, np.float32)
+    valid = np.ones(n_labeled, bool)
+    qvec = rng.normal(size=d).astype(np.float32)
+    qvec /= np.linalg.norm(qvec)
+    xlx = (np.eye(d) * 1e-3).astype(np.float32)
+    K = 8
+
+    @jax.jit
+    def chain(Xa, ya, w0s):
+        def body(carry, w0):
+            w, _, _ = _fit_reg(
+                Xa, ya, jnp.asarray(sample_w), jnp.asarray(valid),
+                jnp.asarray(qvec), jnp.asarray(xlx), w0 + carry * 0.0,
+                0.0, 1.0, 0.1, 10.0, 1.0,
+                label_loss_type="pairwise_rank_loss",
+                pos_weight_balanced=True, max_iter=50,
+            )
+            return w.sum(), w[0]
+        _, outs = jax.lax.scan(body, jnp.float32(0), w0s)
+        return outs.sum()
+
+    def fresh_w0s():
+        w = jnp.asarray(rng.normal(size=(K, d)).astype(np.float32) * 0.01)
+        float(w[0, 0])
+        return w
+
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+    float(chain(Xd, yd, fresh_w0s()))  # compile
+    ts = []
+    for _ in range(2):
+        w0s = fresh_w0s()
+        t0 = time.perf_counter()
+        float(chain(Xd, yd, w0s))
+        ts.append((time.perf_counter() - t0) * 1000 / K)
+    return {"p50_refine_fit_ms": round(float(min(ts)), 3),
+            "refine_n_labeled": n_labeled}
+
+
 def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> float:
     """On-chip shortlist-recall study: fraction of the exact f32 top-10
     contained in the per-row int8 top-50 shortlist, CLIP-like vectors."""
@@ -393,6 +445,13 @@ def _main():
             extras.update(bench_ingest())
         except Exception as e:
             extras["ingest_error"] = repr(e)
+
+    if not os.environ.get("SEESAW_BENCH_SKIP_REFINE"):
+        try:
+            _progress("refine fit")
+            extras.update(bench_refine())
+        except Exception as e:
+            extras["refine_error"] = repr(e)
 
     if not os.environ.get("SEESAW_BENCH_SKIP_RECALL"):
         try:
