@@ -17,7 +17,8 @@ at 1M rows (per-row scales vs exact f32).
 
 Env overrides: SEESAW_BENCH_VECTORS (default 10_000_000),
 SEESAW_BENCH_SKIP_CLIP=1 / SEESAW_BENCH_SKIP_INGEST=1 /
-SEESAW_BENCH_SKIP_RECALL=1, SEESAW_BENCH_NO_PALLAS=1.
+SEESAW_BENCH_SKIP_RECALL=1 / SEESAW_BENCH_SKIP_REFINE=1,
+SEESAW_BENCH_NO_PALLAS=1, SEESAW_PROFILE_DIR=<dir> for a jax trace.
 """
 from __future__ import annotations
 
