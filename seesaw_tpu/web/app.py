@@ -70,6 +70,7 @@ class SeesawServer:
         self.config_path = config_path
         self.serve_files_root = serve_files_root or "/"
         self._explore_cache: dict = {}
+        self.log_requests = bool(os.environ.get("SEESAW_WEB_LOG"))
 
     # ------------------------------------------------------------------ #
     def handle(self, method: str, path: str, query: dict, body: Optional[dict],
@@ -347,10 +348,14 @@ def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPS
                     body = json.loads(raw) if raw else None
                 except json.JSONDecodeError:
                     body = None
+            cookies = self._cookies()
             try:
                 status, payload, cookie = app.handle(
-                    method, parsed.path, query, body, self._cookies()
+                    method, parsed.path, query, body, cookies
                 )
+                if app.log_requests:
+                    print(f"[web] {method} {self.path} session="
+                          f"{cookies.get('session_id')} -> {status}", flush=True)
                 if isinstance(payload, dict) and "__html__" in payload:
                     data = payload["__html__"].encode()
                     self.send_response(status)
@@ -361,6 +366,10 @@ def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPS
                     return
                 self._send_json(status, payload, cookie)
             except Exception as e:
+                # reference ErrorLoggingRoute convention (seesaw_app.py:34-56):
+                # log the url, cookie and request body alongside the traceback
+                print(f"[web] EXCEPTION {method} {self.path} session="
+                      f"{cookies.get('session_id')} body={body!r}", flush=True)
                 traceback.print_exc()
                 self._send_json(500, {"detail": repr(e)}, None)
 
