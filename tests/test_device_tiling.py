@@ -83,3 +83,16 @@ def test_pipeline_device_vs_host(tmp_path):
     np.testing.assert_allclose(b_d, b_h, atol=1e-4)
     cos = (v_d * v_h).sum(axis=1)
     assert cos.min() > 0.98, cos.min()
+
+
+def test_plan_tiny_image():
+    """Images smaller than the tile upscale to one whole-image level."""
+    rng = np.random.default_rng(9)
+    img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    host = generate_multiscale_tiling(
+        PIL.Image.fromarray(img), tile_size=32, factor=0.5, min_tile_size=32
+    )
+    plan, tiles = tile_on_device(img, 32, 0.5, 32)
+    assert plan.n_tiles == host.tiles.shape[0]
+    np.testing.assert_allclose(plan.boxes, host.boxes, atol=1e-4)
+    assert np.asarray(tiles).shape == (plan.n_tiles, 32, 32, 3)

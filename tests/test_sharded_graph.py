@@ -97,3 +97,12 @@ def test_label_propagation_wrapper_with_mesh(mesh):
     a = single.fit_transform(label_ids=ids, label_values=vals, reg_values=prior)
     b = sharded.fit_transform(label_ids=ids, label_values=vals, reg_values=prior)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_knn_fewer_rows_than_shards(mesh):
+    rng = np.random.default_rng(2)
+    V = _unit(rng, 5, 8)  # N < S
+    ids1, d1 = exact_knn(V, 3)
+    ids8, d8 = sharded_exact_knn(V, 3, mesh)
+    np.testing.assert_array_equal(ids8, ids1)
+    np.testing.assert_allclose(d8, d1, atol=1e-6)
