@@ -296,10 +296,11 @@ class SeesawServer:
             self._explore_cache[cache_key] = html = (vz, ds)
         vz, ds = html
 
-        if qstr and getattr(ds.load_index(index, options={}), "embedding", None):
+        vz.queries = []  # per-request overlay; never carry a stale query over
+        if qstr:
             idx = ds.load_index(index, options={})
-            vz.queries = []
-            vz.add_query(qstr, idx.string2vec(qstr))
+            if getattr(idx, "embedding", None):
+                vz.add_query(qstr, idx.string2vec(qstr))
 
         import tempfile
 

@@ -184,3 +184,13 @@ def test_concurrent_sessions_isolated(server):
     assert len(set(cookies)) == 4
     for _, seen in results:
         assert len(seen) == len(set(seen))  # no repeats within any session
+
+
+def test_explore_query_not_sticky(server):
+    base, _ = server
+    q = urllib.parse.quote(QSTR)
+    with urllib.request.urlopen(base + f"/explore?dataset=synth&q={q}") as r:
+        assert QSTR in r.read().decode()
+    with urllib.request.urlopen(base + "/explore?dataset=synth") as r:
+        page = r.read().decode()
+    assert QSTR not in page  # overlay must not persist across requests
