@@ -203,19 +203,18 @@ def factor_neighbors(
     intra_rank = np.cumsum(intra, axis=1)
     keep_intra = intra & (intra_rank <= k_intra)
 
-    # inter: rank within each (row, dst_frame) group by order of appearance
+    # inter: rank within each (row, dst_frame) group by order of appearance —
+    # vectorized over row chunks: occurrences-before-c via a (chunk, K, K)
+    # equality mask against earlier columns
     keep_inter = np.zeros_like(intra)
-    for r in range(N):  # host-side build step; N = graph vertices
-        seen: dict = {}
-        row_frames = dst_frame[r]
-        for c in range(K):
-            if intra[r, c]:
-                continue
-            f = row_frames[c]
-            cnt = seen.get(f, 0)
-            if cnt < k_inter:
-                keep_inter[r, c] = True
-                seen[f] = cnt + 1
+    tril = np.tril(np.ones((K, K), dtype=bool), k=-1)  # earlier columns
+    chunk = max(1, 8_000_000 // (K * K))  # bound the (chunk, K, K) temp
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        f = dst_frame[lo:hi]
+        same = f[:, :, None] == f[:, None, :]  # (c, K, K) frame equality
+        prior = (same & tril[None]).sum(axis=2)  # occurrences before col
+        keep_inter[lo:hi] = (~intra[lo:hi]) & (prior < k_inter)
 
     keep = keep_intra | keep_inter
     counts = keep.sum(axis=1)
