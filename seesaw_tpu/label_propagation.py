@@ -67,6 +67,7 @@ class LabelPropagation:
         else:
             start = reg_values.copy()
 
+        res = None
         if self.mesh is not None:
             from .parallel.sharded_graph import sharded_propagate
 
@@ -90,6 +91,6 @@ class LabelPropagation:
         hi = max(1.0, float(reg_values.max(initial=1.0)))
         assert (out >= lo - 1e-5).all(), "scores must stay within prior bounds"
         assert (out <= hi + 1e-5).all(), "scores must stay within prior bounds"
-        if self.verbose and not bool(res.converged):
+        if self.verbose and res is not None and not bool(res.converged):
             print(f"warning: propagation did not converge after {int(res.n_iter)} iters")
         return out
