@@ -455,3 +455,88 @@ def test_factor_neighbors_vs_ref():
         f"missing={sorted(ref_edges - our_edges)[:5]} "
         f"extra={sorted(our_edges - ref_edges)[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# box geometry vs seesaw.box_utils
+# ---------------------------------------------------------------------------
+
+def _random_box_df(rng, n):
+    x1 = rng.uniform(0, 200, n)
+    y1 = rng.uniform(0, 200, n)
+    return pd.DataFrame({
+        "x1": x1, "y1": y1,
+        "x2": x1 + rng.uniform(1, 120, n), "y2": y1 + rng.uniform(1, 120, n),
+    })
+
+
+def test_box_iou_and_join_vs_ref():
+    bu = ref.load("seesaw.box_utils")
+    from seesaw_tpu.box_utils import box_iou, box_join
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        df1 = _random_box_df(rng, int(rng.integers(1, 20)))
+        df2 = _random_box_df(rng, int(rng.integers(1, 20)))
+
+        ref_iou, ref_cont = bu.box_iou(df1, df2, return_containment=True)
+        our_iou, our_cont = box_iou(df1, df2, return_containment=True)
+        np.testing.assert_allclose(our_iou, ref_iou, atol=1e-6)
+        np.testing.assert_allclose(our_cont, ref_cont, atol=1e-6)
+
+        ref_join = bu.box_join(df1, df2)
+        our_join = box_join(df1, df2)
+        ref_edges = set(zip(ref_join.iloc_left.tolist(), ref_join.iloc_right.tolist()))
+        our_edges = set(zip(our_join.iloc_left.tolist(), our_join.iloc_right.tolist()))
+        assert our_edges == ref_edges
+
+
+def test_segments_and_square_boxes_vs_ref():
+    bu = ref.load("seesaw.box_utils")
+    from seesaw_tpu.box_utils import BoundingBoxBatch, BoxBatch, Segment
+
+    rng = np.random.default_rng(1)
+    n = 40
+    x1 = rng.uniform(0, 100, n)
+    x2 = x1 + rng.uniform(1, 80, n)
+
+    ref_seg = bu.Segment.from_x1x2(x1x2=np.stack([x1, x2], axis=1))
+    our_seg = Segment.from_x1x2(x1x2=np.stack([x1, x2], axis=1))
+    for new_len in (10.0, 50.0, 200.0):
+        a = ref_seg.best_seg(new_len, 0.0, 224.0).to_x1x2()
+        b = our_seg.best_seg(new_len, 0.0, 224.0).to_x1x2()
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+    df = _random_box_df(rng, n).assign(im_width=400, im_height=400)
+    df = df.assign(x2=df.x2.clip(upper=400), y2=df.y2.clip(upper=400))
+    ref_sq = bu.BoxBatch.from_dataframe(df).best_square_box(
+        xmax=df.im_width.values, ymax=df.im_height.values, min_side=33
+    ).to_xyxy()
+    xyxy = df[["x1", "y1", "x2", "y2"]].values
+    our_sq = BoxBatch.from_xyxy(xyxy).best_square_box(
+        xmax=df.im_width.values, ymax=df.im_height.values, min_side=33
+    ).to_xyxy()
+    np.testing.assert_allclose(our_sq, ref_sq, atol=1e-5)
+
+    ref_bb = bu.BoundingBoxBatch.from_dataframe(df).best_square_box(min_side=33).to_xyxy()
+    our_bb = BoundingBoxBatch.from_boxbatch(
+        BoxBatch.from_xyxy(xyxy), df.im_width.values, df.im_height.values
+    ).best_square_box(min_side=33).to_xyxy()
+    np.testing.assert_allclose(our_bb, ref_bb, atol=1e-5)
+
+
+def test_left_iou_join_vs_ref():
+    bu = ref.load("seesaw.box_utils")
+    from seesaw_tpu.box_utils import max_iou_per_left
+
+    rng = np.random.default_rng(2)
+    meta = _random_box_df(rng, 30).assign(dbidx=rng.integers(0, 5, 30))
+    labels = _random_box_df(rng, 12).assign(dbidx=rng.integers(0, 5, 12))
+
+    ref_out = bu.left_iou_join(meta, labels)
+    for dbidx, gp in meta.groupby("dbidx"):
+        lab = labels[labels.dbidx == dbidx]
+        ours = max_iou_per_left(gp, lab[["x1", "y1", "x2", "y2"]]) \
+            if len(lab) else np.zeros(len(gp))
+        want = ref_out[ref_out.dbidx == dbidx].max_iou.values
+        np.testing.assert_allclose(ours, want, atol=1e-6)
