@@ -45,46 +45,66 @@ def _fit_reg(
     max_iter: int,
 ):
     def loss_fn(w):
-        logits = X @ w
-        sw = sample_w
-        pos_total = ((y == 1).astype(jnp.float32) * sw).sum()
-        orig_sum = sw.sum()
-        neg_total = orig_sum - pos_total
-
-        if label_loss_type == "ce_loss":
-            ce = jax.nn.softplus(-logits) * y + jax.nn.softplus(logits) * (1.0 - y)
-            if pos_weight_balanced:
-                pw = (neg_total + 1.0) / (pos_total + 1.0)
-            else:
-                pw = pos_weight_value
-            sw2 = jnp.where(y == 1, sw * pw, sw)
-            sw2 = sw2 * orig_sum / jnp.maximum(sw2.sum(), 1e-30)
-            loss_labels = (ce * sw2).sum()
-        elif label_loss_type in ("pairwise_rank_loss", "pairwise_logistic_loss"):
-            if label_loss_type == "pairwise_rank_loss":
-                per_item, max_inv = pairwise_rank_loss_sum(
-                    y, logits, margin=rank_loss_margin,
-                    return_max_inversions=True, valid=valid,
-                )
-            else:
-                per_item, max_inv = pairwise_logistic_loss_sum(
-                    y, logits, return_max_inversions=True, valid=valid
-                )
-            per_norm = per_item / jnp.maximum(max_inv, 1.0)
-            have_both = (pos_total > 0) & (neg_total > 0)
-            loss_labels = jnp.where(have_both, (per_norm * sw).sum(), 0.0)
-        else:
-            raise ValueError(label_loss_type)
-
-        w_hat = _normalize(w)
-        ww = jnp.maximum(w @ w, 1e-30)
-        loss_norm = reg_norm_lambda * (jnp.cosh(jnp.log(ww)) - 1.0)
-        loss_datareg = reg_data_lambda * (w @ (xlx @ w))
-        loss_queryreg = reg_query_lambda * (1.0 - w_hat @ qvec_hat) / 2.0
-        return loss_labels + loss_norm + loss_datareg + loss_queryreg
+        return multi_reg_loss(
+            w, X, y, sample_w, valid, qvec_hat, xlx,
+            rank_loss_margin, pos_weight_value,
+            reg_data_lambda, reg_norm_lambda, reg_query_lambda,
+            label_loss_type=label_loss_type,
+            pos_weight_balanced=pos_weight_balanced,
+        )
 
     res = lbfgs_minimize(loss_fn, w0, max_iter=max_iter, history=10)
     return _normalize(res.x), res.f, res.diverged
+
+
+def multi_reg_loss(
+    w, X, y, sample_w, valid, qvec_hat, xlx,
+    rank_loss_margin, pos_weight_value,
+    reg_data_lambda, reg_norm_lambda, reg_query_lambda,
+    *,
+    label_loss_type: str,
+    pos_weight_balanced: bool,
+):
+    """The 4-term 'seesaw' objective (reference `loops/multi_reg.py:95-150`):
+    label loss + cosh-log norm penalty + XLX data term + query-cosine term.
+    Exposed standalone so tests can differentially check the exact loss."""
+    logits = X @ w
+    sw = sample_w
+    pos_total = ((y == 1).astype(jnp.float32) * sw).sum()
+    orig_sum = sw.sum()
+    neg_total = orig_sum - pos_total
+
+    if label_loss_type == "ce_loss":
+        ce = jax.nn.softplus(-logits) * y + jax.nn.softplus(logits) * (1.0 - y)
+        if pos_weight_balanced:
+            pw = (neg_total + 1.0) / (pos_total + 1.0)
+        else:
+            pw = pos_weight_value
+        sw2 = jnp.where(y == 1, sw * pw, sw)
+        sw2 = sw2 * orig_sum / jnp.maximum(sw2.sum(), 1e-30)
+        loss_labels = (ce * sw2).sum()
+    elif label_loss_type in ("pairwise_rank_loss", "pairwise_logistic_loss"):
+        if label_loss_type == "pairwise_rank_loss":
+            per_item, max_inv = pairwise_rank_loss_sum(
+                y, logits, margin=rank_loss_margin,
+                return_max_inversions=True, valid=valid,
+            )
+        else:
+            per_item, max_inv = pairwise_logistic_loss_sum(
+                y, logits, return_max_inversions=True, valid=valid
+            )
+        per_norm = per_item / jnp.maximum(max_inv, 1.0)
+        have_both = (pos_total > 0) & (neg_total > 0)
+        loss_labels = jnp.where(have_both, (per_norm * sw).sum(), 0.0)
+    else:
+        raise ValueError(label_loss_type)
+
+    w_hat = _normalize(w)
+    ww = jnp.maximum(w @ w, 1e-30)
+    loss_norm = reg_norm_lambda * (jnp.cosh(jnp.log(ww)) - 1.0)
+    loss_datareg = reg_data_lambda * (w @ (xlx @ w))
+    loss_queryreg = reg_query_lambda * (1.0 - w_hat @ qvec_hat) / 2.0
+    return loss_labels + loss_norm + loss_datareg + loss_queryreg
 
 
 def _pad_pow2(n: int, lo: int = 8) -> int:

@@ -111,6 +111,18 @@ def _install_stubs() -> None:
         # list gives pandas an object column with identical row semantics.
         ray_ext.TensorArray = lambda x: list(x)
         ray_data.extensions = ray_ext
+        def _any_class(name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {})
+
+        ray_ds = _module("ray.data.datasource", is_pkg=True)
+        ray_ds.__getattr__ = _any_class
+        ray_data.datasource = ray_ds
+        ray_data.__getattr__ = _any_class
+        ray_fmp = _module("ray.data.datasource.file_meta_provider")
+        ray_fmp.__getattr__ = _any_class
+        ray_ds.file_meta_provider = ray_fmp
 
     if "pynndescent" not in sys.modules:
         pynn = _module("pynndescent")

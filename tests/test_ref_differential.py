@@ -540,3 +540,53 @@ def test_left_iou_join_vs_ref():
             if len(lab) else np.zeros(len(gp))
         want = ref_out[ref_out.dbidx == dbidx].max_iou.values
         np.testing.assert_allclose(ours, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# the 4-term 'seesaw' objective vs loops/multi_reg.RegModule
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("label_loss_type", ["ce_loss", "pairwise_rank_loss",
+                                             "pairwise_logistic_loss"])
+def test_multi_reg_loss_vs_ref(label_loss_type):
+    import torch
+
+    mr = ref.load("seesaw.loops.multi_reg")
+    from seesaw_tpu.learners.multi_reg import multi_reg_loss
+
+    rng = np.random.default_rng(6)
+    n, d = 24, 16
+    for trial in range(8):
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        y = rng.integers(0, 2, size=n).astype(np.float32)
+        if y.sum() == 0:
+            y[0] = 1.0
+        if y.sum() == n:
+            y[0] = 0.0
+        q = rng.normal(size=d).astype(np.float32)
+        L = rng.normal(size=(d, d)).astype(np.float32)
+        xlx = (L @ L.T) / d
+        w = rng.normal(size=d).astype(np.float32)
+        lam = dict(reg_data_lambda=0.3, reg_norm_lambda=5.0, reg_query_lambda=0.7)
+
+        module = mr.RegModule(
+            dim=d, xlx_matrix=torch.tensor(xlx), qvec=torch.tensor(q),
+            label_loss_type=label_loss_type, use_qvec_norm=False,
+            rank_loss_margin=0.0, pos_weight="balanced", **lam,
+        )
+        with torch.no_grad():
+            module.weight.copy_(torch.tensor(w))
+        ref_loss = float(
+            module._step((torch.tensor(X), torch.tensor(y)))["loss"]
+        )
+
+        ours = float(multi_reg_loss(
+            w, X, y, np.ones(n, np.float32), np.ones(n, bool),
+            q / np.linalg.norm(q), xlx,
+            0.0, 1.0, lam["reg_data_lambda"], lam["reg_norm_lambda"],
+            lam["reg_query_lambda"],
+            label_loss_type=label_loss_type, pos_weight_balanced=True,
+        ))
+        assert np.isclose(ours, ref_loss, rtol=1e-4), (
+            f"{label_loss_type} trial {trial}: {ours} vs {ref_loss}"
+        )
