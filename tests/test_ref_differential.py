@@ -11,7 +11,12 @@ randomized inputs:
 - label propagation vs `LabelPropagation.fit_transform`;
 - LKNN posteriors/conditioning vs `loops/LKNN_model.py`;
 - metrics vs `seesaw.metrics`;
-- Platt calibration vs `GroundTruthCalibrator` (sklearn _SigmoidCalibration).
+- Platt calibration vs `GroundTruthCalibrator` (sklearn _SigmoidCalibration);
+- diversified graph factoring vs `knn_graph.factor_neighbors`;
+- box geometry (iou/containment/join/segments/square boxes) vs
+  `seesaw.box_utils`;
+- the 4-term 'seesaw' objective vs `loops/multi_reg.RegModule` across all
+  three label-loss types.
 """
 import sys
 from pathlib import Path
