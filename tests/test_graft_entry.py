@@ -2,6 +2,8 @@
 CPU mesh. entry() uses the full ViT-B/32 (slow to compile on CPU) — checked
 for structure only here; the driver compile-checks it on the real chip."""
 import sys
+
+import numpy as np
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -43,5 +45,13 @@ def test_entry_signature():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    assert callable(fn) and isinstance(args, tuple)
-    assert args[0].shape == (4, 224, 224, 3)
+    assert callable(fn) and isinstance(args, tuple) and len(args) == 2
+    params, pixels = args
+    assert pixels.shape == (4, 224, 224, 3)
+    # params must be the fn's ARGUMENT, not a closure constant: a captured
+    # 350MB tree overflows the axon remote-compile request (HTTP 413)
+    assert isinstance(params, dict) and "vision" in params
+    assert not fn.__closure__ or all(
+        not hasattr(c.cell_contents, "shape") or np.prod(getattr(c.cell_contents, "shape", (1,))) < 1e6
+        for c in fn.__closure__
+    )
