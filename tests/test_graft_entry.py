@@ -51,7 +51,11 @@ def test_entry_signature():
     # params must be the fn's ARGUMENT, not a closure constant: a captured
     # 350MB tree overflows the axon remote-compile request (HTTP 413)
     assert isinstance(params, dict) and "vision" in params
-    assert not fn.__closure__ or all(
-        not hasattr(c.cell_contents, "shape") or np.prod(getattr(c.cell_contents, "shape", (1,))) < 1e6
-        for c in fn.__closure__
-    )
+    for cell in fn.__closure__ or ():
+        v = cell.cell_contents
+        assert not (isinstance(v, dict) and "vision" in v), (
+            "params captured in closure — bakes 350MB into the compile request"
+        )
+        shape = getattr(v, "shape", None)
+        if isinstance(shape, tuple):
+            assert int(np.prod(shape)) < 1_000_000, f"large closure array {shape}"
