@@ -1,5 +1,6 @@
 """Config system: choose-expansion, template merge, yaml variants, and the
 run_bench CLI end-to-end (dryrun) over the synthetic dataset."""
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -112,3 +113,44 @@ def test_run_bench_cli_dryrun(tmp_path):
     data = json.loads(summaries[0].read_text())
     assert data["result"] is not None
     assert data["bench_params"]["ground_truth_category"] == CATEGORY
+
+
+def test_run_bench_cli_process_pool(tmp_path):
+    """Full (non-dryrun) run through the ProcessPoolExecutor path with two
+    variants and two workers: summary parquet aggregates all sessions."""
+    root = tmp_path / "root"
+    build_synthetic_root(str(root))
+    cfg = {
+        "datasets": ["synth"],
+        "shared_session_params": {"batch_size": 2, "shortlist_size": 15},
+        "shared_bench_params": {
+            "n_batches": 4, "max_results": 4, "query_template": "a {}",
+        },
+        "variants": [
+            {"name": "plain_v", "interactive": "plain", "index_name": "multiscale"},
+            {"name": "random_v", "interactive": "random", "index_name": "multiscale"},
+        ],
+    }
+    cfg_path = tmp_path / "bench2.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "out2"
+    out_dir.mkdir()
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "run_bench.py"),
+         "--root_dir", str(root), "--output_dir", str(out_dir),
+         "--num_workers", "2", str(cfg_path)],
+        capture_output=True, text=True, timeout=900, cwd=str(repo),
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo)},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summaries = list(out_dir.rglob("summary.json"))
+    assert len(summaries) == 2
+    import pandas as pd
+
+    from seesaw_tpu.bench.harness import get_all_session_summaries
+
+    df = get_all_session_summaries(str(out_dir), force_recompute=True)
+    assert set(df.variant) == {"plain_v", "random_v"}
+    assert (df.nseen > 0).all()
