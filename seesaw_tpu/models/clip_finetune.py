@@ -158,21 +158,50 @@ def successive_halving_search(
     rungs: List[int] = (1, 2, 4),
     eta: int = 2,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Serial ASHA-style search: sample configs, train each for rung[0]
     budget, keep the best 1/eta fraction per rung at increasing budget.
     make_and_eval(config, budget_units) -> validation loss (lower better).
-    Returns (best_config, best_loss, history)."""
+    Returns (best_config, best_loss, history).
+
+    With checkpoint_dir, search state (history + survivors) persists to
+    search_state.json after every trial, and a restarted search resumes past
+    completed (config, budget) evaluations — the role of the reference's
+    ray.tune checkpointing (`clip_module.py:290-304`)."""
+    import json
+    from pathlib import Path
+
     rng = random.Random(seed)
     trials = [sample_search_space(space, rng) for _ in range(n_trials)]
     history = []
+    done = {}
+    state_path = Path(checkpoint_dir) / "search_state.json" if checkpoint_dir else None
+    if state_path and state_path.exists():
+        history = json.loads(state_path.read_text())["history"]
+        done = {
+            (json.dumps(h["config"], sort_keys=True), h["budget"]): h["loss"]
+            for h in history
+        }
+
+    def save_state():
+        if state_path:
+            state_path.parent.mkdir(parents=True, exist_ok=True)
+            state_path.write_text(json.dumps({"history": history}))
+
     survivors = trials
     for rung in rungs:
         scored = []
         for cfg in survivors:
-            loss = make_and_eval(cfg, rung)
+            key = (json.dumps(cfg, sort_keys=True), rung)
+            if key in done:
+                loss = done[key]
+            else:
+                loss = make_and_eval(cfg, rung)
+                history.append({"config": cfg, "budget": rung, "loss": loss})
+                done[key] = loss
+                save_state()
             scored.append((loss, cfg))
-            history.append({"config": cfg, "budget": rung, "loss": loss})
         scored.sort(key=lambda t: t[0])
         keep = max(1, len(scored) // eta)
         survivors = [cfg for _, cfg in scored[:keep]]

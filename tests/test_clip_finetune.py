@@ -88,3 +88,29 @@ def test_successive_halving():
     assert best["x"] == 2.9
     # later rungs evaluated fewer configs
     assert sum(1 for _, b in calls if b == 2) <= sum(1 for _, b in calls if b == 1)
+
+
+def test_search_checkpoint_resume(tmp_path):
+    """A restarted search skips completed (config, budget) evaluations."""
+    from seesaw_tpu.models.clip_finetune import successive_halving_search
+
+    calls = []
+
+    def evaluate(cfg, budget):
+        calls.append((cfg["lr"], budget))
+        return abs(cfg["lr"] - 3e-4) * budget
+
+    space = {"lr": {"choose": [1e-4, 3e-4, 1e-3]}}
+    best1, loss1, hist1 = successive_halving_search(
+        space, evaluate, n_trials=4, rungs=[1, 2], seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    n_first = len(calls)
+    assert n_first > 0 and (tmp_path / "search_state.json").exists()
+
+    best2, loss2, hist2 = successive_halving_search(
+        space, evaluate, n_trials=4, rungs=[1, 2], seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert len(calls) == n_first  # everything replayed from the checkpoint
+    assert best2 == best1 and loss2 == loss1
