@@ -582,7 +582,7 @@ def test_multi_reg_loss_vs_ref(label_loss_type):
         with torch.no_grad():
             module.weight.copy_(torch.tensor(w))
         ref_loss = float(
-            module._step((torch.tensor(X), torch.tensor(y)))["loss"]
+            module._step((torch.tensor(X), torch.tensor(y)))["loss"].detach()
         )
 
         ours = float(multi_reg_loss(
