@@ -1,14 +1,16 @@
 """Headline benchmark on the real chip. Prints ONE JSON line.
 
-Primary metric: p50 per-feedback re-rank latency over a 10M-vector
+Primary metric: p50 per-feedback re-rank DEVICE latency over a 10M-vector
 multiscale database (BASELINE.md target: < 50 ms on-device). The re-rank is
 the full fused query program — matvec over the HBM-resident matrix,
 distinct-frame shortlist under exclusion, frame augmentation, final top-k.
 
-Wall-clock latencies here include the axon tunnel RTT, so the bench also
-isolates DEVICE time by chaining K queries inside one jitted lax.scan (one
-dispatch, K full queries with an evolving exclusion set): per-query device
-time = total/K. The measured RTT of an empty dispatch is reported alongside.
+Device time is measured by chaining K queries inside one jitted lax.scan
+(one dispatch, K full queries with an evolving exclusion set, fresh inputs
+per repetition, value-fetch completion barriers): per-query device time =
+total/K. Wall-clock numbers (reported in extras) additionally pay this
+environment's ~30ms-per-dispatch tunnel latency, which a host-attached
+deployment does not.
 
 Also measured: CLIP ViT-B/32 embed throughput (images/sec/chip), END-TO-END
 ingest throughput (JPEG decode -> multiscale tiling -> encode; BASELINE.md
