@@ -23,11 +23,16 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def crop_patches(ds, box_table, *, padding: int, target: int, n_threads: int = 8):
-    """Decode each labeled image once, crop all its padded boxes, preprocess
-    to (target, target, 3) float32. Returns (patches, row_indices)."""
+def crop_patches(ds, box_table, *, padding: int, target: int,
+                 min_side: int = 160, n_threads: int = 8):
+    """Decode each labeled image once, crop each gt box as the reference
+    does (pad by `padding`, then the best in-bounds SQUARE of at least
+    min_side — `preproc_utils.gt_patch_preprocessor`, reference
+    preproc_utils.py:28-47), preprocess to (target, target, 3) float32.
+    Returns (patches, row_indices)."""
     import PIL.Image
 
+    from seesaw_tpu.box_utils import BoundingBoxBatch, BoxBatch
     from seesaw_tpu.models.preprocess import preprocess_image
 
     by_img = {}
@@ -42,13 +47,19 @@ def crop_patches(ds, box_table, *, padding: int, target: int, n_threads: int = 8
             print(f"warning: skipping dbidx={dbidx}: {e!r}")
             return [], []
         W, H = im.size
+        xyxy = np.clip(
+            box_table.boxes[rows],
+            [0, 0, 0, 0], [W, H, W, H],
+        ).astype(np.float64)
+        bb = BoundingBoxBatch.from_boxbatch(
+            BoxBatch.from_xyxy(xyxy), np.full(len(rows), W), np.full(len(rows), H)
+        )
+        squares = bb.pad(padding).best_square_box(
+            min_side=min(min_side, W, H)
+        ).to_xyxy()
         patches, kept = [], []
-        for i in rows:
-            x1, y1, x2, y2 = box_table.boxes[i]
-            crop = im.crop((
-                max(0, int(x1) - padding), max(0, int(y1) - padding),
-                min(W, int(x2) + padding), min(H, int(y2) + padding),
-            ))
+        for i, box in zip(rows, squares):
+            crop = im.crop(tuple(box))
             if crop.size[0] < 2 or crop.size[1] < 2:
                 continue
             patches.append(preprocess_image(crop, target))
