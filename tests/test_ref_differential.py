@@ -595,3 +595,31 @@ def test_multi_reg_loss_vs_ref(label_loss_type):
         assert np.isclose(ours, ref_loss, rtol=1e-4), (
             f"{label_loss_type} trial {trial}: {ours} vs {ref_loss}"
         )
+
+
+# ---------------------------------------------------------------------------
+# ManualPooling vs models/embeddings.ManualPooling
+# ---------------------------------------------------------------------------
+
+def test_manual_pooling_vs_ref():
+    import torch
+
+    emb_mod = ref.load("seesaw.models.embeddings")
+    from seesaw_tpu.ops.pooling import manual_pooling
+
+    rng = np.random.default_rng(8)
+    for (h, w, k, s, center) in [(7, 7, 3, 2, False), (7, 7, 3, 2, True),
+                                 (10, 6, 4, 3, True), (5, 9, 2, 2, False)]:
+        x = rng.normal(size=(2, 3, h, w)).astype(np.float32)
+        ref_pool = emb_mod.ManualPooling(
+            kernel=torch.nn.AvgPool2d(k), kernel_size=k, stride=s, center=center
+        )
+        want = ref_pool(torch.from_numpy(x)).numpy()
+        import jax.numpy as jnp
+
+        got = np.asarray(manual_pooling(
+            x, kernel=lambda win: jnp.mean(win, axis=(-2, -1)),
+            kernel_size=k, stride=s, center=center,
+        ))
+        np.testing.assert_allclose(got.reshape(want.shape), want, atol=1e-5,
+                                   err_msg=f"{(h, w, k, s, center)}")
