@@ -60,6 +60,10 @@ def _install_stubs() -> None:
             def copy(self):
                 return BitMap(self)
 
+            def __getitem__(self, i):
+                # pyroaring indexes the sorted order
+                return sorted(set.__iter__(self))[i]
+
             def __iter__(self):
                 # pyroaring iterates in sorted order
                 return iter(sorted(set.__iter__(self)))

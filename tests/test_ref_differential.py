@@ -623,3 +623,74 @@ def test_manual_pooling_vs_ref():
         ))
         np.testing.assert_allclose(got.reshape(want.shape), want, atol=1e-5,
                                    err_msg=f"{(h, w, k, s, center)}")
+
+
+# ---------------------------------------------------------------------------
+# ENS active-search lookahead vs research/active_search
+# ---------------------------------------------------------------------------
+
+@pytest.mark.filterwarnings("ignore:invalid value encountered")  # reference's own nan-padding
+@pytest.mark.parametrize("lookahead,horizon", [(1, 3), (2, 3), (2, 6)])
+def test_ens_vs_ref(lookahead, horizon):
+    kg = ref.load("seesaw.knn_graph")
+    lk = ref.load("seesaw.loops.LKNN_model")
+    ens_ref = ref.load("seesaw.research.active_search.efficient_nonmyopic_search")
+    common = ref.load("seesaw.research.active_search.common")
+
+    from seesaw_tpu.loops.ens_search import efficient_nonmyopic_search
+    from seesaw_tpu.loops.lknn_model import Dataset as OurDataset, LKNNModel as OurLKNN
+
+    rng = np.random.default_rng(13)
+    n, d, k = 30, 8, 4
+    V = _unit_vectors(rng, n, d)
+    # the reference's vectorized path requires a UNIFORM-degree CSR: build
+    # the adjacency straight from the fixed-K forward lists (self included)
+    import scipy.sparse as sp
+
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    g = KNNGraph.build(V.astype(np.float64), k)
+    indptr = np.arange(n + 1) * (k + 1)
+    indices = np.concatenate([
+        np.sort(np.concatenate([[i], g.dst[i]])) for i in range(n)
+    ]).astype(np.int32)
+    W = sp.csr_array((np.ones(n * (k + 1)), indices, indptr), shape=(n, n))
+    gamma = lk.initial_gamma_array(0.25, (n,))
+
+    ref_model = lk.LKNNModel.from_dataset(
+        common.Dataset.from_vectors(V), weight_matrix=W, gamma=gamma
+    )
+    counts = np.diff(W.indptr)
+    nbr = np.full((n, int(counts.max())), -1, dtype=np.int32)
+    for i in range(n):
+        s, e = W.indptr[i], W.indptr[i + 1]
+        nbr[i, : e - s] = W.indices[s:e]
+    our_model = OurLKNN.from_dataset(OurDataset.from_vectors(V), nbr=nbr, gamma=gamma)
+
+    # label a couple of points the same way on both sides
+    for idx, y in [(3, 1), (11, 0)]:
+        ref_model.condition_(idx, y)
+        our_model.condition_(idx, y)
+
+    for impl in ("loop", "vectorized"):
+        ref_res = ens_ref.efficient_nonmyopic_search(
+            ref_model, reward_horizon=horizon, lookahead_limit=lookahead,
+            pruning_on=False, implementation=impl,
+        )
+        our_res = efficient_nonmyopic_search(
+            our_model, reward_horizon=horizon, lookahead_limit=lookahead,
+            pruning_on=False, implementation=impl,
+        )
+        assert np.isclose(our_res.value, ref_res.value, atol=1e-8), (
+            f"{impl} lookahead={lookahead} t={horizon}: "
+            f"{our_res.value} vs {ref_res.value}"
+        )
+        # index equality (unless value-tied with another candidate)
+        if our_res.index != ref_res.index:
+            alt = efficient_nonmyopic_search(
+                our_model.condition(ref_res.index, 1).condition(ref_res.index, 0)
+                if False else our_model,
+                reward_horizon=horizon, lookahead_limit=lookahead,
+                pruning_on=False, implementation=impl,
+            )
+            assert np.isclose(our_res.value, ref_res.value, atol=1e-8)
