@@ -694,3 +694,39 @@ def test_ens_vs_ref(lookahead, horizon):
                 pruning_on=False, implementation=impl,
             )
             assert np.isclose(our_res.value, ref_res.value, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# config {choose} expansion vs seesaw.configs
+# ---------------------------------------------------------------------------
+
+def test_config_expansion_vs_ref():
+    cfgs = ref.load("seesaw.configs")
+    from seesaw_tpu import configs as ours
+
+    base = {
+        "interactive": "plain",
+        "batch_size": {"choose": [1, 3]},
+        "nested": {"inner": {"choose": ["a", "b", "c"]}, "fixed": 7},
+    }
+    assert ours.space_size(base) == cfgs.space_size(base) == 6
+
+    # exhaustive expansion: same SET of configs (order/sample ids may differ;
+    # both sample uniformly until max_trials distinct configs are drawn)
+    def strip(c):
+        c = dict(c)
+        c.pop("sample_id", None)
+        return json.dumps(c, sort_keys=True)
+
+    import json
+
+    ref_all = {strip(c) for c in cfgs.generate_method_configs(base, max_trials=100)}
+    our_all = {strip(c) for c in ours.generate_method_configs(base, max_trials=100)}
+    assert ref_all == our_all and len(ref_all) == 6
+
+    # single-config variants carry sample_id=None (the reference convention)
+    single = {"interactive": "plain", "batch_size": 2}
+    r1 = cfgs.generate_method_configs(single, max_trials=5)
+    o1 = ours.generate_method_configs(single, max_trials=5)
+    assert len(r1) == len(o1) == 1
+    assert r1[0]["sample_id"] is None and o1[0]["sample_id"] is None
