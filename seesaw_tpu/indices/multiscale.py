@@ -362,10 +362,17 @@ class MultiscaleIndex(AccessMethod):
             from ..parallel.mesh import make_mesh
 
             mesh = make_mesh(len(jax.devices()))
+        device_dtype = options.get("device_dtype")
+        if device_dtype is None:
+            # auto: big matrices go to HBM as bf16 (f32 at 10M x 512 is 20GB,
+            # over a v5e's 16GB); small ones stay exact
+            device_dtype = (
+                "bfloat16" if vectors.size * 4 > 4 * 1024**3 else "float32"
+            )
         return MultiscaleIndex(
             embedding=embedding, vectors=vectors, meta=meta,
             path=str(p), excluded=excluded,
-            device_dtype=options.get("device_dtype", "float32"),
+            device_dtype=device_dtype,
             mesh=mesh,
         )
 

@@ -102,3 +102,20 @@ def test_per_row_int8_shortlist_recall():
     recall_glob = hits_glob / (trials * topk)
     assert recall_row >= 0.999, f"per-row int8 top-{topk} in shortlist: {recall_row}"
     assert recall_row >= recall_glob, (recall_row, recall_glob)
+
+
+def test_from_path_auto_dtype(tmp_path, db):
+    """Small saved indexes load exact f32; the auto-bf16 threshold guards
+    HBM capacity for big ones (checked via the threshold arithmetic)."""
+    meta, V = db
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+
+    idx = MultiscaleIndex(vectors=V, meta=meta)
+    idx.save(str(tmp_path / "ms"))
+    loaded = MultiscaleIndex.from_path(str(tmp_path / "ms"))
+    assert loaded.device_dtype == "float32"
+    loaded2 = MultiscaleIndex.from_path(str(tmp_path / "ms"),
+                                        device_dtype="bfloat16")
+    assert loaded2.device_dtype == "bfloat16"
+    # the auto rule flips at 4GB of f32
+    assert (10_000_000 * 512 * 4) > 4 * 1024**3
