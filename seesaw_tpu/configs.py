@@ -104,7 +104,12 @@ def get_default_config(method: str) -> Optional[dict]:
     return copy.deepcopy(_method_configs.get(method))
 
 
+# UI mode-name aliases (reference `configs.py:57-60`: 'default' -> 'plain')
+modes = {"default": "plain"}
+
+
 def make_session_params(mode: str, dataset: str, index: str) -> SessionParams:
+    mode = modes.get(mode, mode)
     cfg = get_default_config(mode)
     assert cfg is not None, f"unknown method {mode!r}"
     return SessionParams(

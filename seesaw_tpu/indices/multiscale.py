@@ -165,7 +165,11 @@ class MultiscaleIndex(AccessMethod):
         q = np.asarray(vec, np.float32).reshape(-1)
         if self._sharded is not None:  # host segment-max; V lives on the mesh
             s = self.vectors @ q
-            return np.maximum.reduceat(s, self.meta.frame_starts[:-1])
+            fmax = np.maximum.reduceat(s, self.meta.frame_starts[:-1])
+            # reduceat on an empty segment returns the NEXT segment's first
+            # element; every frame has >=1 tile by construction, but guard so
+            # a degenerate meta can't silently surface a neighbor's score
+            return np.where(np.diff(self.meta.frame_starts) > 0, fmax, -np.inf)
         return np.asarray(
             frame_scoring.score_frames_max(
                 self._V, self._valid, jnp.asarray(q), self._row_scale

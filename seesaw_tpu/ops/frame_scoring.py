@@ -151,6 +151,10 @@ def scoring_matvec(
         )
         out = acc.astype(jnp.float32) * (qmax / 127.0)
         return out * row_scale if row_scale is not None else out
+    assert row_scale is None, (
+        f"row_scale is only meaningful for int8 vectors (got {vectors.dtype}); "
+        "passing it with a float matrix would be silently ignored"
+    )
     return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
 
 

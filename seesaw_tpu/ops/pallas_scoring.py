@@ -76,6 +76,9 @@ def fused_frame_max(
         valid = jnp.pad(valid, ((0, Fp - F), (0, 0)))
         excluded = jnp.pad(excluded, ((0, Fp - F),), constant_values=True)
 
+    assert vectors.dtype == jnp.int8 or row_scale is None, (
+        f"row_scale is only meaningful for int8 vectors (got {vectors.dtype})"
+    )
     # int8 query quantization (same scheme as ops.frame_scoring.scoring_matvec)
     if vectors.dtype == jnp.int8:
         qmax = jnp.max(jnp.abs(qvec)) + 1e-12

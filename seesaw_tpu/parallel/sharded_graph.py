@@ -8,9 +8,11 @@ reference approximates with pynndescent on one host,
 - **kNN build** (`sharded_exact_knn`): rows are block-sharded over the mesh;
   the column blocks rotate systolically via `ppermute` so every chip scans
   its row block against each column shard in S steps, keeping a running
-  top-k merged by (distance, index)-lexicographic sort — exactly
-  `lax.top_k`'s lowest-index-on-ties convention, so results match the
-  single-device `ops.knn.exact_knn` bit-for-bit. Per step the only cross-
+  top-k merged by (negated raw similarity, index)-lexicographic sort —
+  exactly `lax.top_k`-over-similarity's lowest-index-on-ties convention,
+  so results match the single-device `ops.knn.exact_knn` bit-for-bit
+  (clipped cosine distance is emitted only at the end, so sims > 1.0 from
+  duplicate vectors under f32 rounding cannot collapse the tie order). Per step the only cross-
   chip traffic is one (Ns, D) block riding ICI; compute is an MXU matmul.
 
 - **propagation** (`sharded_propagate`): the padded fixed-degree graph is
@@ -40,13 +42,16 @@ def _pad_rows(arr: np.ndarray, n_pad: int, fill=0):
     return np.concatenate([arr, pad], axis=0)
 
 
-def _merge_topk(best_d, best_i, new_d, new_i, k: int):
-    """Row-wise merge of two candidate sets, keeping the k smallest
-    distances; ties broken toward the lower index (lax.top_k convention)."""
-    d = jnp.concatenate([best_d, new_d], axis=1)
+def _merge_topk(best_k, best_i, new_k, new_i, k: int):
+    """Row-wise merge of two candidate sets on an ascending sort key (the
+    NEGATED raw similarity — NOT the clipped distance, so that duplicate
+    vectors with sims > 1.0 under f32 rounding keep their relative order);
+    ties broken toward the lower index (lax.top_k convention, matching the
+    single-device ops.knn.exact_knn path bit-for-bit)."""
+    kk = jnp.concatenate([best_k, new_k], axis=1)
     i = jnp.concatenate([best_i, new_i], axis=1)
-    d_sorted, i_sorted = jax.lax.sort((d, i), num_keys=2, dimension=1)
-    return d_sorted[:, :k], i_sorted[:, :k]
+    k_sorted, i_sorted = jax.lax.sort((kk, i), num_keys=2, dimension=1)
+    return k_sorted[:, :k], i_sorted[:, :k]
 
 
 def sharded_exact_knn(
@@ -84,24 +89,23 @@ def sharded_exact_knn(
         perm = [(i, (i - 1) % S) for i in range(S)]
 
         def step(s, carry):
-            best_d, best_i, cols, col_valid, col_base = carry
+            best_k, best_i, cols, col_valid, col_base = carry
             sims = (V_local @ cols.T).astype(jnp.float32)  # (Ns, Ns)
             col_ids = col_base * Ns + jnp.arange(Ns, dtype=jnp.int32)[None, :]
             masked = jnp.where(
                 col_valid[None, :] & (row_ids != col_ids), sims, -jnp.inf
             )
             top_s, top_j = jax.lax.top_k(masked, kb)
-            new_d = jnp.clip(1.0 - top_s, 0.0)
-            new_d = jnp.where(jnp.isfinite(top_s), new_d, jnp.inf)
+            new_k = jnp.where(jnp.isfinite(top_s), -top_s, jnp.inf)
             new_i = jnp.take_along_axis(
                 jnp.broadcast_to(col_ids, sims.shape), top_j, axis=1
             )
             new_i = jnp.where(jnp.isfinite(top_s), new_i, jnp.iinfo(jnp.int32).max)
-            best_d, best_i = _merge_topk(best_d, best_i, new_d, new_i, k)
+            best_k, best_i = _merge_topk(best_k, best_i, new_k, new_i, k)
             cols = jax.lax.ppermute(cols, AXIS, perm)
             col_valid = jax.lax.ppermute(col_valid, AXIS, perm)
             col_base = jax.lax.ppermute(col_base, AXIS, perm)
-            return best_d, best_i, cols, col_valid, col_base
+            return best_k, best_i, cols, col_valid, col_base
 
         # mark the device-constant inits as mesh-varying (they become varying
         # after the first merge with per-shard data)
@@ -113,7 +117,12 @@ def sharded_exact_knn(
             valid_local,
             me,
         )
-        best_d, best_i, _, _, _ = jax.lax.fori_loop(0, S, step, init)
+        best_k, best_i, _, _, _ = jax.lax.fori_loop(0, S, step, init)
+        # emit the reference's clipped cosine distance only at the end; the
+        # merge itself ranked on raw similarity (see _merge_topk)
+        best_d = jnp.where(
+            jnp.isfinite(best_k), jnp.clip(1.0 + best_k, 0.0), jnp.inf
+        )
         return best_i, best_d
 
     ids, dist = build(Vd, validd)

@@ -69,7 +69,12 @@ class SeesawServer:
         self.root_dir = root_dir
         self.config_path = config_path
         self.serve_files_root = serve_files_root or "/"
+        # /explore state: the fitted Visualizer is mutated per request (query
+        # overlay), so all of _explore runs under a lock; the cache is bounded
+        # since each entry holds a full frame-vector copy
         self._explore_cache: dict = {}
+        self._explore_cache_max = 4
+        self._explore_lock = threading.Lock()
         self.log_requests = bool(os.environ.get("SEESAW_WEB_LOG"))
 
     # ------------------------------------------------------------------ #
@@ -272,6 +277,10 @@ class SeesawServer:
 
     # ------------------------------------------------------------------ #
     def _explore(self, query: dict) -> tuple:
+        with self._explore_lock:
+            return self._explore_locked(query)
+
+    def _explore_locked(self, query: dict) -> tuple:
         dataset = query["dataset"]
         index = query.get("index", "multiscale")
         k = int(query.get("clusters", 12))
@@ -293,6 +302,8 @@ class SeesawServer:
             vz = Visualizer(sums / counts, dbidx=idx.meta.frame_dbidx)
             vz.fit_projection()
             vz.assign_clusters(k=min(k, len(vz.vectors)))
+            while len(self._explore_cache) >= self._explore_cache_max:
+                self._explore_cache.pop(next(iter(self._explore_cache)))
             self._explore_cache[cache_key] = html = (vz, ds)
         vz, ds = html
 
