@@ -10,6 +10,12 @@ test as the reference:
 
     f <- (W f + lambda * prior) / (degree + lambda);  f[labeled] = label
     stop when max (f_new - f_old)^2 < epsilon or max_iter reached.
+
+On convergence the PRE-step iterate is returned, exactly like the reference
+(`label_propagation.py:66-79` breaks out of the loop before `old_fvalues =
+new_fvalues`); only a non-converged run returns the last computed iterate.
+The full-session differential (test_ref_session_differential.py) is
+sensitive to this one-step difference (~sqrt(epsilon) in score units).
 """
 from __future__ import annotations
 
@@ -63,5 +69,10 @@ def propagate(
         done = jnp.max((new_f - f) ** 2) < epsilon
         return (new_f, f, i + 1, done)
 
-    f, _, n, done = jax.lax.while_loop(cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False)))
-    return PropagationResult(scores=f, n_iter=n, converged=done)
+    f, f_prev, n, done = jax.lax.while_loop(
+        cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False))
+    )
+    # converged -> the reference returns the value from BEFORE the last step
+    return PropagationResult(
+        scores=jnp.where(done, f_prev, f), n_iter=n, converged=done
+    )

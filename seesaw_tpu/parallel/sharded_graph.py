@@ -194,10 +194,12 @@ def sharded_propagate(
             done = jax.lax.pmax(local_max, AXIS) < epsilon
             return (new_f, f, i + 1, done)
 
-        f, _, _, _ = jax.lax.while_loop(
+        f, f_prev, _, done = jax.lax.while_loop(
             cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False))
         )
-        return f
+        # converged -> return the PRE-step iterate, matching both the
+        # single-device program and the reference (label_propagation.py:66-79)
+        return jnp.where(done, f_prev, f)
 
     out = run(*args)
     return np.asarray(out)[:N]

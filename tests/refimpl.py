@@ -43,6 +43,18 @@ def _install_stubs() -> None:
             def add(self, x):
                 set.add(self, int(x))
 
+            def __contains__(self, x):
+                # pyroaring's C-level uint32 conversion accepted SIZE-1 numpy
+                # arrays on the reference's numpy 1.x (Session._check_reversals
+                # relies on this: it iterates per-BATCH arrays,
+                # seesaw_session.py:124-127, so batch_size must be 1 — the
+                # reference's own benchmark setting, std_bench.yaml:7)
+                import numpy as np
+
+                if isinstance(x, np.ndarray):
+                    x = x.item()
+                return set.__contains__(self, int(x))
+
             def union(self, *o):
                 return BitMap(set.union(self, *o))
 

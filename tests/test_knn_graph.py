@@ -121,7 +121,10 @@ def test_xlx_matches_dense():
 
 
 def oracle_propagate(W_dense, prior, label_ids, label_values, lam, iters=300, eps=1e-5):
-    """Reference Jacobi loop written directly from the spec."""
+    """Reference Jacobi loop written directly from the spec. On convergence
+    the PRE-step iterate is returned, like the reference implementation
+    (`label_propagation.py:66-79` breaks before old = new) — the full-session
+    differential pins our program to that semantics."""
     f = prior.copy()
     f[label_ids] = label_values
     wsum = W_dense.sum(axis=0)
@@ -129,7 +132,7 @@ def oracle_propagate(W_dense, prior, label_ids, label_values, lam, iters=300, ep
         nf = (W_dense @ f + lam * prior) / (wsum + lam)
         nf[label_ids] = label_values
         if np.max((nf - f) ** 2) < eps:
-            return nf
+            return f
         f = nf
     return f
 

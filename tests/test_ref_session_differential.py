@@ -1,0 +1,370 @@
+"""FULL-SESSION differential: the literal reference Session + loops
+(`/root/reference/seesaw/seesaw_session.py:82-213`, `loops/registry.py:19-34`)
+run side-by-side with `seesaw_tpu.session.Session` on the same synthetic
+dataset with the same simulated user, asserting PER-ROUND equality of
+returned dbidxs, frame scores, activation boxes, and final seen/accepted
+state.
+
+The 26 component differentials in test_ref_differential.py prove each
+numeric primitive equal; this test proves the COMPOSITION — exclusion
+semantics, ordering, state diffing, start-policy gating, label->vector
+matching — by driving whole interactive sessions through both engines
+(the north star's "seesaw_bench runs unchanged / per-round score fidelity"
+contract; the driving protocol mirrors the reference `benchmark_loop`,
+`seesaw_bench.py:278-355`: label the last batch from gt, update_state,
+refine, next).
+"""
+import copy
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from refimpl import ref  # noqa: E402
+
+D = 24
+QSTR = "a dog"
+CATEGORY = "dog"
+N_IMAGES = 40
+# batch_size 1 = the reference's own benchmark setting (std_bench.yaml:7);
+# its Session._check_reversals iterates per-BATCH arrays
+# (seesaw_session.py:124-127) and only converts under batch_size == 1
+BATCH_SIZE = 1
+SHORTLIST = 20
+N_ROUNDS = 16
+KNN_K = 6
+
+
+class StubEmbedding:
+    """Deterministic text tower shared by both engines."""
+
+    def __init__(self, qvec):
+        self._qvec = np.asarray(qvec, np.float32)
+
+    def from_string(self, string=None):
+        return self._qvec.copy()
+
+
+class StubDataset:
+    def get_urls(self, idxbatch):
+        return [f"file://img_{int(i):04d}.jpg" for i in idxbatch]
+
+
+def _build_synth(seed=0):
+    """Synthetic multiscale database + gt, in the SAME vector order for both
+    engines (seesaw_tpu's VectorMeta sort, which matches the ingest order the
+    reference's parquet artifacts carry)."""
+    rng = np.random.default_rng(seed)
+    qvec = rng.normal(size=D).astype(np.float32)
+    qvec /= np.linalg.norm(qvec)
+
+    n_pos = N_IMAGES // 4
+    pos_ids = rng.choice(N_IMAGES, size=n_pos, replace=False)
+    is_pos = np.zeros(N_IMAGES, dtype=bool)
+    is_pos[pos_ids] = True
+
+    img = 224.0
+    quads = [
+        (0.0, 0.0, img / 2, img / 2),
+        (img / 2, 0.0, img, img / 2),
+        (0.0, img / 2, img / 2, img),
+        (img / 2, img / 2, img, img),
+    ]
+    dbidx, zoom, boxes, vecs = [], [], [], []
+    gt = {}  # dbidx -> list of gt boxes
+    for i in range(N_IMAGES):
+        tiles = [(1, q) for q in quads] + [(2, (0.0, 0.0, img, img))]
+        target = int(rng.integers(0, 4)) if is_pos[i] else -1
+        for t, (zl, bx) in enumerate(tiles):
+            v = rng.normal(size=D).astype(np.float32)
+            v /= np.linalg.norm(v)
+            if is_pos[i] and (t == target or zl == 2):
+                v = qvec + 0.55 * v
+                v /= np.linalg.norm(v)
+            dbidx.append(i)
+            zoom.append(zl)
+            boxes.append(bx)
+            vecs.append(v)
+        if is_pos[i]:
+            gt[i] = [quads[target]]
+
+    from seesaw_tpu.indices.meta import VectorMeta
+
+    meta, order = VectorMeta.from_arrays(
+        np.array(dbidx), np.array(zoom), np.array(boxes, np.float32)
+    )
+    V = np.stack(vecs).astype(np.float32)[order]
+    vm_df = pd.DataFrame(
+        {
+            "dbidx": meta.dbidx.astype("int64"),
+            "zoom_level": meta.zoom_level.astype("int64"),
+            "x1": meta.boxes[:, 0].astype("float32"),
+            "y1": meta.boxes[:, 1].astype("float32"),
+            "x2": meta.boxes[:, 2].astype("float32"),
+            "y2": meta.boxes[:, 3].astype("float32"),
+        }
+    )
+    return V, meta, vm_df, gt, qvec
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    V, meta, vm_df, gt, qvec = _build_synth()
+    # knn graph artifact shared by both engines ('subset' in the name keeps
+    # both sides on the cache-free path: the reference's LocalCache needs a
+    # live ray actor, and `knn_path.find('subset')` disables it,
+    # graph_based.py:44-46 / knn_graph.py:276-281)
+    root = tmp_path_factory.mktemp("ref_session_diff")
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    KNNGraph.build(V, n_neighbors=KNN_K).save(
+        root / "knn_graph" / "subset_diff"
+    )
+    return V, meta, vm_df, gt, qvec, str(root)
+
+
+MATRIX_OPTIONS = dict(
+    knn_path="subset_diff",
+    knn_k=KNN_K,
+    edist=0.5,
+    self_edges=False,
+    normalized_weights=False,
+    symmetric=True,
+)
+
+# label -> (method name, interactive_options, score rtol, start_policy).
+# NOTE: under start_policy='from_start', configs with BOTH reg_data_lambda > 0
+# and reg_query_lambda > 0 are not runnable on the reference: its
+# MultiReg.set_text_vec then refines immediately with zero labels and crashes
+# in RegModule._step (`loops/multi_reg.py:76`, sample_weight is None via
+# BasicTrainer's (None, None) batch) — the shipped configs use
+# reg_data_lambda: 0 (`scripts/configs/pseudo_label_lr.yaml:44-58`). The
+# full 4-term objective is exercised here under 'after_first_batch', which
+# defers the first refine until labels exist on both engines. multi_reg fits
+# run different LBFGS implementations (torch strong-Wolfe vs ours), so
+# scores carry a looser tolerance; returned dbidxs must still be identical
+# per round.
+LOOP_CONFIGS = {
+    "plain": ("plain", {}, 2e-4, "from_start"),
+    "rocchio": (
+        "rocchio_update",
+        dict(rocchio_alpha=1.0, rocchio_beta=0.7, rocchio_gamma=0.3),
+        2e-4,
+        "from_start",
+    ),
+    "knn_prop2": (
+        "knn_prop2",
+        dict(
+            matrix_options=MATRIX_OPTIONS,
+            normalize_scores=True,
+            normalize_epsilon=0.1,
+            sigmoid_before_propagate=True,
+            calib_a=2.0,
+            calib_b=-0.5,
+            prior_weight=1.0,
+        ),
+        2e-4,
+        "from_start",
+    ),
+    "multi_reg_ce": (
+        "multi_reg",
+        dict(
+            matrix_options=MATRIX_OPTIONS,
+            label_loss_type="ce_loss",
+            rank_loss_margin=0.2,
+            pos_weight="balanced",
+            use_qvec_norm=False,
+            reg_data_lambda=0.0,
+            reg_norm_lambda=100.0,
+            reg_query_lambda=0.0,
+            max_iter=200,
+            verbose=False,
+            lr=1.0,
+        ),
+        1e-2,
+        "from_start",
+    ),
+    "multi_reg_rank_4term": (
+        "multi_reg",
+        dict(
+            matrix_options=MATRIX_OPTIONS,
+            label_loss_type="pairwise_rank_loss",
+            rank_loss_margin=0.0,
+            pos_weight="balanced",
+            use_qvec_norm=False,
+            reg_data_lambda=0.1,
+            reg_norm_lambda=10.0,
+            reg_query_lambda=1.0,
+            max_iter=50,
+            verbose=False,
+            lr=1.0,
+        ),
+        1e-2,
+        "after_first_batch",
+    ),
+}
+
+
+def _make_ref_session(method, options, V, vm_df, qvec, root,
+                      start_policy="from_start"):
+    bt = ref.load("seesaw.basic_types")
+    ms = ref.load("seesaw.indices.multiscale.multiscale_index")
+    ss = ref.load("seesaw.seesaw_session")
+
+    params = bt.SessionParams(
+        index_spec=bt.IndexSpec(d_name="synth", i_name="multiscale", c_name=None),
+        interactive=method,
+        batch_size=BATCH_SIZE,
+        shortlist_size=SHORTLIST,
+        agg_method="avg_score",
+        aug_larger="all",
+        start_policy=start_policy,
+        interactive_options=options or None,
+    )
+    idx = ms.MultiscaleIndex(
+        embedding=StubEmbedding(qvec),
+        vectors=V,
+        vector_meta=vm_df,
+        path=root,
+    )
+    session = ss.Session(None, StubDataset(), idx, params)
+    Box = bt.Box
+    return session, Box
+
+
+def _make_tpu_session(method, options, V, meta, qvec, root,
+                      start_policy="from_start"):
+    from seesaw_tpu.basic_types import Box, IndexSpec, SessionParams
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.session import Session
+
+    params = SessionParams(
+        index_spec=IndexSpec(d_name="synth", i_name="multiscale"),
+        interactive=method,
+        batch_size=BATCH_SIZE,
+        shortlist_size=SHORTLIST,
+        agg_method="avg_score",
+        aug_larger="all",
+        start_policy=start_policy,
+        interactive_options=options or None,
+    )
+    idx = MultiscaleIndex(
+        embedding=StubEmbedding(qvec), vectors=V, meta=meta, path=root
+    )
+    session = Session(None, StubDataset(), idx, params)
+    return session, Box
+
+
+def _drive(session, BoxCls, gt, scores_fn):
+    """Run the reference benchmark protocol (`seesaw_bench.py:278-355`):
+    next -> label last batch from gt -> update_state -> refine. Returns the
+    per-round (dbidxs, frame_scores, act_boxes)."""
+    session.set_text(QSTR)
+    rounds = []
+    for _ in range(N_ROUNDS):
+        idxbatch = session.next()
+        idxs = [int(i) for i in idxbatch]
+        if not idxs:
+            break
+        state = copy.deepcopy(session.get_state())
+        last = state.gdata[-1]
+        for j, imdata in enumerate(last):
+            boxes = [
+                BoxCls(
+                    x1=float(b[0]), y1=float(b[1]),
+                    x2=float(b[2]), y2=float(b[3]),
+                    description=CATEGORY, marked_accepted=True,
+                )
+                for b in gt.get(int(imdata.dbidx), [])
+            ]
+            imdata.boxes = boxes
+            last[j] = imdata
+        session.update_state(state)
+        scores, act_boxes = scores_fn(session.acc_activations[-1])
+        rounds.append((idxs, scores, act_boxes))
+        session.refine()
+    return rounds
+
+
+def _ref_scores(activations):
+    scores = [float(df.score.iloc[0]) for df in activations]
+    boxes = [
+        [float(df.x1.iloc[0]), float(df.y1.iloc[0]),
+         float(df.x2.iloc[0]), float(df.y2.iloc[0])]
+        for df in activations
+    ]
+    return scores, boxes
+
+
+def _tpu_scores(activations):
+    scores = [float(a["score"]) for a in activations]
+    boxes = [[float(a["x1"]), float(a["y1"]), float(a["x2"]), float(a["y2"])]
+             for a in activations]
+    return scores, boxes
+
+
+@pytest.mark.parametrize("label", list(LOOP_CONFIGS))
+def test_full_session_vs_ref(synth, label):
+    V, meta, vm_df, gt, qvec, root = synth
+    method, options, score_rtol, start_policy = LOOP_CONFIGS[label]
+
+    ref_session, RefBox = _make_ref_session(
+        method, options, V, vm_df, qvec, root, start_policy
+    )
+    tpu_session, TpuBox = _make_tpu_session(
+        method, options, V, meta, qvec, root, start_policy
+    )
+
+    ref_rounds = _drive(ref_session, RefBox, gt, _ref_scores)
+    tpu_rounds = _drive(tpu_session, TpuBox, gt, _tpu_scores)
+
+    assert len(ref_rounds) == len(tpu_rounds) == N_ROUNDS
+    for r, ((ri, rs, rb), (ti, ts, tb)) in enumerate(zip(ref_rounds, tpu_rounds)):
+        assert ri == ti, (
+            f"{label} round {r}: returned dbidxs diverged: ref={ri} tpu={ti}"
+        )
+        np.testing.assert_allclose(
+            ts, rs, rtol=score_rtol, atol=score_rtol / 10,
+            err_msg=f"{label} round {r}: frame scores diverged (dbidxs={ri})",
+        )
+        np.testing.assert_allclose(
+            tb, rb, atol=1e-3,
+            err_msg=f"{label} round {r}: activation boxes diverged",
+        )
+
+    # composition state: same seen/accepted bitmaps at the end
+    assert sorted(ref_session.seen) == sorted(int(x) for x in tpu_session.seen)
+    assert sorted(ref_session.accepted) == sorted(
+        int(x) for x in tpu_session.accepted
+    )
+    # sanity: the sessions actually exercised feedback (found positives)
+    assert len(ref_session.accepted) > 0
+
+
+def test_full_session_start_policy_vs_ref(synth):
+    """Start-policy gating composes identically: with
+    'after_first_positive_and_negative' the method must stay on the plain
+    text ranking until both labels exist, then switch (reference
+    loop_base.py:79-106)."""
+    V, meta, vm_df, gt, qvec, root = synth
+    options = dict(LOOP_CONFIGS["rocchio"][1])
+
+    ref_session, RefBox = _make_ref_session(
+        "rocchio_update", options, V, vm_df, qvec, root
+    )
+    tpu_session, TpuBox = _make_tpu_session(
+        "rocchio_update", options, V, meta, qvec, root
+    )
+    ref_session.params.start_policy = "after_first_positive_and_negative"
+    tpu_session.params.start_policy = "after_first_positive_and_negative"
+    ref_session.loop.started = False
+    tpu_session.loop.started = False
+
+    ref_rounds = _drive(ref_session, RefBox, gt, _ref_scores)
+    tpu_rounds = _drive(tpu_session, TpuBox, gt, _tpu_scores)
+    for r, ((ri, rs, _), (ti, ts, _)) in enumerate(zip(ref_rounds, tpu_rounds)):
+        assert ri == ti, f"start-policy round {r}: {ri} != {ti}"
+        np.testing.assert_allclose(ts, rs, rtol=2e-4, atol=2e-5)
