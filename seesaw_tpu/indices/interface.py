@@ -26,6 +26,12 @@ class AccessMethod:
     def new_query(self):
         raise NotImplementedError("abstract")
 
+    def vectors_for_rows(self, rows: np.ndarray) -> np.ndarray:
+        """f32 vectors for row indices. Default: slice the host mirror;
+        indexes without one (MultiscaleIndex.from_device_arrays) gather the
+        rows from the device matrix instead."""
+        return self.vectors[np.asarray(rows, dtype=np.int64)]
+
     def subset(self, indices) -> "AccessMethod":
         raise NotImplementedError("abstract")
 

@@ -38,6 +38,14 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _pallas_interpret() -> bool:
+    """Mosaic kernels only compile for real TPU backends; anywhere else
+    (CPU tests / virtual meshes) run the kernel in interpret mode."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def match_labels_to_vectors(
     label_db: LabelDB, meta: VectorMeta, target_description: Optional[str] = None
 ):
@@ -69,6 +77,10 @@ def match_labels_to_vectors(
 
 
 class MultiscaleIndex(AccessMethod):
+    # how many newly-excluded frames per click ride into the fused query
+    # dispatch; bigger deltas fall back to a full host mask rebuild
+    _EXCL_DELTA = 8
+
     def __init__(
         self,
         *,
@@ -79,6 +91,7 @@ class MultiscaleIndex(AccessMethod):
         excluded: Optional[BitMap] = None,
         device_dtype: str = "float32",
         mesh=None,
+        use_pallas: bool = False,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' (HBM-halving, default
         for big indices — fastest measured scan), or 'int8' (per-row
@@ -90,7 +103,12 @@ class MultiscaleIndex(AccessMethod):
         mesh: a multi-device jax.sharding.Mesh row-shards the embedding
         matrix across chips (parallel.ShardedFrameIndex); query() then runs
         the per-shard program + ICI top-k merge while the lighter programs
-        (rank_by_scores, getXy) stay single-device/host."""
+        (rank_by_scores, getXy) stay single-device/host.
+
+        use_pallas: serve queries through the fused Pallas shortlist kernel
+        (ops.pallas_scoring) — frames are padded to the kernel's 1024-frame
+        block granularity at build. The production setting on TPU for big
+        indices; default off (tests run the XLA program on CPU)."""
         self.embedding = embedding
         self.path = path
         self.meta = meta
@@ -104,7 +122,21 @@ class MultiscaleIndex(AccessMethod):
 
         # device-resident arrays, frame-major padded (see ops.frame_scoring)
         self._tile_bound = _next_pow2(max(meta.max_tiles_per_frame, 1))
+        self._use_pallas = use_pallas
         rows, valid = meta.padded_rows(self._tile_bound)
+        if use_pallas:
+            # pad the frame axis to the Pallas block granularity (the padded
+            # frames are invalid + excluded; ops.pallas_scoring requires the
+            # vector rows pre-padded to Fp * T)
+            F = valid.shape[0]
+            Fp = -(-F // 1024) * 1024
+            if Fp != F:
+                rows = np.concatenate(
+                    [rows, np.zeros((Fp - F, self._tile_bound), rows.dtype)]
+                )
+                valid = np.concatenate(
+                    [valid, np.zeros((Fp - F, self._tile_bound), bool)]
+                )
         flat_rows = rows.reshape(-1)
         flat_valid = valid.reshape(-1)
         V_pad = self.vectors[flat_rows]
@@ -143,12 +175,88 @@ class MultiscaleIndex(AccessMethod):
         self._boxes = jnp.asarray(meta.boxes[flat_rows])
         self._zoom = jnp.asarray(meta.zoom_level[flat_rows])
         self._max_zoom = max(meta.max_zoom_level, 1)
-        # static frame mask for the construction-time exclusion list
-        self._base_excluded_mask = (
+        # static frame mask for the construction-time exclusion list; padded
+        # frames (pallas block granularity) are permanently excluded
+        base = (
             self.excluded.contains_many(meta.frame_dbidx.astype(np.uint32))
             if len(self.excluded)
             else np.zeros(meta.n_frames, dtype=bool)
         )
+        Fq = valid.shape[0]
+        if Fq != meta.n_frames:
+            base = np.concatenate([base, np.ones(Fq - meta.n_frames, dtype=bool)])
+        self._base_excluded_mask = base
+        self._init_exclusion_state()
+
+    @staticmethod
+    def from_device_arrays(
+        *,
+        embedding,
+        V: "jnp.ndarray",  # (Fp*T, D) frame-major padded, device-resident
+        valid: "jnp.ndarray",  # (Fq, T) bool (Fq = real frame count, or padded)
+        boxes: "jnp.ndarray",  # (Fq*T, 4) device
+        zoom: "jnp.ndarray",  # (Fq*T,) device
+        meta: VectorMeta,
+        row_scale: Optional["jnp.ndarray"] = None,
+        use_pallas: bool = True,
+    ) -> "MultiscaleIndex":
+        """Serving-scale construction from pre-built DEVICE arrays, with NO
+        host copy of the embedding matrix (a 10M x 512 f32 host mirror is
+        20GB; the host keeps only the per-vector metadata). Labeled-row
+        vectors for per-round fits come from `vectors_for_rows`, which
+        gathers the few hundred labeled rows from the device matrix."""
+        self = MultiscaleIndex.__new__(MultiscaleIndex)
+        self.embedding = embedding
+        self.path = None
+        self.meta = meta
+        self.vectors = None
+        self.excluded = BitMap()
+        self.all_indices = FrozenBitMap(meta.frame_dbidx)
+        self._tile_bound = valid.shape[1]
+        assert self._tile_bound >= meta.max_tiles_per_frame
+        self._use_pallas = use_pallas
+        self.device_dtype = str(V.dtype)
+        self._sharded = None
+        self._V = V
+        self._row_scale = row_scale
+        self._pad_rows = None  # rank_by_scores needs the host-built plan
+        self._pad_valid_flat = None
+        self._valid = valid
+        self._boxes = boxes
+        self._zoom = zoom
+        self._max_zoom = max(meta.max_zoom_level, 1)
+        base = np.zeros(int(valid.shape[0]), dtype=bool)
+        base[meta.n_frames:] = True  # padded frames permanently excluded
+        self._base_excluded_mask = base
+        self._init_exclusion_state()
+        return self
+
+    def vectors_for_rows(self, rows: np.ndarray) -> np.ndarray:
+        """f32 vectors for exact-layout row indices. Uses the host mirror
+        when present; otherwise gathers from the device matrix (the per-round
+        labeled set is a few hundred rows — one tiny dispatch)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        if self.vectors is not None:
+            return self.vectors[rows]
+        n = rows.shape[0]
+        f = self.meta.frame_id[rows]
+        offs = rows - self.meta.frame_starts[f]
+        prows = (f.astype(np.int64) * self._tile_bound + offs).astype(np.int32)
+        # pad to power-of-2 buckets: the labeled set GROWS every round, and
+        # an exact-shape gather would recompile per round (~seconds each)
+        prows = np.concatenate(
+            [prows, np.zeros(_next_pow2(max(n, 1)) - n, np.int32)]
+        )
+        dev = jnp.asarray(prows)
+        out = self._V[dev]
+        if out.dtype == jnp.int8:
+            scale = (
+                self._row_scale[dev][:, None]
+                if self._row_scale is not None
+                else 1.0
+            )
+            out = out.astype(jnp.float32) * scale
+        return np.asarray(out, dtype=np.float32)[:n]
 
     # -- basic ops ---------------------------------------------------------
     def string2vec(self, string: str) -> np.ndarray:
@@ -185,10 +293,60 @@ class MultiscaleIndex(AccessMethod):
 
     # -- query -------------------------------------------------------------
     def _frame_exclusion_mask(self, exclude: Optional[BitMap]) -> np.ndarray:
-        mask = self._base_excluded_mask.copy()
+        mask = self._base_excluded_mask.copy()  # may carry a padded tail
         if exclude is not None and len(exclude):
-            mask |= exclude.contains_many(self.meta.frame_dbidx.astype(np.uint32))
+            mask[: self.meta.n_frames] |= exclude.contains_many(
+                self.meta.frame_dbidx.astype(np.uint32)
+            )
         return mask
+
+    # -- device-persistent exclusion state ---------------------------------
+    # The (F,) bool mask lives ON DEVICE across clicks; per query only the
+    # delta vs the previously-seen exclusion set (a handful of dbidxs) rides
+    # into the fused program, which applies it and returns the updated mask
+    # (SURVEY §7 hard part; the reference re-derives exclusion per query,
+    # multiscale_index.py:314-352).
+    def _init_exclusion_state(self):
+        self._excl_dev = None  # jnp (F,) bool the device currently holds
+        self._excl_obj = None  # the BitMap object being tracked (strong ref)
+        self._excl_prev = None  # its contents as of the last sync
+
+    def _no_new_ids(self) -> np.ndarray:
+        return np.full(self._EXCL_DELTA, -1, dtype=np.int32)
+
+    def _dbidx_to_frame_ordinals(self, ids: np.ndarray) -> np.ndarray:
+        fd = self.meta.frame_dbidx
+        pos = np.searchsorted(fd, ids)
+        safe = np.minimum(pos, fd.shape[0] - 1)
+        return pos[(pos < fd.shape[0]) & (fd[safe] == ids)].astype(np.int32)
+
+    def _device_exclusion(self, exclude: Optional[BitMap]):
+        """(device mask, padded new frame ordinals) for one query."""
+        no_new = self._no_new_ids()
+        if exclude is None or len(exclude) == 0:
+            if self._excl_dev is None or self._excl_obj is not None:
+                self._excl_dev = jnp.asarray(self._base_excluded_mask)
+                self._excl_obj = self._excl_prev = None
+            return self._excl_dev, jnp.asarray(no_new)
+
+        if self._excl_obj is exclude and self._excl_prev is not None:
+            added = exclude.difference(self._excl_prev)
+            removed = self._excl_prev.difference(exclude)
+            if len(removed) == 0 and len(added) <= self._EXCL_DELTA:
+                ords = self._dbidx_to_frame_ordinals(
+                    np.asarray(added.to_array(), dtype=np.int64)
+                )
+                out = no_new
+                out[: ords.shape[0]] = ords
+                self._excl_prev = exclude.copy()
+                return self._excl_dev, jnp.asarray(out)
+
+        # first sighting of this exclusion set (or it shrank / jumped):
+        # one full host rebuild, then incremental from here on
+        self._excl_dev = jnp.asarray(self._frame_exclusion_mask(exclude))
+        self._excl_obj = exclude
+        self._excl_prev = exclude.copy()
+        return self._excl_dev, jnp.asarray(no_new)
 
     def query(
         self,
@@ -210,17 +368,15 @@ class MultiscaleIndex(AccessMethod):
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
 
-        excluded_mask = self._frame_exclusion_mask(exclude)
-
         if self._sharded is not None:
             from ..parallel.sharded_index import sharded_query_topk
 
             dbidxs, scores, act_boxes, act_scores = sharded_query_topk(
                 self._sharded,
                 np.asarray(vector, np.float32).reshape(-1),
-                excluded_mask,
+                self._frame_exclusion_mask(exclude),
                 topk=topk_eff,
-                shortlist_size=min(shortlist_size, self._sharded.n_frames_local),
+                shortlist_size=shortlist_size,  # GLOBAL shortlist semantics
                 aug_larger=aug_larger,
                 aug_weight=aug_weight,
                 agg_method=agg_method,
@@ -236,23 +392,30 @@ class MultiscaleIndex(AccessMethod):
             ]
             return {"dbidxs": dbidxs.astype(np.int64), "activations": activations}
 
-        res = frame_scoring.query_program(
-            self._V,
-            self._valid,
-            self._boxes,
-            self._zoom,
-            jnp.asarray(np.asarray(vector, np.float32).reshape(-1)),
-            (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
-             if vector2 is not None else None),
-            jnp.asarray(excluded_mask),
-            self._row_scale,
-            shortlist_size=shortlist_size,
-            topk=topk_eff,
-            aug_larger=aug_larger,
-            aug_weight=aug_weight,
-            agg_method=agg_method,
-            max_zoom=self._max_zoom,
-        )
+        mask, new_ids = self._device_exclusion(exclude)
+        q = jnp.asarray(np.asarray(vector, np.float32).reshape(-1))
+        q2 = (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
+              if vector2 is not None else None)
+        if self._use_pallas and q2 is None:
+            from ..ops.pallas_scoring import query_program_fused_incr
+
+            res, self._excl_dev = query_program_fused_incr(
+                self._V, self._valid, self._boxes, self._zoom, q,
+                mask, new_ids, self._row_scale,
+                shortlist_size=shortlist_size, topk=topk_eff,
+                tile_bound=self._tile_bound,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=self._max_zoom,
+                interpret=_pallas_interpret(),
+            )
+        else:
+            res, self._excl_dev = frame_scoring.query_program_incr(
+                self._V, self._valid, self._boxes, self._zoom,
+                q, q2, mask, new_ids, self._row_scale,
+                shortlist_size=shortlist_size, topk=topk_eff,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=self._max_zoom,
+            )
         return self._format_result(res)
 
     def rank_by_scores(
@@ -272,13 +435,17 @@ class MultiscaleIndex(AccessMethod):
             shortlist_size = max(topk * 5, shortlist_size or 0)
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
-        excluded_mask = self._frame_exclusion_mask(exclude)
+        assert self._pad_rows is not None, (
+            "rank_by_scores needs the host padding plan (not available on "
+            "from_device_arrays indexes)"
+        )
+        mask, new_ids = self._device_exclusion(exclude)
 
         s = jnp.asarray(np.asarray(scores, np.float32))
         s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
-        res = frame_scoring.rank_frames_from_scores(
+        res, self._excl_dev = frame_scoring.rank_frames_from_scores_incr(
             s_pad, self._valid, self._boxes, self._zoom,
-            jnp.asarray(excluded_mask),
+            mask, new_ids,
             shortlist_size=shortlist_size, topk=topk_eff,
             aug_larger=aug_larger, aug_weight=aug_weight,
             agg_method=agg_method, max_zoom=self._max_zoom,
@@ -286,6 +453,9 @@ class MultiscaleIndex(AccessMethod):
         return self._format_result(res)
 
     def _format_result(self, res) -> dict:
+        import jax
+
+        res = jax.device_get(res)  # one transfer for all leaves (tunnel RTT)
         n = int(res.n_valid)
         fids = np.asarray(res.frame_ids)[:n]
         act_boxes = np.asarray(res.act_boxes)[:n]
@@ -373,12 +543,19 @@ class MultiscaleIndex(AccessMethod):
             device_dtype = (
                 "bfloat16" if vectors.size * 4 > 4 * 1024**3 else "float32"
             )
-        return MultiscaleIndex(
+        idx = MultiscaleIndex(
             embedding=embedding, vectors=vectors, meta=meta,
             path=str(p), excluded=excluded,
             device_dtype=device_dtype,
             mesh=mesh,
+            use_pallas=bool(options.get("use_pallas", False)),
         )
+        if options.get("coalesce_ms"):
+            # concurrent sessions share one (N,D)@(D,Q) device scan
+            from ..web.coalesce import CoalescingIndex
+
+            return CoalescingIndex(idx, window_ms=float(options["coalesce_ms"]))
+        return idx
 
     def get_knng_path(self, name: str = "") -> str:
         assert self.path is not None

@@ -52,7 +52,7 @@ class MultiReg(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys, dbidx = xy["rows"], xy["ys"], xy["dbidx"]
-        X = self.index.vectors[rows]
+        X = self.index.vectors_for_rows(rows)
         assert self.curr_qvec is not None
         model = RegFit(
             xlx=self.xlx,

@@ -33,7 +33,7 @@ class MultiRegNeg(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, y, dbidx = xy["rows"], xy["ys"], xy["dbidx"]
-        X = self.index.vectors[rows]
+        X = self.index.vectors_for_rows(rows)
 
         # confusion class: description of the first non-accepted labeled box
         table = self.q.label_db.get_box_table(accepted_only=False)

@@ -61,7 +61,7 @@ class LogReg2(PointBased):
         rows, ys = xy["rows"], xy["ys"]
         if rows.shape[0] == 0 or (ys == 1).all() or (ys == 0).all():
             return
-        Xt = self.index.vectors[rows]
+        Xt = self.index.vectors_for_rows(rows)
         if self.model is None:
             opts = dict(self.params.interactive_options or {})
             opts.pop("model_type", None)
@@ -89,7 +89,7 @@ class RocchioUpdate(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys = xy["rows"], xy["ys"]
-        Xt = self.index.vectors[rows]
+        Xt = self.index.vectors_for_rows(rows)
         rel = Xt[ys > 0]
         nrel = Xt[ys == 0]
         mean_rel = rel.sum(axis=0) / max(rel.shape[0], 1)

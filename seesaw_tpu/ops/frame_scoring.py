@@ -217,6 +217,18 @@ def _rank_frames(
     )
 
 
+def apply_new_exclusions(excluded: jnp.ndarray, new_ids: jnp.ndarray) -> jnp.ndarray:
+    """Merge newly-excluded frame ordinals (padded with -1) into the (F,)
+    device mask — the device-persistent exclusion update (SURVEY §7 hard
+    part: the reference rebuilds + re-uploads the whole mask per click,
+    `multiscale_index.py:314-352` exclude translation; here the mask lives
+    on device and the per-click delta is a handful of ints)."""
+    F = excluded.shape[0]
+    slot = jnp.where(new_ids >= 0, new_ids, F)  # -1 padding -> scratch slot
+    upd = jnp.zeros(F + 1, dtype=bool).at[slot].set(True)[:F]
+    return excluded | upd
+
+
 _RANK_STATICS = ("shortlist_size", "topk", "aug_larger", "aug_weight", "agg_method", "max_zoom")
 
 
@@ -250,6 +262,40 @@ def query_program(
 
 
 @functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def query_program_incr(
+    vectors: jnp.ndarray,
+    valid: jnp.ndarray,
+    boxes: jnp.ndarray,
+    zoom: jnp.ndarray,
+    qvec: jnp.ndarray,
+    qvec2: jnp.ndarray | None,
+    excluded: jnp.ndarray,  # (F,) bool device-persistent mask
+    new_excluded_ids: jnp.ndarray,  # (M,) int32 frame ordinals, -1 padded
+    row_scale: jnp.ndarray | None = None,
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> tuple[QueryResult, jnp.ndarray]:
+    """query_program with the incremental exclusion update fused into the
+    same dispatch; returns (result, updated mask) — the mask round-trips
+    device-to-device across clicks."""
+    excluded = apply_new_exclusions(excluded, new_excluded_ids)
+    scores = scoring_matvec(vectors, qvec, row_scale)
+    if qvec2 is not None:
+        scores = scores - scoring_matvec(vectors, qvec2, row_scale)
+    res = _rank_frames(
+        scores, valid, boxes, zoom, excluded,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+    )
+    return res, excluded
+
+
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
 def rank_frames_from_scores(
     scores: jnp.ndarray,  # (F*T,) f32 — e.g. propagated label scores
     valid: jnp.ndarray,
@@ -270,6 +316,86 @@ def rank_frames_from_scores(
         shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
         aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
     )
+
+
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def rank_frames_from_scores_incr(
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    boxes: jnp.ndarray,
+    zoom: jnp.ndarray,
+    excluded: jnp.ndarray,
+    new_excluded_ids: jnp.ndarray,  # (M,) int32 frame ordinals, -1 padded
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> tuple[QueryResult, jnp.ndarray]:
+    """rank_frames_from_scores with the fused incremental exclusion update."""
+    excluded = apply_new_exclusions(excluded, new_excluded_ids)
+    res = _rank_frames(
+        scores, valid, boxes, zoom, excluded,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+    )
+    return res, excluded
+
+
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def query_program_batch(
+    vectors: jnp.ndarray,  # (F*T, D) frame-major padded
+    valid: jnp.ndarray,  # (F, T) bool
+    boxes: jnp.ndarray,  # (F*T, 4)
+    zoom: jnp.ndarray,  # (F*T,)
+    qvecs: jnp.ndarray,  # (Q, D) — one query per concurrent session
+    excluded: jnp.ndarray,  # (Q, F) bool — per-session exclusion masks
+    row_scale: jnp.ndarray | None = None,
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> QueryResult:
+    """MULTI-QUERY serving: Q concurrent sessions' re-ranks in ONE dispatch.
+
+    The scan becomes a true (N, D) @ (D, Q) MXU matmul — the HBM read of the
+    matrix is amortized over all Q queries, so Q sessions cost barely more
+    than one (the reference served concurrency with an actor per session,
+    `web/session_manager.py:46-54`; here sessions share the device scan).
+    The per-query ranking tail (shortlist/augment/top-k over tiny arrays) is
+    vmapped. Returns a QueryResult with a leading Q axis on every field.
+    """
+    if vectors.dtype == jnp.int8:
+        # PER-QUERY symmetric scales — each query quantizes exactly as its
+        # solo dispatch would, so batch results == solo results
+        qmax = jnp.max(jnp.abs(qvecs), axis=1, keepdims=True) + 1e-12  # (Q,1)
+        q_i8 = jnp.clip(jnp.round(qvecs / qmax * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            vectors, q_i8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (N, Q) int32
+        scores_nq = acc.astype(jnp.float32) * (qmax[:, 0] / 127.0)[None, :]
+        if row_scale is not None:
+            scores_nq = scores_nq * row_scale[:, None]
+    else:
+        scores_nq = jax.lax.dot_general(
+            vectors, qvecs.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, Q)
+
+    def tail(scores, excl):
+        return _rank_frames(
+            scores, valid, boxes, zoom, excl,
+            shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+            aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+        )
+
+    return jax.vmap(tail, in_axes=(1, 0))(scores_nq, excluded)
 
 
 @jax.jit

@@ -110,9 +110,11 @@ def fused_frame_max(
         out_shape=jax.ShapeDtypeStruct((Fp,), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            # double-buffered (BF*T, D) bf16 blocks exceed the default 16MB
-            # scoped budget; v5e has headroom above it
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # double-buffered (BF*T, D) blocks exceed the default 16MB scoped
+            # budget; size the limit to the block sweep (v5e has 128MB VMEM)
+            vmem_limit_bytes=max(
+                64, 5 * (BF * T * D * vectors.dtype.itemsize) // (1024 * 1024)
+            ) * 1024 * 1024,
         ),
     )(*operands)
 
@@ -194,3 +196,46 @@ def query_program_fused(
         act_scores=act_score[final_pos],
         n_valid=n_valid,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shortlist_size", "topk", "tile_bound", "block_frames",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom", "interpret",
+    ),
+)
+def query_program_fused_incr(
+    vectors: jnp.ndarray,
+    valid: jnp.ndarray,
+    boxes: jnp.ndarray,
+    zoom: jnp.ndarray,
+    qvec: jnp.ndarray,
+    excluded: jnp.ndarray,  # (F,) bool device-persistent mask
+    new_excluded_ids: jnp.ndarray,  # (M,) int32 frame ordinals, -1 padded
+    row_scale: jnp.ndarray | None = None,
+    *,
+    shortlist_size: int,
+    topk: int,
+    tile_bound: int,
+    block_frames: int = 1024,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+    interpret: bool = False,
+):
+    """query_program_fused with the incremental exclusion update fused into
+    the same dispatch (serving path: the mask never leaves the device);
+    returns (QueryResult, updated mask)."""
+    from .frame_scoring import apply_new_exclusions
+
+    excluded = apply_new_exclusions(excluded, new_excluded_ids)
+    res = query_program_fused(
+        vectors, valid, boxes, zoom, qvec, excluded, row_scale,
+        shortlist_size=shortlist_size, topk=topk, tile_bound=tile_bound,
+        block_frames=block_frames, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+        interpret=interpret,
+    )
+    return res, excluded

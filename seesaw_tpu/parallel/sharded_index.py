@@ -127,11 +127,34 @@ def _sharded_query(
     Fs = valid.shape[1]
     topk_local = min(topk, Fs)
     shortlist_local = min(shortlist_size, Fs)
+    S = len(mesh.devices)
+    # the GLOBAL raw-score shortlist size: the single-device program (and the
+    # reference, multiscale_index.py:291-352) shortlists the top
+    # `shortlist_size` frames by raw tile score over the WHOLE database
+    # before augmentation. Each shard contributes its local raw top-k, an
+    # all_gather establishes the global cutoff, and frames below it are
+    # masked out of the augmentation stage — so the sharded result equals
+    # the single-device result (a per-shard-only shortlist would augment a
+    # SUPERSET of candidates and could rank a raw-rank-51 frame into the
+    # final top-k that the reference's protocol never rescores).
+    k_global = min(shortlist_size, S * shortlist_local)
 
     def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
-        res = frame_scoring.query_program(
-            V[0], valid[0], boxes[0], zoom[0],
-            qvec, qvec2, excluded[0],
+        scores = frame_scoring.scoring_matvec(V[0], qvec)
+        if qvec2 is not None:
+            scores = scores - frame_scoring.scoring_matvec(V[0], qvec2)
+        s_ft = jnp.where(valid[0], scores.reshape(Fs, -1), -jnp.inf)
+        fmax = jnp.max(s_ft, axis=1)
+        fmax = jnp.where(excluded[0], -jnp.inf, fmax)
+
+        # global shortlist cutoff: k_global-th best raw frame score
+        loc_top = jax.lax.top_k(fmax, shortlist_local)[0]
+        all_top = jax.lax.all_gather(loc_top, "data", tiled=True)
+        cutoff = jax.lax.top_k(all_top, k_global)[0][k_global - 1]
+        excl_eff = excluded[0] | (fmax < cutoff)
+
+        res = frame_scoring.rank_frames_from_scores(
+            scores, valid[0], boxes[0], zoom[0], excl_eff,
             shortlist_size=shortlist_local,
             topk=topk_local,
             aug_larger=aug_larger,

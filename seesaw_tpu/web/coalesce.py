@@ -1,0 +1,182 @@
+"""Request coalescing: concurrent sessions share one device scan.
+
+The reference serves each user session from its own Ray actor, so N
+concurrent re-ranks cost N GPU passes (`web/session_manager.py:46-54`).
+On TPU the scan is HBM-bandwidth-bound, and a (N, D) @ (D, Q) matmul reads
+the matrix ONCE for Q queries — so Q concurrent sessions cost barely more
+than one (`ops.frame_scoring.query_program_batch`). The coalescer makes
+that transparent: concurrent `query()` calls from server threads that
+arrive within a small window and share static parameters are merged into
+one batched dispatch; each caller gets exactly the result its solo query
+would have produced (tested in tests/test_batch_query.py).
+
+Leader election, no background thread: the first thread to open a
+(topk, shortlist, aug...) group sleeps the window, drains the group and
+executes; followers wait on their event.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import frame_scoring
+from ..ops.frame_scoring import QueryResult
+
+
+class _Req:
+    __slots__ = ("vector", "exclude", "result", "error", "event")
+
+    def __init__(self, vector, exclude):
+        self.vector = vector
+        self.exclude = exclude
+        self.result = None
+        self.error = None
+        self.event = threading.Event()
+
+
+class QueryCoalescer:
+    def __init__(self, index, window_ms: float = 3.0, max_batch: int = 16):
+        self.index = index
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._groups: dict = {}
+        self.stats = {"batched": 0, "solo": 0, "dispatches": 0}
+
+    def query(
+        self,
+        *,
+        vector,
+        vector2=None,
+        topk: int,
+        shortlist_size: Optional[int] = None,
+        exclude=None,
+        agg_method: str = "avg_score",
+        aug_larger: str = "all",
+        aug_weight: str = "level_max",
+        **kwargs,
+    ) -> dict:
+        idx = self.index
+        if vector2 is not None or getattr(idx, "_sharded", None) is not None:
+            # discount queries and mesh-sharded indexes take the solo path
+            return idx.query(
+                vector=vector, vector2=vector2, topk=topk,
+                shortlist_size=shortlist_size, exclude=exclude,
+                agg_method=agg_method, aug_larger=aug_larger,
+                aug_weight=aug_weight, **kwargs,
+            )
+
+        key = (topk, shortlist_size, agg_method, aug_larger, aug_weight)
+        me = _Req(vector, exclude)
+        with self._lock:
+            group = self._groups.setdefault(key, [])
+            group.append(me)
+            leader = len(group) == 1
+        if leader:
+            time.sleep(self.window)
+            with self._lock:
+                batch = self._groups.pop(key, [me])
+            self._execute(batch, key)
+        else:
+            # window + dispatch + generous device headroom
+            me.event.wait(timeout=60.0)
+            if not me.event.is_set():  # pragma: no cover - watchdog fallback
+                return idx.query(
+                    vector=vector, topk=topk, shortlist_size=shortlist_size,
+                    exclude=exclude, agg_method=agg_method,
+                    aug_larger=aug_larger, aug_weight=aug_weight,
+                )
+        if me.error is not None:
+            raise me.error
+        return me.result
+
+    # ------------------------------------------------------------------ #
+    def _execute(self, batch, key):
+        topk, shortlist_size, agg_method, aug_larger, aug_weight = key
+        idx = self.index
+        try:
+            if len(batch) == 1:
+                self.stats["solo"] += 1
+                batch[0].result = idx.query(
+                    vector=batch[0].vector, topk=topk,
+                    shortlist_size=shortlist_size, exclude=batch[0].exclude,
+                    agg_method=agg_method, aug_larger=aug_larger,
+                    aug_weight=aug_weight,
+                )
+                return
+
+            self.stats["dispatches"] += 1
+            # oversize groups run in chunks of max_batch
+            for lo in range(0, len(batch), self.max_batch):
+                chunk = batch[lo: lo + self.max_batch]
+                self.stats["batched"] += len(chunk)
+                self._run_chunk(chunk, topk, shortlist_size, agg_method,
+                                aug_larger, aug_weight)
+        except Exception as e:
+            for r in batch:
+                r.error = e
+        finally:
+            for r in batch:
+                r.event.set()
+
+    def _run_chunk(self, chunk, topk, shortlist_size, agg_method,
+                   aug_larger, aug_weight):
+        idx = self.index
+        if shortlist_size is None or shortlist_size < topk:
+            shortlist_size = max(topk * 5, shortlist_size or 0)
+        shortlist_size = min(shortlist_size, idx.n_frames)
+        topk_eff = min(topk, idx.n_frames)
+
+        qs = np.stack([
+            np.asarray(r.vector, np.float32).reshape(-1) for r in chunk
+        ])
+        masks = np.stack([
+            idx._frame_exclusion_mask(r.exclude) for r in chunk
+        ])
+        res = frame_scoring.query_program_batch(
+            idx._V, idx._valid, idx._boxes, idx._zoom,
+            jnp.asarray(qs), jnp.asarray(masks), idx._row_scale,
+            shortlist_size=shortlist_size, topk=topk_eff,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=idx._max_zoom,
+        )
+        import jax
+
+        res = jax.device_get(res)
+        for i, r in enumerate(chunk):
+            r.result = idx._format_result(QueryResult(
+                frame_ids=res.frame_ids[i],
+                frame_scores=res.frame_scores[i],
+                act_boxes=res.act_boxes[i],
+                act_scores=res.act_scores[i],
+                n_valid=res.n_valid[i],
+            ))
+
+
+class CoalescingIndex:
+    """Transparent index proxy routing `query` through a QueryCoalescer.
+
+    Sessions constructed over this wrapper (AccessMethod surface) coalesce
+    their per-click re-ranks; everything else delegates to the inner index.
+    Enable via index_options={"coalesce_ms": 3} (dataset.load_index).
+    """
+
+    def __init__(self, inner, window_ms: float = 3.0, max_batch: int = 16):
+        self._inner = inner
+        self._coalescer = QueryCoalescer(inner, window_ms=window_ms,
+                                         max_batch=max_batch)
+
+    def query(self, **kwargs) -> dict:
+        return self._coalescer.query(**kwargs)
+
+    def new_query(self):
+        from ..indices.multiscale import BoxFeedbackQuery
+
+        return BoxFeedbackQuery(self)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)

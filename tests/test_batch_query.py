@@ -1,0 +1,125 @@
+"""Batched multi-query scoring: Q concurrent sessions in one dispatch.
+
+query_program_batch must equal Q independent query_program runs (each with
+its own exclusion mask), in both float and int8 storage. Also covers the
+index-level QueryCoalescer that transparently merges concurrent
+MultiscaleIndex.query calls from different server threads.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seesaw_tpu.indices.meta import VectorMeta
+from seesaw_tpu.indices.multiscale import MultiscaleIndex
+from seesaw_tpu.ops import frame_scoring
+from seesaw_tpu.runtime.bitmap import BitMap
+
+
+def _db(n_frames=60, tiles=4, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    dbidx = np.repeat(np.arange(n_frames), tiles)
+    zoom = np.tile(np.array([1, 1, 2, 2])[:tiles], n_frames)
+    xy = rng.uniform(0, 100, size=(n_frames * tiles, 2)).astype(np.float32)
+    wh = rng.uniform(20, 60, size=(n_frames * tiles, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], axis=1)
+    meta, order = VectorMeta.from_arrays(dbidx, zoom, boxes)
+    V = rng.normal(size=(n_frames * tiles, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return V[order], meta
+
+
+@pytest.mark.parametrize("device_dtype", ["float32", "int8"])
+def test_batch_equals_serial(device_dtype):
+    V, meta = _db()
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype=device_dtype)
+    rng = np.random.default_rng(1)
+    Q = 5
+    qs = rng.normal(size=(Q, V.shape[1])).astype(np.float32)
+    excl = np.zeros((Q, meta.n_frames), dtype=bool)
+    for i in range(Q):  # distinct per-session exclusions
+        excl[i, rng.choice(meta.n_frames, size=7, replace=False)] = True
+
+    kw = dict(shortlist_size=20, topk=6, aug_larger="all",
+              aug_weight="level_max", agg_method="avg_score", max_zoom=2)
+    batch = frame_scoring.query_program_batch(
+        idx._V, idx._valid, idx._boxes, idx._zoom,
+        jnp.asarray(qs), jnp.asarray(excl), idx._row_scale, **kw,
+    )
+    for i in range(Q):
+        single = frame_scoring.query_program(
+            idx._V, idx._valid, idx._boxes, idx._zoom,
+            jnp.asarray(qs[i]), None, jnp.asarray(excl[i]),
+            idx._row_scale, **kw,
+        )
+        assert int(batch.n_valid[i]) == int(single.n_valid)
+        n = int(single.n_valid)
+        got_ids = np.asarray(batch.frame_ids[i])[:n]
+        want_ids = np.asarray(single.frame_ids)[:n]
+        # int8 included: the batch program quantizes each query by its OWN
+        # max, exactly like a solo dispatch
+        assert (got_ids == want_ids).all()
+        np.testing.assert_allclose(
+            np.asarray(batch.frame_scores[i])[:n],
+            np.asarray(single.frame_scores)[:n], rtol=1e-5,
+        )
+
+
+def test_coalescer_transparent():
+    from seesaw_tpu.web.coalesce import QueryCoalescer
+
+    V, meta = _db(seed=3)
+    idx = MultiscaleIndex(vectors=V, meta=meta)
+    co = QueryCoalescer(idx, window_ms=15.0, max_batch=8)
+
+    rng = np.random.default_rng(4)
+    n_threads = 6
+    qs = rng.normal(size=(n_threads, V.shape[1])).astype(np.float32)
+    excludes = []
+    for i in range(n_threads):
+        bm = BitMap(rng.choice(meta.frame_dbidx, size=5, replace=False))
+        excludes.append(bm)
+
+    results = [None] * n_threads
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = co.query(
+                vector=qs[i], topk=5, shortlist_size=20,
+                exclude=excludes[i],
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert co.stats["batched"] > 0, "no requests were actually coalesced"
+
+    for i in range(n_threads):
+        want = idx.query(vector=qs[i], topk=5, shortlist_size=20,
+                         exclude=BitMap(excludes[i].to_array()))
+        assert list(results[i]["dbidxs"]) == list(want["dbidxs"])
+        np.testing.assert_allclose(
+            [a["score"] for a in results[i]["activations"]],
+            [a["score"] for a in want["activations"]], rtol=1e-5,
+        )
+
+
+def test_coalescer_single_caller_passthrough():
+    from seesaw_tpu.web.coalesce import QueryCoalescer
+
+    V, meta = _db(seed=5)
+    idx = MultiscaleIndex(vectors=V, meta=meta)
+    co = QueryCoalescer(idx, window_ms=1.0)
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+    got = co.query(vector=q, topk=4, shortlist_size=16, exclude=None)
+    want = idx.query(vector=q, topk=4, shortlist_size=16, exclude=None)
+    assert list(got["dbidxs"]) == list(want["dbidxs"])

@@ -1,0 +1,140 @@
+"""Device-persistent incremental exclusion mask (SURVEY §7 hard part).
+
+The (F,) exclusion mask lives on device across clicks; per query only the
+newly-excluded dbidxs ride into the fused program (ops.frame_scoring.
+apply_new_exclusions). These tests pin the incremental path to the
+full-rebuild oracle over evolving/shrinking/jumping exclusion sets, on both
+the XLA and the Pallas (interpret) serving paths, and cover the
+from_device_arrays host-mirror-free construction.
+"""
+import numpy as np
+import pytest
+
+from seesaw_tpu.indices.meta import VectorMeta
+from seesaw_tpu.indices.multiscale import MultiscaleIndex
+from seesaw_tpu.runtime.bitmap import BitMap
+
+
+def _make_index(n_images=30, d=16, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    img = 224.0
+    quads = [
+        (0.0, 0.0, img / 2, img / 2),
+        (img / 2, 0.0, img, img / 2),
+        (0.0, img / 2, img / 2, img),
+        (img / 2, img / 2, img, img),
+    ]
+    dbidx, zoom, boxes = [], [], []
+    for i in range(n_images):
+        tiles = [(1, q) for q in quads] + [(2, (0.0, 0.0, img, img))]
+        for zl, bx in tiles[: int(rng.integers(2, 6))]:
+            dbidx.append(i * 3)  # non-contiguous dbidxs
+            zoom.append(zl)
+            boxes.append(bx)
+    meta, order = VectorMeta.from_arrays(
+        np.array(dbidx), np.array(zoom), np.array(boxes, np.float32)
+    )
+    V = rng.normal(size=(meta.n_vectors, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return MultiscaleIndex(vectors=V, meta=meta, **kw), V, meta
+
+
+def _query(idx, q, exclude, **kw):
+    r = idx.query(vector=q, topk=4, shortlist_size=12, exclude=exclude, **kw)
+    return list(r["dbidxs"]), [a["score"] for a in r["activations"]]
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_incremental_matches_full_rebuild(use_pallas):
+    idx, V, meta = _make_index(use_pallas=use_pallas)
+    oracle, _, _ = _make_index(use_pallas=False)
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    returned = BitMap()  # ONE evolving bitmap, like InteractiveQuery.returned
+    for round_ in range(6):
+        got = _query(idx, q, returned)
+        # oracle sees a FRESH BitMap each time -> always full rebuild
+        want = _query(oracle, q, BitMap(returned.to_array()))
+        assert got[0] == want[0], f"round {round_}: {got[0]} != {want[0]}"
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+        returned.update(got[0][:2])  # exclude top-2, like a session batch
+
+
+def test_shrinking_set_forces_rebuild():
+    idx, V, meta = _make_index()
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    returned = BitMap()
+    first = _query(idx, q, returned)
+    returned.update(first[0])
+    second = _query(idx, q, returned)
+    assert not set(second[0]) & set(first[0])
+
+    # user un-labels an image: the set SHRINKS -> must fall back correctly
+    removed = first[0][0]
+    returned.discard(removed)
+    third = _query(idx, q, returned)
+    assert removed in third[0]  # it is rankable again
+
+
+def test_large_delta_falls_back():
+    idx, V, meta = _make_index()
+    oracle, _, _ = _make_index()
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    returned = BitMap()
+    _query(idx, q, returned)
+    # jump by more than _EXCL_DELTA at once (e.g. query_random batches)
+    returned.update([int(x) for x in meta.frame_dbidx[:12]])
+    got = _query(idx, q, returned)
+    want = _query(oracle, q, BitMap(returned.to_array()))
+    assert got[0] == want[0]
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+
+
+def test_unknown_dbidx_in_exclusion_is_ignored():
+    idx, V, meta = _make_index()
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+    returned = BitMap()
+    base = _query(idx, q, returned)
+    returned.update(base[0][:1])
+    returned.add(10**6)  # dbidx not in the index (subset semantics)
+    got = _query(idx, q, returned)
+    assert base[0][0] not in got[0]
+
+
+def test_from_device_arrays_serving_index():
+    import jax.numpy as jnp
+
+    host_idx, V, meta = _make_index(use_pallas=True)
+    dev_idx = MultiscaleIndex.from_device_arrays(
+        embedding=None,
+        V=host_idx._V,
+        valid=host_idx._valid,
+        boxes=host_idx._boxes,
+        zoom=host_idx._zoom,
+        meta=meta,
+        row_scale=host_idx._row_scale,
+        use_pallas=True,
+    )
+    assert dev_idx.vectors is None
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    returned = BitMap()
+    for _ in range(4):
+        got = _query(dev_idx, q, returned)
+        want = _query(host_idx, q, BitMap(returned.to_array()))
+        assert got[0] == want[0]
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+        returned.update(got[0][:2])
+
+    # device-gathered labeled rows == host mirror rows
+    rows = rng.choice(meta.n_vectors, size=13, replace=False)
+    np.testing.assert_allclose(
+        dev_idx.vectors_for_rows(rows), V[rows], rtol=1e-6
+    )

@@ -174,3 +174,61 @@ def test_annotate_via_query_params(server, tmp_path):
     _assert_appstate(state)
     assert state["save_path"] == str(pathfile)
     assert state["session"]["params"]["annotation_category"] == CATEGORY
+
+
+def test_load_session_body_variant(server):
+    """load_session() (SeesawApp.vue:498-506, also the /compare flow) posts
+    /session_info with a JSON BODY {path: ...} — distinct from the
+    mounted(/session_info) query-param placement tested above."""
+    base, _ = server
+    c = VueClient(base)
+    c.request("POST", "/user_session?mode=plain&dataset=bdd&index=multiscale",
+              raw_empty=True)
+    state = c.request("POST", f"/text?key={urllib.parse.quote(QSTR)}", body={})
+    resp = c.request("POST", "/save", body={"client_data": state})
+
+    c2 = VueClient(base)
+    state2 = c2.request("POST", "/session_info", body={"path": resp["path"]})
+    _assert_appstate(state2)
+    assert state2["session"]["query_string"] == QSTR
+
+
+def test_annotator_labeled_feedback_round(server):
+    """The m-annotator box-drawing flow: paper2imdata (m-annotator.vue:
+    176-198) emits boxes {x1,y1,x2,y2,description,marked_accepted} into the
+    gdata imdata; next() posts the whole client_data back. The server must
+    ingest the labels (accepted count grows) and never repeat images."""
+    base, _ = server
+    c = VueClient(base)
+    c.request("POST", "/user_session?mode=plain&dataset=bdd&index=multiscale",
+              raw_empty=True)
+    state = c.request("POST", f"/text?key={urllib.parse.quote(QSTR)}", body={})
+
+    seen, accepted_dbidx = set(), []
+    for round_ in range(3):
+        gdata = state["session"]["gdata"]
+        for j, im in enumerate(gdata[-1]):
+            assert im["dbidx"] not in seen, "server repeated an image"
+            seen.add(im["dbidx"])
+            if j == 0:  # user draws an accepted box on the first image
+                im["boxes"] = [dict(
+                    x1=10.0, y1=10.0, x2=120.5, y2=99.25,
+                    description="a dog", marked_accepted=True,
+                )]
+                accepted_dbidx.append(im["dbidx"])
+            else:  # viewed, no boxes drawn -> negative
+                im["boxes"] = []
+        state = c.request("POST", "/next", body={"client_data": state})
+        _assert_appstate(state)
+
+    # the drawn boxes round-trip through get_state verbatim
+    drawn = [
+        b
+        for batch in state["session"]["gdata"][:-1]
+        for im in batch
+        for b in (im["boxes"] or [])
+    ]
+    assert len(drawn) == 3
+    assert all(b["marked_accepted"] and b["x2"] == 120.5 for b in drawn)
+    # server counted the accepts (action_log carries running totals)
+    assert state["session"]["action_log"][-1]["accepted"] == len(accepted_dbidx)

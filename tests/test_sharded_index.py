@@ -65,7 +65,7 @@ def test_matches_single_chip(db):
 
     want_dbidx, want_scores = single_chip_reference(meta, V, q, excluded, topk=10)
     got_dbidx, got_scores, got_boxes, _ = sharded_query_topk(
-        idx, q, excluded, topk=10, shortlist_size=idx.n_frames_local
+        idx, q, excluded, topk=10, shortlist_size=idx.n_frames
     )
     np.testing.assert_allclose(got_scores, want_scores, rtol=1e-5)
     assert got_dbidx.tolist() == want_dbidx.tolist()
@@ -81,7 +81,7 @@ def test_exclusion_and_exhaustion(db):
     excluded = np.ones(meta.n_frames, dtype=bool)
     excluded[[0, 40]] = False
     got_dbidx, got_scores, _, _ = sharded_query_topk(
-        idx, q, excluded, topk=5, shortlist_size=idx.n_frames_local
+        idx, q, excluded, topk=5, shortlist_size=idx.n_frames
     )
     assert set(got_dbidx.tolist()) == {meta.frame_dbidx[0], meta.frame_dbidx[40]}
 
@@ -101,7 +101,7 @@ def test_uneven_small_db():
     idx = ShardedFrameIndex.build(V, meta, mesh)
     q = rng.normal(size=16).astype(np.float32)
     got_dbidx, got_scores, _, _ = sharded_query_topk(
-        idx, q, np.zeros(3, dtype=bool), topk=3, shortlist_size=idx.n_frames_local
+        idx, q, np.zeros(3, dtype=bool), topk=3, shortlist_size=idx.n_frames
     )
     assert len(got_dbidx) == 3
     assert set(got_dbidx.tolist()) == {0, 1, 2}
