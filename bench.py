@@ -92,6 +92,13 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = TILES,
 def _query_fn(V, valid, boxes, zoom, row_scale, use_pallas):
     from seesaw_tpu.ops import frame_scoring
 
+    if V.dtype == "int8":
+        # int8 runs through XLA: Mosaic's int8 VMEM paths stall at ~200GB/s
+        # (direct int8 dot, packed-int32 decode, and int8->bf16 convert all
+        # measured equal; int8 reductions are unimplemented), while the XLA
+        # int8 matvec streams at ~477GB/s of int8 bytes — the FASTEST scan
+        # on this toolchain (scripts/perf_probe.py stages B/C/E/G)
+        use_pallas = False
     if use_pallas:
         from seesaw_tpu.ops.pallas_scoring import query_program_fused
 
@@ -264,12 +271,12 @@ def bench_ingest(n_images: int = 200) -> dict:
     )
     emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
 
-    # warmup (compile batch shapes) on a small prefix. NOTE: wall numbers
-    # here use host tiling — through this environment's tunnel each extra
-    # dispatch costs ~30ms, penalizing the device-tiling path that wins on
-    # attached hosts (tiling='device', tested in test_device_tiling.py).
-    warm = SimpleNamespace(dbidxs=np.arange(8), file_path=ds.file_path)
-    run_multiscale_extraction(warm, emb, batch_size=256)
+    # warmup (compile tiler + ViT batch shapes) on a small prefix; the
+    # measured run uses the batched device-tiling path (one (B,H,W,3) uint8
+    # upload + one tiler dispatch per 16 images; tiles stay device-resident
+    # into the ViT batches)
+    warm = SimpleNamespace(dbidxs=np.arange(40), file_path=ds.file_path)
+    run_multiscale_extraction(warm, emb, batch_size=256, tiling="device")
 
     # component 1: host decode throughput (with device tiling, JPEG decode is
     # the host's only remaining job; native C++ pool when available)
@@ -281,24 +288,44 @@ def bench_ingest(n_images: int = 200) -> dict:
     assert n_ok == n_images
     decode_img_per_s = n_images / decode_dt
 
-    # component 2: device encode throughput (from the embed bench's tile
-    # rate; ingest tiles are the same 224x224 ViT forward)
-    # end-to-end wall (this environment moves batches through the tunnel,
-    # which bottlenecks transfers; on an attached host PCIe makes transfer
-    # negligible, so min(decode, encode) bounds real throughput)
+    # component 2: host->device upload bandwidth (the binding stage through
+    # this environment's tunnel; ~free over PCIe on an attached host). Fresh
+    # pseudo-random payloads each rep — the tunnel dedups repeated content.
+    import jax
+
+    rng2 = np.random.default_rng(1)
+    up_bytes = 32 * (480 * 640 * 3)
+    rates = []
+    for _ in range(3):
+        payload = rng2.integers(0, 255, size=up_bytes, dtype=np.uint8)
+        t0 = time.perf_counter()
+        x = jnp.asarray(payload)
+        float(x[::65536].astype(jnp.float32).sum())  # force the transfer
+        rates.append(up_bytes / (time.perf_counter() - t0) / 1e6)
+    upload_MBps = float(np.median(rates))
+    upload_img_per_s = upload_MBps * 1e6 / (480 * 640 * 3)
+
+    # component 3: measured end-to-end with the batched device-tiling path
     t0 = time.perf_counter()
     vectors, dbidx, zoom, boxes = run_multiscale_extraction(
-        ds, emb, batch_size=256
+        ds, emb, batch_size=256, tiling="device"
     )
     dt = time.perf_counter() - t0
     img_per_s = n_images / dt
     tiles_per_image = vectors.shape[0] / n_images
     est_min_1m_v5e8 = 1e6 / (img_per_s * 8) / 60.0  # ingest shards by batch axis
+    # the stage bound THIS environment can reach (min of decode, upload);
+    # encode joins via the clip stage in _main's arithmetic
+    env_bound = min(decode_img_per_s, upload_img_per_s)
     return {
         "ingest_img_per_s_chip": round(img_per_s, 2),
         "ingest_tiles_per_s_chip": round(vectors.shape[0] / dt, 1),
         "ingest_tiles_per_image": round(tiles_per_image, 2),
         "ingest_decode_img_per_s_host": round(decode_img_per_s, 2),
+        "ingest_upload_MBps_env": round(upload_MBps, 1),
+        "ingest_upload_img_per_s_env": round(upload_img_per_s, 1),
+        "ingest_env_bound_img_per_s": round(env_bound, 1),
+        "ingest_vs_env_bound": round(img_per_s / env_bound, 3),
         "ingest_1M_images_v5e8_min": round(est_min_1m_v5e8, 2),
     }
 
@@ -542,6 +569,80 @@ def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> float:
     return hits / (trials * TOPK)
 
 
+def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
+                               trials: int = 20) -> dict:
+    """int8 shortlist recall AT HEADLINE SCALE with a shortlist sweep.
+
+    f32 ground truth never fits next to the int8 copy at 10M (20 + 5 GB),
+    so the f32 database is generated in device chunks: each chunk scores
+    all queries exactly in f32, is quantized to per-row int8 and freed —
+    only the (N,) int8 rows + (N, Q) f32 exact scores persist. Recall(k) =
+    |exact top-10 ∩ int8 top-k| / 10, swept over shortlist sizes."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.frame_scoring import scoring_matvec
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(64, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    qs = 0.6 * centers[:trials] + 0.3 * rng.normal(size=(trials, d))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    qs_d = jnp.asarray(qs.astype(np.float32))
+    centers_d = jnp.asarray(centers)
+
+    n_chunks = max(n_vectors // 1_000_000, 1)
+    rows = n_vectors // n_chunks
+
+    @jax.jit
+    def gen_chunk(key, cd, qd):
+        which = jax.random.randint(key, (rows,), 0, 64)
+        V = 0.6 * cd[which] + 0.3 * jax.random.normal(key, (rows, d))
+        V = V / jnp.linalg.norm(V, axis=1, keepdims=True)
+        exact = V @ qd.T  # (rows, Q) f32 ground truth
+        row_max = jnp.abs(V).max(axis=1)
+        sc = jnp.where(row_max > 0, row_max / 127.0, 1.0)
+        V8 = jnp.clip(jnp.round(V / sc[:, None]), -127, 127).astype(jnp.int8)
+        return V8, sc.astype(jnp.float32), exact.astype(jnp.float32)
+
+    v8s, scs, exacts = [], [], []
+    for key in jax.random.split(jax.random.PRNGKey(7), n_chunks):
+        V8, sc, ex = gen_chunk(key, centers_d, qs_d)
+        jax.block_until_ready(V8)
+        v8s.append(V8); scs.append(sc); exacts.append(ex)
+    V8 = jnp.concatenate(v8s); del v8s
+    sc = jnp.concatenate(scs); del scs
+    exact_scores = jnp.concatenate(exacts); del exacts
+    gc.collect()
+
+    sweep = (50, 100, 400)
+    kmax = max(sweep)
+
+    @jax.jit
+    def tops(V8x, scx, exx, q, qi):
+        exact_ids = jax.lax.top_k(exx[:, qi], TOPK)[1]
+        quant_ids = jax.lax.top_k(scoring_matvec(V8x, q, scx), kmax)[1]
+        return exact_ids, quant_ids
+
+    hits = {k: 0 for k in sweep}
+    for t in range(trials):
+        e_ids, q_ids = tops(V8, sc, exact_scores, qs_d[t], t)
+        e = set(np.asarray(e_ids).tolist())
+        q_list = np.asarray(q_ids).tolist()
+        for k in sweep:
+            hits[k] += len(e & set(q_list[:k]))
+    out = {
+        f"int8_shortlist_recall_{n_vectors // 1_000_000}M_k{k}":
+            round(hits[k] / (trials * TOPK), 4)
+        for k in sweep
+    }
+    del V8, sc, exact_scores
+    gc.collect()
+    return out
+
+
 def _progress(msg):
     import sys
 
@@ -632,6 +733,11 @@ def _main():
             extras["int8_shortlist_recall_1M"] = round(bench_int8_recall(), 4)
         except Exception as e:
             extras["int8_recall_error"] = repr(e)
+        try:
+            _progress("int8 recall at headline scale")
+            extras.update(bench_int8_recall_at_scale(n_vectors))
+        except Exception as e:
+            extras["int8_recall_scale_error"] = repr(e)
 
     # transfer-free ingest bound for an attached v5e-8 host: encode is the
     # binding resource (8 chips x measured ViT rate / tiles-per-image);

@@ -42,19 +42,23 @@ def build(dtype: str):
     else:  # int8 values in an int8 or packed-int32 carrier
         chunks = []
         rows = n // 16
-        for k in jax.random.split(key, 16):
+
+        @jax.jit
+        def gen_chunk(k):
             bits = jax.random.bits(k, (rows, D), dtype=jnp.uint8)
-            chunks.append(jax.lax.bitcast_convert_type(bits, jnp.int8))
+            v = jax.lax.bitcast_convert_type(bits, jnp.int8)
+            if dtype == "packed":
+                # pack 4 consecutive D-elements into one int32 lane:
+                # W[:, d4] carries bytes d = 4*d4 + k (k = byte position)
+                return jax.lax.bitcast_convert_type(
+                    v.reshape(rows, D // 4, 4), jnp.int32
+                )
+            return v
+
+        for k in jax.random.split(key, 16):
+            chunks.append(gen_chunk(k))
         V = jnp.concatenate(chunks)
         scale = jax.random.uniform(key, (n,), minval=0.5, maxval=1.0) / 127.0
-        if dtype == "packed":
-            # pack 4 consecutive D-elements into one int32 lane:
-            # W[:, d4] carries bytes d = 4*d4 + k (k = byte position)
-            V = jax.jit(
-                lambda v: jax.lax.bitcast_convert_type(
-                    v.reshape(n, D // 4, 4), jnp.int32
-                )
-            )(V)
     valid = jnp.ones((n_frames, TILES), dtype=bool)
     excluded = jnp.zeros(n_frames, dtype=bool)
     return V, valid, excluded, scale, n_frames
@@ -227,6 +231,143 @@ def stage_D():
     ms = measure(chain, lambda: (V, valid, fresh_qs()))
     print(f"D XLA matvec+reshape-max bf16: {ms:.2f} ms  "
           f"{gbps(ms, nbytes):.0f} GB/s", flush=True)
+
+
+def stage_E():
+    """XLA (non-pallas) int8 matvec path."""
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.frame_scoring import score_frames_max
+
+    V, valid, excluded, scale, F = build("int8")
+    nbytes = V.size
+
+    def step(V, valid, scale, q):
+        return score_frames_max(V, valid, q, scale).max()
+
+    chain = chain_over_queries(step)
+    ms = measure(chain, lambda: (V, valid, scale, fresh_qs()))
+    print(f"E XLA int8 matvec: {ms:.2f} ms  {gbps(ms, nbytes):.0f} GB/s(int8 bytes)",
+          flush=True)
+
+
+def stage_F():
+    """Pure streaming: per-block reduction only (no matmul/decode) — the
+    load-path ceiling per dtype."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    for dtype in ("bf16", "int8", "packed"):
+        V = build(dtype)[0]
+        nbytes = V.size * V.dtype.itemsize
+        R, C = V.shape
+        BR = R // 64
+
+        def kernel(x_ref, o_ref):
+            x = x_ref[...]
+            if x.dtype == jnp.int8 or x.dtype == jnp.int32:
+                o_ref[...] = jnp.max(x, axis=1).astype(jnp.float32)
+            else:
+                o_ref[...] = jnp.max(x, axis=1).astype(jnp.float32)
+
+        @jax.jit
+        def run(V, t):
+            out = pl.pallas_call(
+                kernel,
+                grid=(64,),
+                in_specs=[pl.BlockSpec((BR, C), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((BR,), lambda i: (i,),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((R,), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(V)
+            return out.max() + t
+
+        @jax.jit
+        def chain(V, ts):
+            def body(c, t):
+                o = run(V, t + c * 0.0)
+                return c, o
+            _, outs = jax.lax.scan(body, jnp.float32(0), ts)
+            return outs.sum()
+
+        def fresh_ts():
+            t = jnp.asarray(np.random.default_rng().normal(size=K).astype(np.float32))
+            float(t[0])
+            return t
+
+        try:
+            float(chain(V, fresh_ts()))
+            best = float("inf")
+            for _ in range(3):
+                ts = fresh_ts()
+                t0 = time.perf_counter()
+                float(chain(V, ts))
+                best = min(best, (time.perf_counter() - t0) * 1000 / K)
+            print(f"F stream-max {dtype}: {best:.2f} ms  "
+                  f"{gbps(best, nbytes):.0f} GB/s", flush=True)
+        except Exception as e:
+            print(f"F {dtype}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+        del V
+
+
+def stage_G():
+    """int8 storage, ONE convert/value to bf16, MXU bf16 dot — minimal
+    decode-op int8 path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, valid, excluded, scale, F = build("int8")
+    nbytes = V.size
+
+    def kernel(q_ref, v_ref, valid_ref, excluded_ref, scale_ref, out_ref):
+        Vb = v_ref[...].astype(jnp.bfloat16)
+        scores = jnp.dot(Vb, q_ref[...].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        scores = scores * scale_ref[...]
+        BF = valid_ref.shape[0]
+        s = scores.reshape(BF, TILES)
+        s = jnp.where(valid_ref[...], s, float("-inf"))
+        fmax = jnp.max(s, axis=1)
+        out_ref[...] = jnp.where(excluded_ref[...], float("-inf"), fmax)
+
+    for bf in (1024, 4096):
+        @functools.partial(jax.jit, static_argnames=("BF",))
+        def run(V, valid, excluded, scale, q, BF=bf):
+            return pl.pallas_call(
+                kernel,
+                grid=(F // BF,),
+                in_specs=[
+                    pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF * TILES, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF, TILES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF * TILES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((F,), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(q.reshape(D, 1), V, valid, excluded, scale.reshape(-1, 1))
+
+        def step(V, valid, excluded, scale, q, bf=bf):
+            return run(V, valid, excluded, scale, q, BF=bf).max()
+
+        try:
+            chain = chain_over_queries(step)
+            ms = measure(chain, lambda: (V, valid, excluded, scale, fresh_qs()))
+            print(f"G int8->bf16 dot BF={bf}: {ms:.2f} ms  "
+                  f"{gbps(ms, nbytes):.0f} GB/s(int8 bytes)", flush=True)
+        except Exception as e:
+            print(f"G BF={bf}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

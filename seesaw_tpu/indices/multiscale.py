@@ -396,7 +396,10 @@ class MultiscaleIndex(AccessMethod):
         q = jnp.asarray(np.asarray(vector, np.float32).reshape(-1))
         q2 = (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
               if vector2 is not None else None)
-        if self._use_pallas and q2 is None:
+        # int8 always routes through XLA: Mosaic int8 VMEM paths stall at
+        # ~200GB/s while XLA's int8 matvec streams at ~477GB/s of int8
+        # bytes — the fastest scan on this toolchain (scripts/perf_probe.py)
+        if self._use_pallas and q2 is None and self._V.dtype != jnp.int8:
             from ..ops.pallas_scoring import query_program_fused_incr
 
             res, self._excl_dev = query_program_fused_incr(

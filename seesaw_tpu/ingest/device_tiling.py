@@ -109,10 +109,9 @@ def make_plan(height: int, width: int, tile_size: int = 224,
     )
 
 
-@functools.lru_cache(maxsize=256)
-def build_tiler(plan: TilePlan):
-    """Jitted uint8 (H, W, 3) image -> (T, ts, ts, 3) CLIP-normalized f32
-    tiles, all on device."""
+def _tile_body(plan: TilePlan):
+    """Pure uint8 (H, W, 3) -> (T, ts, ts, 3) CLIP-normalized tile function
+    (traceable; jitted/vmapped by the builders below)."""
     import jax
     import jax.numpy as jnp
 
@@ -120,7 +119,6 @@ def build_tiler(plan: TilePlan):
 
     ts = plan.tile_size
 
-    @jax.jit
     def tile(img_u8):
         img = img_u8.astype(jnp.float32) / 255.0
         out = []
@@ -142,6 +140,35 @@ def build_tiler(plan: TilePlan):
         return normalize_pixels(jnp.concatenate(out, axis=0))
 
     return tile
+
+
+@functools.lru_cache(maxsize=256)
+def build_tiler(plan: TilePlan):
+    """Jitted uint8 (H, W, 3) image -> (T, ts, ts, 3) CLIP-normalized f32
+    tiles, all on device."""
+    import jax
+
+    return jax.jit(_tile_body(plan))
+
+
+@functools.lru_cache(maxsize=256)
+def build_batch_tiler(plan: TilePlan, batch: int):
+    """Jitted uint8 (B, H, W, 3) -> (B*T, ts, ts, 3) normalized tiles.
+
+    Batching MANY images into one dispatch is what makes device tiling win
+    through a high-latency link: a per-image dispatch pays the link's
+    round-trip every ~1MB image, a B-image dispatch amortizes it B-fold
+    (one contiguous upload, one program)."""
+    import jax
+
+    body = _tile_body(plan)
+
+    def run(imgs_u8):
+        tiles = jax.vmap(body)(imgs_u8)  # (B, T, ts, ts, 3)
+        return tiles.reshape(batch * plan.n_tiles, plan.tile_size,
+                             plan.tile_size, 3)
+
+    return jax.jit(run)
 
 
 def tile_on_device(img_u8: np.ndarray, tile_size: int = 224,

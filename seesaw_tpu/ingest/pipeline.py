@@ -191,16 +191,22 @@ def run_multiscale_extraction(
 
 def _run_device_tiling_extraction(
     ds, embedding, *, tile_size, factor, min_tile_size, batch_size,
-    n_decode_threads, limit,
+    n_decode_threads, limit, img_batch: int = 16,
 ):
     """Decode on host threads (native C++ libjpeg pool when available, PIL
     otherwise); tile + normalize + encode on device. Tiles never return to
     the host — device buffers concatenate into exact fixed-size ViT
-    batches."""
+    batches.
+
+    Images are grouped by resolution and tiled `img_batch` per dispatch
+    (device_tiling.build_batch_tiler): one contiguous (B, H, W, 3) uint8
+    upload + one program per group amortizes the link's per-dispatch
+    round-trip B-fold — through a high-latency tunnel this is the
+    difference between ~10 and >100 img/s steady state."""
     import jax.numpy as jnp
 
     from ..runtime.jpeg_decode import decode_pool
-    from .device_tiling import build_tiler, make_plan
+    from .device_tiling import build_batch_tiler, build_tiler, make_plan
 
     dbidxs = ds.dbidxs[:limit] if limit else ds.dbidxs
     work_q: "queue.Queue" = queue.Queue(maxsize=n_decode_threads * 2)
@@ -268,7 +274,27 @@ def _run_device_tiling_extraction(
             )
             n_buf -= take
 
-    tilers = {}
+    # per-resolution image groups: (plan, [dbidx...], [img...])
+    groups: dict = {}
+
+    def tile_group(plan, g_dbidx, g_imgs):
+        nonlocal n_buf
+        B = len(g_imgs)
+        if B == img_batch:
+            tiles_d = build_batch_tiler(plan, img_batch)(
+                jnp.asarray(np.stack(g_imgs))
+            )
+            buf_tiles.append(tiles_d)
+        else:  # leftover tail group: per-image dispatches
+            for img in g_imgs:
+                buf_tiles.append(build_tiler(plan)(jnp.asarray(img)))
+        for dbidx in g_dbidx:
+            buf_meta.append(
+                (np.full(plan.n_tiles, dbidx, dtype=np.int32),
+                 plan.zoom_level, plan.boxes)
+            )
+        n_buf += B * plan.n_tiles
+
     while True:
         item = work_q.get()
         if item is _SENTINEL:
@@ -278,17 +304,14 @@ def _run_device_tiling_extraction(
         dbidx, img = item
         h, w = img.shape[:2]
         plan = make_plan(h, w, tile_size, factor, min_tile_size)
-        tiler = tilers.get((h, w))
-        if tiler is None:
-            tiler = tilers[(h, w)] = build_tiler(plan)
-        tiles_d = tiler(jnp.asarray(img))
-        buf_tiles.append(tiles_d)
-        buf_meta.append(
-            (np.full(plan.n_tiles, dbidx, dtype=np.int32),
-             plan.zoom_level, plan.boxes)
-        )
-        n_buf += plan.n_tiles
-        flush()
+        g = groups.setdefault((h, w), (plan, [], []))
+        g[1].append(dbidx)
+        g[2].append(img)
+        if len(g[1]) >= img_batch:
+            tile_group(*groups.pop((h, w)))
+            flush()
+    for g in groups.values():
+        tile_group(*g)
     flush(final=True)
     materialize()
 

@@ -96,3 +96,49 @@ def test_plan_tiny_image():
     assert plan.n_tiles == host.tiles.shape[0]
     np.testing.assert_allclose(plan.boxes, host.boxes, atol=1e-4)
     assert np.asarray(tiles).shape == (plan.n_tiles, 32, 32, 3)
+
+
+def test_pipeline_batched_groups(tmp_path):
+    """>= img_batch same-size images take the BATCHED tiler path (one
+    (B,H,W,3) dispatch per 16 images); results must equal the host path
+    image-for-image, and the batch tiler must equal the per-image tiler."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ingest.device_tiling import (
+        build_batch_tiler, build_tiler, make_plan,
+    )
+    from seesaw_tpu.ingest.pipeline import run_multiscale_extraction
+    from seesaw_tpu.models.clip import ClipEmbedding
+
+    rng = np.random.default_rng(2)
+    imgs = [_smooth_image(rng, 64, 96) for _ in range(20)]
+    paths = []
+    for i, arr in enumerate(imgs):
+        p = tmp_path / f"b_{i}.png"
+        PIL.Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    ds = SimpleNamespace(dbidxs=np.arange(len(paths)),
+                         file_path=lambda i: paths[int(i)])
+
+    emb = ClipEmbedding(variant="test")
+    kw = dict(tile_size=32, factor=0.5, min_tile_size=32, batch_size=16)
+    v_h, d_h, z_h, b_h = run_multiscale_extraction(ds, emb, tiling="host", **kw)
+    v_d, d_d, z_d, b_d = run_multiscale_extraction(ds, emb, tiling="device", **kw)
+    np.testing.assert_array_equal(d_d, d_h)
+    np.testing.assert_array_equal(z_d, z_h)
+    np.testing.assert_allclose(b_d, b_h, atol=1e-4)
+    cos = (v_d * v_h).sum(axis=1)
+    assert cos.min() > 0.98, cos.min()
+
+    # batch tiler == per-image tiler, tile-for-tile
+    plan = make_plan(64, 96, 32, 0.5, 32)
+    B = 4
+    stack = np.stack(imgs[:B])
+    got = np.asarray(build_batch_tiler(plan, B)(jnp.asarray(stack)))
+    single = build_tiler(plan)
+    want = np.concatenate(
+        [np.asarray(single(jnp.asarray(im))) for im in imgs[:B]]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
