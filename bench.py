@@ -291,6 +291,12 @@ def bench_ingest(n_images: int = 200) -> dict:
     # component 2: host->device upload bandwidth (the binding stage through
     # this environment's tunnel; ~free over PCIe on an attached host). Fresh
     # pseudo-random payloads each rep — the tunnel dedups repeated content.
+    # NOTE on the remaining end-to-end gap vs this bound: this VM has ONE
+    # vCPU, so JPEG decode, the (B,H,W,3) stack memcpy and the tunnel
+    # client's serialization all SERIALIZE on one core instead of
+    # overlapping across cores — measured e2e lands ~3x under the
+    # upload-alone bound here; on a multi-core attached host the binding
+    # stage is min(decode, encode), both reported below.
     import jax
 
     rng2 = np.random.default_rng(1)

@@ -55,8 +55,22 @@ def match_labels_to_vectors(
     Returns (row_indices, dbidx, ys, max_iou) — columnar, replacing the
     reference's dataframe join (`multiscale_index.py:65-83`)."""
     seen = label_db.get_seen()
-    seen_mask = seen.contains_many(meta.dbidx.astype(np.uint32))
-    rows = np.where(seen_mask)[0]
+    # enumerate rows per SEEN image via the frame segmentation — O(seen
+    # images), not O(N) over a 10M-row dbidx array per click
+    seen_ids = np.asarray(seen.to_array(), dtype=np.int64)
+    fpos = np.searchsorted(meta.frame_dbidx, seen_ids)
+    safe = np.minimum(fpos, meta.n_frames - 1)
+    fpos = fpos[(fpos < meta.n_frames) & (meta.frame_dbidx[safe] == seen_ids)]
+    rows = (
+        np.concatenate(
+            [
+                np.arange(meta.frame_starts[f], meta.frame_starts[f + 1])
+                for f in fpos
+            ]
+        )
+        if fpos.size
+        else np.zeros(0, dtype=np.int64)
+    )
 
     if target_description is not None:
         table = label_db.get_box_table(target_description=target_description)
@@ -242,11 +256,12 @@ class MultiscaleIndex(AccessMethod):
         f = self.meta.frame_id[rows]
         offs = rows - self.meta.frame_starts[f]
         prows = (f.astype(np.int64) * self._tile_bound + offs).astype(np.int32)
-        # pad to power-of-2 buckets: the labeled set GROWS every round, and
-        # an exact-shape gather would recompile per round (~seconds each)
-        prows = np.concatenate(
-            [prows, np.zeros(_next_pow2(max(n, 1)) - n, np.int32)]
-        )
+        # pad to power-of-2 buckets (floor 512): the labeled set GROWS every
+        # round, and an exact-shape gather would recompile per round
+        # (~seconds each); the 512 floor keeps a typical whole session in
+        # ONE compiled shape
+        bucket = max(512, _next_pow2(max(n, 1)))
+        prows = np.concatenate([prows, np.zeros(bucket - n, np.int32)])
         dev = jnp.asarray(prows)
         out = self._V[dev]
         if out.dtype == jnp.int8:
@@ -307,6 +322,15 @@ class MultiscaleIndex(AccessMethod):
     # (SURVEY §7 hard part; the reference re-derives exclusion per query,
     # multiscale_index.py:314-352).
     def _init_exclusion_state(self):
+        import threading
+
+        # (obj, prev, dev) must stay mutually CONSISTENT: dev is exactly
+        # prev's exclusions. All writes go through _commit_exclusion under
+        # the lock with a generation check, so concurrent sessions sharing
+        # one index can never publish a mask for another session's set —
+        # they just fall back to full rebuilds while interleaving.
+        self._excl_lock = threading.Lock()
+        self._excl_gen = 0
         self._excl_dev = None  # jnp (F,) bool the device currently holds
         self._excl_obj = None  # the BitMap object being tracked (strong ref)
         self._excl_prev = None  # its contents as of the last sync
@@ -321,32 +345,49 @@ class MultiscaleIndex(AccessMethod):
         return pos[(pos < fd.shape[0]) & (fd[safe] == ids)].astype(np.int32)
 
     def _device_exclusion(self, exclude: Optional[BitMap]):
-        """(device mask, padded new frame ordinals) for one query."""
+        """(device mask, padded new frame ordinals, commit token)."""
         no_new = self._no_new_ids()
-        if exclude is None or len(exclude) == 0:
-            if self._excl_dev is None or self._excl_obj is not None:
-                self._excl_dev = jnp.asarray(self._base_excluded_mask)
-                self._excl_obj = self._excl_prev = None
-            return self._excl_dev, jnp.asarray(no_new)
+        with self._excl_lock:
+            self._excl_gen += 1
+            gen = self._excl_gen
+            if exclude is None or len(exclude) == 0:
+                if self._excl_dev is None or self._excl_obj is not None:
+                    self._excl_dev = jnp.asarray(self._base_excluded_mask)
+                    self._excl_obj = self._excl_prev = None
+                return self._excl_dev, jnp.asarray(no_new), None
 
-        if self._excl_obj is exclude and self._excl_prev is not None:
-            added = exclude.difference(self._excl_prev)
-            removed = self._excl_prev.difference(exclude)
-            if len(removed) == 0 and len(added) <= self._EXCL_DELTA:
-                ords = self._dbidx_to_frame_ordinals(
-                    np.asarray(added.to_array(), dtype=np.int64)
-                )
-                out = no_new
-                out[: ords.shape[0]] = ords
-                self._excl_prev = exclude.copy()
-                return self._excl_dev, jnp.asarray(out)
+            if self._excl_obj is exclude and self._excl_prev is not None:
+                added = exclude.difference(self._excl_prev)
+                removed = self._excl_prev.difference(exclude)
+                if len(removed) == 0 and len(added) <= self._EXCL_DELTA:
+                    ords = self._dbidx_to_frame_ordinals(
+                        np.asarray(added.to_array(), dtype=np.int64)
+                    )
+                    out = no_new
+                    out[: ords.shape[0]] = ords
+                    token = (gen, exclude, exclude.copy())
+                    return self._excl_dev, jnp.asarray(out), token
 
-        # first sighting of this exclusion set (or it shrank / jumped):
-        # one full host rebuild, then incremental from here on
-        self._excl_dev = jnp.asarray(self._frame_exclusion_mask(exclude))
-        self._excl_obj = exclude
-        self._excl_prev = exclude.copy()
-        return self._excl_dev, jnp.asarray(no_new)
+            # first sighting of this exclusion set (or it shrank / jumped):
+            # one full host rebuild, then incremental from here on
+            mask = jnp.asarray(self._frame_exclusion_mask(exclude))
+            token = (gen, exclude, exclude.copy())
+            # publish the rebuilt state immediately; the program's returned
+            # mask is identical (no new ids ride along)
+            self._excl_obj = exclude
+            self._excl_prev = token[2]
+            self._excl_dev = mask
+            return mask, jnp.asarray(no_new), None
+
+    def _commit_exclusion(self, token, new_mask):
+        if token is None:
+            return
+        gen, exclude, prev_copy = token
+        with self._excl_lock:
+            if self._excl_gen == gen:  # no interleaved query since ours
+                self._excl_obj = exclude
+                self._excl_prev = prev_copy
+                self._excl_dev = new_mask
 
     def query(
         self,
@@ -392,7 +433,7 @@ class MultiscaleIndex(AccessMethod):
             ]
             return {"dbidxs": dbidxs.astype(np.int64), "activations": activations}
 
-        mask, new_ids = self._device_exclusion(exclude)
+        mask, new_ids, token = self._device_exclusion(exclude)
         q = jnp.asarray(np.asarray(vector, np.float32).reshape(-1))
         q2 = (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
               if vector2 is not None else None)
@@ -402,7 +443,7 @@ class MultiscaleIndex(AccessMethod):
         if self._use_pallas and q2 is None and self._V.dtype != jnp.int8:
             from ..ops.pallas_scoring import query_program_fused_incr
 
-            res, self._excl_dev = query_program_fused_incr(
+            res, new_mask = query_program_fused_incr(
                 self._V, self._valid, self._boxes, self._zoom, q,
                 mask, new_ids, self._row_scale,
                 shortlist_size=shortlist_size, topk=topk_eff,
@@ -412,13 +453,14 @@ class MultiscaleIndex(AccessMethod):
                 interpret=_pallas_interpret(),
             )
         else:
-            res, self._excl_dev = frame_scoring.query_program_incr(
+            res, new_mask = frame_scoring.query_program_incr(
                 self._V, self._valid, self._boxes, self._zoom,
                 q, q2, mask, new_ids, self._row_scale,
                 shortlist_size=shortlist_size, topk=topk_eff,
                 aug_larger=aug_larger, aug_weight=aug_weight,
                 agg_method=agg_method, max_zoom=self._max_zoom,
             )
+        self._commit_exclusion(token, new_mask)
         return self._format_result(res)
 
     def rank_by_scores(
@@ -442,17 +484,18 @@ class MultiscaleIndex(AccessMethod):
             "rank_by_scores needs the host padding plan (not available on "
             "from_device_arrays indexes)"
         )
-        mask, new_ids = self._device_exclusion(exclude)
+        mask, new_ids, token = self._device_exclusion(exclude)
 
         s = jnp.asarray(np.asarray(scores, np.float32))
         s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
-        res, self._excl_dev = frame_scoring.rank_frames_from_scores_incr(
+        res, new_mask = frame_scoring.rank_frames_from_scores_incr(
             s_pad, self._valid, self._boxes, self._zoom,
             mask, new_ids,
             shortlist_size=shortlist_size, topk=topk_eff,
             aug_larger=aug_larger, aug_weight=aug_weight,
             agg_method=agg_method, max_zoom=self._max_zoom,
         )
+        self._commit_exclusion(token, new_mask)
         return self._format_result(res)
 
     def _format_result(self, res) -> dict:

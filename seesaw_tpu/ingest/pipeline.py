@@ -191,7 +191,7 @@ def run_multiscale_extraction(
 
 def _run_device_tiling_extraction(
     ds, embedding, *, tile_size, factor, min_tile_size, batch_size,
-    n_decode_threads, limit, img_batch: int = 16,
+    n_decode_threads, limit, img_batch: int = 48,
 ):
     """Decode on host threads (native C++ libjpeg pool when available, PIL
     otherwise); tile + normalize + encode on device. Tiles never return to

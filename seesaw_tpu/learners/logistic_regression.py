@@ -135,14 +135,20 @@ class _LinearProbeBase:
             else np.asarray(sample_weights, dtype=np.float32).reshape(-1)
         )
 
-        params0 = (
-            self.params_
-            if self.params_ is not None and self.params_.shape[0] == d + 1
-            else np.zeros(d + 1, dtype=np.float32)
-        )
         anchor = (
             self.anchor_ if self.anchor_ is not None else np.zeros(d, dtype=np.float32)
         )
+        if self.params_ is not None and self.params_.shape[0] == d + 1:
+            params0 = self.params_  # warm start
+        elif self.anchor_ is not None:
+            # cold-start AT the anchor: w = 0 is a stall point of the
+            # anchor regularizer (the normalized-direction term's gradient
+            # vanishes under the smoothing), where LBFGS line searches make
+            # ~no progress — starting at q-hat lands in the same basin as
+            # the reference's torch init (verified coefficient parity)
+            params0 = np.concatenate([self.anchor_, np.zeros(1)]).astype(np.float32)
+        else:
+            params0 = np.zeros(d + 1, dtype=np.float32)
 
         params, f, diverged = _fit_linear(
             jnp.asarray(X),

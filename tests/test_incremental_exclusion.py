@@ -138,3 +138,46 @@ def test_from_device_arrays_serving_index():
     np.testing.assert_allclose(
         dev_idx.vectors_for_rows(rows), V[rows], rtol=1e-6
     )
+
+
+def test_concurrent_sessions_share_index():
+    """Two sessions' bitmaps alternating (and racing) on ONE index must each
+    always see exactly their own exclusions — the generation-checked commit
+    protocol keeps (obj, prev, mask) consistent under interleaving."""
+    import threading
+
+    idx, V, meta = _make_index(seed=7)
+    oracle, _, _ = _make_index(seed=7)
+    rng = np.random.default_rng(8)
+    n_sessions, n_rounds = 4, 5
+    qs = rng.normal(size=(n_sessions, V.shape[1])).astype(np.float32)
+    bitmaps = [BitMap() for _ in range(n_sessions)]
+    logs = [[] for _ in range(n_sessions)]
+    errors = []
+    barrier = threading.Barrier(n_sessions)
+
+    def run(i):
+        try:
+            for _ in range(n_rounds):
+                barrier.wait()  # force interleaving each round
+                got = _query(idx, qs[i], bitmaps[i])
+                logs[i].append(got)
+                bitmaps[i].update(got[0][:2])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+    # replay each session serially against a fresh oracle index
+    for i in range(n_sessions):
+        bm = BitMap()
+        for got in logs[i]:
+            want = _query(oracle, qs[i], BitMap(bm.to_array()))
+            assert got[0] == want[0], f"session {i} diverged"
+            np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+            bm.update(got[0][:2])

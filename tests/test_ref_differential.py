@@ -730,3 +730,52 @@ def test_config_expansion_vs_ref():
     o1 = ours.generate_method_configs(single, max_trials=5)
     assert len(r1) == len(o1) == 1
     assert r1[0]["sample_id"] is None and o1[0]["sample_id"] is None
+
+
+# ---------------------------------------------------------------------------
+# LogisticRegression vs LogisticRegressionPT (convergence regime)
+# ---------------------------------------------------------------------------
+
+def test_logistic_regression_vs_ref():
+    """Coefficient parity with the reference logistic probe
+    (`logistic_regression.py:270-421`) at convergence-friendly inputs
+    (enough hard labels that torch's LBFGS actually converges; its unseeded
+    random init makes under-converged outputs nondeterministic — see
+    test_ref_session_differential.py's PseudoLR note)."""
+    import torch
+
+    torch.manual_seed(0)  # the reference's nn.Linear init is otherwise
+    # process-entropy-seeded, making its convergence point run-dependent
+    lrmod = ref.load("seesaw.logistic_regression")
+    from seesaw_tpu.learners import LogisticRegression
+
+    rng = np.random.default_rng(0)
+    n, d = 80, 24
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # 24 hard labels + soft pseudo-labels with up-weighted real rows,
+    # exactly the PseudoLR fit shape (loops/pseudo_lr.py)
+    y = np.concatenate([
+        np.ones(6), np.zeros(18), rng.uniform(0.1, 0.8, size=n - 24)
+    ]).astype(np.float32)
+    w = np.ones(n, np.float32)
+    w[:24] = 5.0
+    tvec = rng.normal(size=d).astype(np.float32)
+    tvec /= np.linalg.norm(tvec)
+
+    kw = dict(class_weights="balanced", scale="centered", reg_lambda=10.0,
+              fit_intercept=False, regularizer_vector=tvec, max_iter=50)
+    m_ref = lrmod.LogisticRegressionPT(**kw)
+    m_ref.fit(X, y.reshape(-1, 1), w.reshape(-1, 1))
+    c_ref = m_ref.get_coeff().reshape(-1)
+
+    m = LogisticRegression(**kw)
+    m.fit(X, y, w)
+    c = m.get_coeff()
+
+    cos = c_ref @ c / (np.linalg.norm(c_ref) * np.linalg.norm(c))
+    assert cos > 1 - 1e-5, cos
+    np.testing.assert_allclose(
+        np.linalg.norm(c), np.linalg.norm(c_ref), rtol=1e-3
+    )
+    np.testing.assert_allclose(c, c_ref, atol=5e-4)
