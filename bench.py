@@ -336,26 +336,27 @@ def bench_ingest(n_images: int = 200) -> dict:
     }
 
 
-def bench_multi_query(n_vectors: int, Q: int = 16) -> dict:
+def bench_multi_query(n_vectors: int, Q: int = 16, dtype: str = "int8") -> dict:
     """Batched multi-query serving throughput: Q concurrent sessions' re-ranks
     in one (N,D)@(D,Q) dispatch (ops.frame_scoring.query_program_batch). The
     matrix HBM read is amortized over Q queries, so device qps should scale
-    nearly Q x over the serial single-query loop."""
+    nearly Q x over the serial single-query loop. Runs on the int8 serving
+    config (the fastest scan, see _query_fn)."""
     import jax
     import jax.numpy as jnp
 
     from seesaw_tpu.ops.frame_scoring import query_program_batch
 
-    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors)
+    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors, dtype=dtype)
     rng = np.random.default_rng(0)
     d = V.shape[1]
     K = 8  # chained batch dispatches
 
     @jax.jit
-    def chain(V_a, valid_a, boxes_a, zoom_a, qss, excl0):
+    def chain(V_a, valid_a, boxes_a, zoom_a, rs_a, qss, excl0):
         def body(excl, qs):
             r = query_program_batch(
-                V_a, valid_a, boxes_a, zoom_a, qs, excl, None,
+                V_a, valid_a, boxes_a, zoom_a, qs, excl, rs_a,
                 shortlist_size=SHORTLIST, topk=TOPK,
                 aug_larger="all", aug_weight="level_max",
                 agg_method="avg_score", max_zoom=3,
@@ -373,19 +374,25 @@ def bench_multi_query(n_vectors: int, Q: int = 16) -> dict:
         return qs
 
     excl0 = jnp.zeros((Q, n_frames), dtype=bool)
-    float(chain(V, valid, boxes, zoom, fresh(), excl0))  # compile
+    float(chain(V, valid, boxes, zoom, row_scale, fresh(), excl0))  # compile
     times = []
     for _ in range(3):
         qs = fresh()
         t0 = time.perf_counter()
-        float(chain(V, valid, boxes, zoom, qs, excl0))
+        float(chain(V, valid, boxes, zoom, row_scale, qs, excl0))
         times.append((time.perf_counter() - t0) * 1000 / K)
     ms_per_batch = float(min(times))
-    return {
+    suffix = "" if dtype == "int8" else f"_{dtype}"
+    out = {
         "multi_query_Q": Q,
-        "p50_batch16_device_ms": round(ms_per_batch, 3),
-        "topk_qps_device_batch16": round(Q * 1000.0 / ms_per_batch, 1),
+        f"p50_batch16_device_ms{suffix}": round(ms_per_batch, 3),
+        f"topk_qps_device_batch16{suffix}": round(Q * 1000.0 / ms_per_batch, 1),
     }
+    del V, valid, boxes, zoom, row_scale
+    import gc
+
+    gc.collect()
+    return out
 
 
 def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
@@ -408,7 +415,9 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
     from seesaw_tpu.indices.multiscale import MultiscaleIndex
     from seesaw_tpu.session import Session
 
-    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors)
+    # int8 storage = the production serving config (fastest scan via the
+    # XLA path + half the HBM; see _query_fn)
+    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors, dtype="int8")
 
     # host metadata mirroring the device tiling pattern (no vector mirror)
     quads = np.asarray(jax.device_get(boxes[: TILES]))
@@ -727,11 +736,18 @@ def _main():
             extras["session_error"] = repr(e)
 
     if not os.environ.get("SEESAW_BENCH_SKIP_MULTIQ"):
+        # int8's matvec advantage does not carry to the (N,D)@(D,16) batch
+        # matmul (XLA's int8 path loses to bf16 there) — measure both;
+        # bf16 is the better concurrent-serving config
         try:
             _progress("multi-query batch")
             extras.update(bench_multi_query(n_vectors))
         except Exception as e:
             extras["multi_query_error"] = repr(e)
+        try:
+            extras.update(bench_multi_query(n_vectors, dtype="bfloat16"))
+        except Exception as e:
+            extras["multi_query_bf16_error"] = repr(e)
 
     if not os.environ.get("SEESAW_BENCH_SKIP_RECALL"):
         try:
