@@ -54,6 +54,9 @@ class CoarseIndex(MultiscaleIndex):
         )
 
     def save(self, index_path: str, model_name: str = ""):
+        from ..runtime.cache import index_cache
+
+        index_cache.invalidate_prefix(str(Path(index_path)))
         p = Path(index_path)
         p.mkdir(parents=True, exist_ok=True)
         np.savez(p / "vectors.npz", vectors=self.vectors, dbidx=self.meta.dbidx)

@@ -41,11 +41,30 @@ class AccessMethod:
     @staticmethod
     def load(index_path: str, *, options: dict | None = None) -> "AccessMethod":
         """Dispatch through `<index_path>/info.json`'s ``constructor`` field
-        (dotted path), like the reference's dynamic loader."""
-        index_path = Path(index_path)
-        info = json.loads((index_path / "info.json").read_text())
-        cons = get_constructor(info["constructor"])
-        return cons.from_path(str(index_path), **(options or {}))
+        (dotted path), like the reference's dynamic loader.
+
+        Loads are memoized process-wide per (path, options): concurrent
+        sessions SHARE one index object — one device-resident matrix copy
+        instead of one per session, and cross-session request coalescing
+        (index_options={"coalesce_ms": ...}) actually engages. This is the
+        role the reference's cluster cache actor played
+        (`services.py:25-30` get_parquet via `memory_cache.py:67-94`);
+        MultiscaleIndex's exclusion state is safe to share (the
+        generation-checked commit protocol)."""
+        from ..runtime.cache import index_cache
+
+        index_path = str(Path(index_path))
+        key = json.dumps(
+            [index_path, sorted((options or {}).items(), key=str)],
+            default=str,
+        )
+
+        def init():
+            info = json.loads((Path(index_path) / "info.json").read_text())
+            cons = get_constructor(info["constructor"])
+            return cons.from_path(index_path, **(options or {}))
+
+        return index_cache.get_or_initialize(key, init)
 
     def get_knng_path(self, name: str = "") -> str:
         raise NotImplementedError("abstract")

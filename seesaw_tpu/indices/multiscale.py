@@ -546,6 +546,9 @@ class MultiscaleIndex(AccessMethod):
 
     # -- persistence -------------------------------------------------------
     def save(self, index_path: str, model_name: str = ""):
+        from ..runtime.cache import index_cache
+
+        index_cache.invalidate_prefix(str(Path(index_path)))
         p = Path(index_path)
         p.mkdir(parents=True, exist_ok=True)
         np.savez(

@@ -345,9 +345,11 @@ def create_multiscale_index(
     'clip-vit-b32:/path/ckpt', 'hash-64'). Optionally also builds the exact
     kNN graph with the given neighbor count."""
     from ..models.registry import load_embedding
+    from ..runtime.cache import index_cache
 
     embedding = load_embedding(model_name)
     index_path = ds.index_path(index_name)
+    index_cache.invalidate_prefix(str(index_path))  # rebuilds must not serve stale objects
 
     with transactional_folder(index_path, force=force) as tmp:
         vectors, dbidx, zoom, boxes = run_multiscale_extraction(
@@ -401,6 +403,9 @@ def create_coarse_index(ds: SeesawDataset, index_name: str, *, from_index: str,
         fine.vectors, fine.meta.dbidx, fine.meta.zoom_level
     )
     out_path = ds.index_path(index_name)
+    from ..runtime.cache import index_cache
+
+    index_cache.invalidate_prefix(str(out_path))
     with transactional_folder(out_path, force=force) as tmp:
         np.savez(Path(tmp) / "vectors.npz", vectors=vecs, dbidx=dbidx)
         info = {

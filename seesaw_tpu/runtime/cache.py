@@ -48,12 +48,24 @@ class LocalCache:
         with self._meta_lock:
             self._values.pop(key, None)
 
+    def invalidate_prefix(self, fragment: str):
+        """Drop every key containing ``fragment`` (index rebuilds at the
+        same path must not serve the stale cached object)."""
+        with self._meta_lock:
+            for k in [k for k in self._values if fragment in k]:
+                self._values.pop(k, None)
+
     def clear(self):
         with self._meta_lock:
             self._values.clear()
 
 
 GLOBAL_CACHE = LocalCache()
+
+# process-wide index registry: sessions share one device-resident index per
+# (path, options) — the reference cache actor's share-once role
+# (indices/interface.py AccessMethod.load)
+index_cache = LocalCache()
 
 
 def cache_closure(init: Callable[[], object], *, key: str, use_cache: bool = True):

@@ -123,3 +123,63 @@ def test_coalescer_single_caller_passthrough():
     got = co.query(vector=q, topk=4, shortlist_size=16, exclude=None)
     want = idx.query(vector=q, topk=4, shortlist_size=16, exclude=None)
     assert list(got["dbidxs"]) == list(want["dbidxs"])
+
+
+def test_sessions_share_one_index_and_coalesce(tmp_path):
+    """Process-wide index sharing (AccessMethod.load memoization): two
+    sessions over the same dataset hold the SAME index object (one
+    device-resident matrix, the reference cache-actor role), and with
+    coalesce_ms their concurrent re-ranks merge into batched dispatches."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from synth import build_synthetic_root, QSTR
+
+    from seesaw_tpu.basic_types import IndexSpec, SessionParams
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.session import make_session
+    from seesaw_tpu.web.coalesce import CoalescingIndex
+
+    build_synthetic_root(str(tmp_path), dataset_name="shared")
+    gdm = GlobalDataManager(str(tmp_path))
+
+    def params():
+        return SessionParams(
+            index_spec=IndexSpec(d_name="shared", i_name="multiscale"),
+            interactive="plain", batch_size=3, shortlist_size=20,
+            agg_method="avg_score", aug_larger="all",
+            index_options={"coalesce_ms": 25.0},
+        )
+
+    s1 = make_session(gdm, params())["session"]
+    s2 = make_session(gdm, params())["session"]
+    assert s1.index is s2.index, "sessions must share one index object"
+    assert isinstance(s1.index, CoalescingIndex)
+
+    s1.set_text(QSTR)
+    s2.set_text(QSTR)
+
+    results = {}
+
+    def drive(name, s):
+        for _ in range(3):
+            results.setdefault(name, []).extend(int(i) for i in s.next())
+
+    t1 = threading.Thread(target=drive, args=("a", s1))
+    t2 = threading.Thread(target=drive, args=("b", s2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    co = s1.index._coalescer
+    assert co.stats["batched"] > 0, f"no coalescing happened: {co.stats}"
+    # each session's no-repeat contract held through the shared scan
+    assert len(results["a"]) == len(set(results["a"])) == 9
+    assert len(results["b"]) == len(set(results["b"])) == 9
+
+    # rebuilding at the same path must NOT serve the stale cached object
+    from seesaw_tpu.runtime.cache import index_cache
+
+    idx_before = gdm.get_dataset("shared").load_index("multiscale", options={})
+    index_cache.invalidate_prefix(str(tmp_path))
+    idx_after = gdm.get_dataset("shared").load_index("multiscale", options={})
+    assert idx_before is not idx_after
