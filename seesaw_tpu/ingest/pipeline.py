@@ -274,44 +274,65 @@ def _run_device_tiling_extraction(
             )
             n_buf -= take
 
-    # per-resolution image groups: (plan, [dbidx...], [img...])
-    groups: dict = {}
+    # UPLOADER stage on its own thread: per-resolution grouping, the
+    # (B,H,W,3) stack, the host->device upload and the tiler dispatch all
+    # overlap with the main thread's encode/materialize — through a
+    # high-latency link the upload is the binding stage, so it must never
+    # wait behind the ViT
+    tiles_q: "queue.Queue" = queue.Queue(maxsize=2)
 
-    def tile_group(plan, g_dbidx, g_imgs):
-        nonlocal n_buf
-        B = len(g_imgs)
-        if B == img_batch:
-            tiles_d = build_batch_tiler(plan, img_batch)(
-                jnp.asarray(np.stack(g_imgs))
-            )
-            buf_tiles.append(tiles_d)
-        else:  # leftover tail group: per-image dispatches
-            for img in g_imgs:
-                buf_tiles.append(build_tiler(plan)(jnp.asarray(img)))
-        for dbidx in g_dbidx:
+    def uploader():
+        groups: dict = {}  # (h, w) -> (plan, [dbidx...], [img...])
+
+        def emit_group(plan, g_dbidx, g_imgs):
+            B = len(g_imgs)
+            if B == img_batch:
+                tiles_d = build_batch_tiler(plan, img_batch)(
+                    jnp.asarray(np.stack(g_imgs))
+                )
+                tiles_q.put((tiles_d, [(d, plan) for d in g_dbidx]))
+            else:  # leftover tail group: per-image dispatches
+                for d, img in zip(g_dbidx, g_imgs):
+                    tiles_q.put((build_tiler(plan)(jnp.asarray(img)), [(d, plan)]))
+
+        try:
+            while True:
+                item = work_q.get()
+                if item is _SENTINEL:
+                    break
+                if item is None:
+                    continue
+                dbidx, img = item
+                h, w = img.shape[:2]
+                plan = make_plan(h, w, tile_size, factor, min_tile_size)
+                g = groups.setdefault((h, w), (plan, [], []))
+                g[1].append(dbidx)
+                g[2].append(img)
+                if len(g[1]) >= img_batch:
+                    emit_group(*groups.pop((h, w)))
+            for g in groups.values():
+                emit_group(*g)
+            tiles_q.put(_SENTINEL)
+        except BaseException as e:  # surface upload errors to the main thread
+            tiles_q.put(("__error__", e))
+
+    threading.Thread(target=uploader, daemon=True).start()
+
+    while True:
+        item = tiles_q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, tuple) and item[0] == "__error__":
+            raise item[1]
+        tiles_d, metas = item
+        buf_tiles.append(tiles_d)
+        for dbidx, plan in metas:
             buf_meta.append(
                 (np.full(plan.n_tiles, dbidx, dtype=np.int32),
                  plan.zoom_level, plan.boxes)
             )
-        n_buf += B * plan.n_tiles
-
-    while True:
-        item = work_q.get()
-        if item is _SENTINEL:
-            break
-        if item is None:
-            continue
-        dbidx, img = item
-        h, w = img.shape[:2]
-        plan = make_plan(h, w, tile_size, factor, min_tile_size)
-        g = groups.setdefault((h, w), (plan, [], []))
-        g[1].append(dbidx)
-        g[2].append(img)
-        if len(g[1]) >= img_batch:
-            tile_group(*groups.pop((h, w)))
-            flush()
-    for g in groups.values():
-        tile_group(*g)
+        n_buf += sum(p.n_tiles for _, p in metas)
+        flush()
     flush(final=True)
     materialize()
 
