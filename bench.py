@@ -245,7 +245,7 @@ def bench_clip_embed():
     return B * ITERS / min(ts)
 
 
-def bench_ingest(n_images: int = 200) -> dict:
+def bench_ingest(n_images: int = 240) -> dict:  # multiple of the 48-image group
     """End-to-end ingest: JPEG decode -> multiscale tiling -> CLIP encode
     (BASELINE.md target #1). Synthetic 640x480 JPEGs; real ViT-B/32 bf16."""
     import tempfile
@@ -271,11 +271,10 @@ def bench_ingest(n_images: int = 200) -> dict:
     )
     emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
 
-    # warmup (compile tiler + ViT batch shapes) on a small prefix; the
-    # measured run uses the batched device-tiling path (one (B,H,W,3) uint8
-    # upload + one tiler dispatch per 16 images; tiles stay device-resident
-    # into the ViT batches)
-    warm = SimpleNamespace(dbidxs=np.arange(40), file_path=ds.file_path)
+    # warmup MUST cover at least one full image-batch group (48) plus the
+    # tail shapes, or the batch tiler compiles inside the measured run
+    # (~20s of remote compile read as throughput loss)
+    warm = SimpleNamespace(dbidxs=np.arange(52), file_path=ds.file_path)
     run_multiscale_extraction(warm, emb, batch_size=256, tiling="device")
 
     # component 1: host decode throughput (with device tiling, JPEG decode is
