@@ -32,6 +32,17 @@ class AccessMethod:
         rows from the device matrix instead."""
         return self.vectors[np.asarray(rows, dtype=np.int64)]
 
+    def sum_vectors_for_rows(self, groups) -> np.ndarray:
+        """(k, D) f32 sums of row groups (empty group -> zeros). Default
+        reduces the host mirror; device-only indexes override to reduce on
+        device and ship k vectors instead of the full labeled matrix."""
+        d = self.vectors.shape[1]
+        return np.stack([
+            self.vectors[np.asarray(g, dtype=np.int64)].sum(axis=0)
+            if len(g) else np.zeros(d, dtype=np.float32)
+            for g in groups
+        ]).astype(np.float32)
+
     def subset(self, indices) -> "AccessMethod":
         raise NotImplementedError("abstract")
 

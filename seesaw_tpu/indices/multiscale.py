@@ -19,6 +19,7 @@ import json
 from pathlib import Path
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,20 @@ def _next_pow2(x: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+@jax.jit
+def _group_sums(V, prows, valid, row_scale):
+    """(k, B) padded row gather -> (k, D) masked f32 sums (int8 dequant)."""
+    X = V[prows]  # (k, B, D)
+    if X.dtype == jnp.int8:
+        scale = (
+            row_scale[prows][..., None]
+            if row_scale is not None
+            else jnp.float32(1.0)
+        )
+        X = X.astype(jnp.float32) * scale
+    return (X.astype(jnp.float32) * valid[..., None]).sum(axis=1)
 
 
 def _pallas_interpret() -> bool:
@@ -244,6 +259,38 @@ class MultiscaleIndex(AccessMethod):
         self._base_excluded_mask = base
         self._init_exclusion_state()
         return self
+
+    def sum_vectors_for_rows(self, groups) -> np.ndarray:
+        """(k, D) f32 sums over exact-layout row groups. Without a host
+        mirror this is ONE device dispatch returning k vectors (4KB) —
+        point-based refines (e.g. Rocchio's class means) must not fetch the
+        full labeled matrix through a slow link just to reduce it."""
+        if self.vectors is not None:
+            d = self.vectors.shape[1]
+            return np.stack([
+                self.vectors[np.asarray(g, dtype=np.int64)].sum(axis=0)
+                if len(g) else np.zeros(d, dtype=np.float32)
+                for g in groups
+            ]).astype(np.float32)
+
+        meta = self.meta
+        bucket = max(
+            512, _next_pow2(max(max((len(g) for g in groups), default=1), 1))
+        )
+        prows = np.zeros((len(groups), bucket), dtype=np.int32)
+        valid = np.zeros((len(groups), bucket), dtype=np.float32)
+        for i, g in enumerate(groups):
+            g = np.asarray(g, dtype=np.int64)
+            f = meta.frame_id[g]
+            offs = g - meta.frame_starts[f]
+            prows[i, : g.shape[0]] = (
+                f.astype(np.int64) * self._tile_bound + offs
+            ).astype(np.int32)
+            valid[i, : g.shape[0]] = 1.0
+        out = _group_sums(
+            self._V, jnp.asarray(prows), jnp.asarray(valid), self._row_scale
+        )
+        return np.asarray(out, dtype=np.float32)
 
     def vectors_for_rows(self, rows: np.ndarray) -> np.ndarray:
         """f32 vectors for exact-layout row indices. Uses the host mirror

@@ -89,11 +89,12 @@ class RocchioUpdate(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys = xy["rows"], xy["ys"]
-        Xt = self.index.vectors_for_rows(rows)
-        rel = Xt[ys > 0]
-        nrel = Xt[ys == 0]
-        mean_rel = rel.sum(axis=0) / max(rel.shape[0], 1)
-        mean_nrel = nrel.sum(axis=0) / max(nrel.shape[0], 1)
+        # class sums reduce ON the index (one tiny dispatch on device-only
+        # indexes) instead of fetching the whole labeled matrix
+        pos_rows, neg_rows = rows[ys > 0], rows[ys == 0]
+        sums = self.index.sum_vectors_for_rows([pos_rows, neg_rows])
+        mean_rel = sums[0] / max(pos_rows.shape[0], 1)
+        mean_nrel = sums[1] / max(neg_rows.shape[0], 1)
         self.curr_vec = (
             self.alpha * self.curr_qvec + self.beta * mean_rel - self.gamma * mean_nrel
         )

@@ -181,3 +181,26 @@ def test_concurrent_sessions_share_index():
             assert got[0] == want[0], f"session {i} diverged"
             np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
             bm.update(got[0][:2])
+
+
+def test_sum_vectors_for_rows_device_matches_host():
+    """Device-side group sums (the point-based refine reduction) equal the
+    host-mirror reduction, f32 and int8."""
+    for dtype in ("float32", "int8"):
+        host_idx, V, meta = _make_index(use_pallas=True, device_dtype=dtype)
+        dev_idx = MultiscaleIndex.from_device_arrays(
+            embedding=None, V=host_idx._V, valid=host_idx._valid,
+            boxes=host_idx._boxes, zoom=host_idx._zoom, meta=meta,
+            row_scale=host_idx._row_scale, use_pallas=True,
+        )
+        rng = np.random.default_rng(9)
+        groups = [
+            rng.choice(meta.n_vectors, size=17, replace=False),
+            rng.choice(meta.n_vectors, size=5, replace=False),
+            np.zeros(0, dtype=np.int64),  # empty class
+        ]
+        got = dev_idx.sum_vectors_for_rows(groups)
+        want = host_idx.sum_vectors_for_rows(groups)
+        atol = 1e-5 if dtype == "float32" else 5e-2
+        np.testing.assert_allclose(got, want, atol=atol)
+        assert (got[2] == 0).all()
