@@ -260,6 +260,13 @@ class MultiscaleIndex(AccessMethod):
         self._init_exclusion_state()
         return self
 
+    def padded_row_ids(self, rows: np.ndarray) -> np.ndarray:
+        """Exact-layout row indices -> padded-device-layout row indices."""
+        rows = np.asarray(rows, dtype=np.int64)
+        f = self.meta.frame_id[rows]
+        offs = rows - self.meta.frame_starts[f]
+        return (f.astype(np.int64) * self._tile_bound + offs).astype(np.int32)
+
     def sum_vectors_for_rows(self, groups) -> np.ndarray:
         """(k, D) f32 sums over exact-layout row groups. Without a host
         mirror this is ONE device dispatch returning k vectors (4KB) —
@@ -281,11 +288,7 @@ class MultiscaleIndex(AccessMethod):
         valid = np.zeros((len(groups), bucket), dtype=np.float32)
         for i, g in enumerate(groups):
             g = np.asarray(g, dtype=np.int64)
-            f = meta.frame_id[g]
-            offs = g - meta.frame_starts[f]
-            prows[i, : g.shape[0]] = (
-                f.astype(np.int64) * self._tile_bound + offs
-            ).astype(np.int32)
+            prows[i, : g.shape[0]] = self.padded_row_ids(g)
             valid[i, : g.shape[0]] = 1.0
         out = _group_sums(
             self._V, jnp.asarray(prows), jnp.asarray(valid), self._row_scale
@@ -300,9 +303,7 @@ class MultiscaleIndex(AccessMethod):
         if self.vectors is not None:
             return self.vectors[rows]
         n = rows.shape[0]
-        f = self.meta.frame_id[rows]
-        offs = rows - self.meta.frame_starts[f]
-        prows = (f.astype(np.int64) * self._tile_bound + offs).astype(np.int32)
+        prows = self.padded_row_ids(rows)
         # pad to power-of-2 buckets (floor 512): the labeled set GROWS every
         # round, and an exact-shape gather would recompile per round
         # (~seconds each); the 512 floor keeps a typical whole session in

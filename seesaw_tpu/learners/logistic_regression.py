@@ -80,6 +80,58 @@ def _fit_linear(
     return res.x, res.f, res.diverged
 
 
+@functools.partial(
+    jax.jit, static_argnames=("fit_intercept", "max_iter", "has_anchor", "center")
+)
+def _fit_ce_rows(
+    V: jnp.ndarray,  # (N, D) index matrix (f32/bf16/int8 padded layout)
+    row_scale,  # (N,) int8 dequant scales or None
+    prows: jnp.ndarray,  # (B,) int32 padded-layout rows, junk past n_real
+    valid: jnp.ndarray,  # (B,) f32 1/0
+    y: jnp.ndarray,  # (B,)
+    sample_w: jnp.ndarray,  # (B,) zero on padding
+    n_real: jnp.ndarray,  # () f32
+    pos_weight: jnp.ndarray,
+    reg_weight: jnp.ndarray,
+    qvec: jnp.ndarray,
+    params0: jnp.ndarray,
+    *,
+    fit_intercept: bool,
+    max_iter: int,
+    has_anchor: bool,
+    center: bool,
+):
+    """The SERVING-path logistic fit: row gather (+ int8 dequant), centering
+    and the LBFGS solve in ONE program — a per-click refine costs a single
+    dispatch with no labeled-matrix transfer (the reference round-trips X
+    through the host, `loops/log_reg.py:21-32`)."""
+    X = V[prows]
+    if X.dtype == jnp.int8:
+        scale = row_scale[prows][:, None] if row_scale is not None else 1.0
+        X = X.astype(jnp.float32) * scale
+    X = X.astype(jnp.float32)
+    vcol = valid[:, None]
+    if center:
+        mu = (X * vcol).sum(axis=0) / n_real
+    else:
+        mu = jnp.zeros(X.shape[1], dtype=jnp.float32)
+    Xc = (X - mu) * vcol
+    d = X.shape[1]
+
+    def loss(params):
+        w, b = params[:d], params[d]
+        logits = Xc @ w + (b if fit_intercept else 0.0)
+        per = jax.nn.softplus(-logits) * y * pos_weight + jax.nn.softplus(logits) * (
+            1.0 - y
+        )
+        data = (per * sample_w).sum() / n_real  # == mean over REAL rows
+        reg = _anchor_regularizer(w, qvec if has_anchor else None)
+        return data + reg_weight * reg
+
+    res = lbfgs_minimize(loss, params0, max_iter=max_iter, history=10)
+    return res.x, res.f, res.diverged, mu
+
+
 class _LinearProbeBase:
     loss_kind = "ce"
 
@@ -168,6 +220,77 @@ class _LinearProbeBase:
         self.params_ = np.asarray(params)
         if self.verbose:
             print(f"fit done: loss={float(f):.5f}")
+        return self
+
+    def fit_rows(self, index, rows, y, sample_weights=None):
+        """Fit over INDEX rows. On a device-only index (no host vector
+        mirror) the gather + centering + LBFGS run as ONE device dispatch
+        (_fit_ce_rows) — a per-click refine ships only y/weights up and
+        (d+1) params back. Host-mirror indexes and non-ce probes take the
+        ordinary fit() path."""
+        rows = np.asarray(rows, dtype=np.int64)
+        if getattr(index, "vectors", None) is not None or self.loss_kind != "ce":
+            return self.fit(index.vectors_for_rows(rows), y, sample_weights)
+
+        y = np.asarray(y, dtype=np.float32).reshape(-1)
+        n = rows.shape[0]
+        d = int(index._V.shape[1])
+        assert n == y.shape[0] and n > 0
+
+        if self.class_weights == "balanced":
+            npos = max(int((y == 1).sum()), 1)
+            nneg = max(int((y == 0).sum()), 1)
+            pos_weight = nneg / npos
+        else:
+            pos_weight = float(self.class_weights or 1.0)
+        sw = (
+            np.ones(n, dtype=np.float32)
+            if sample_weights is None
+            else np.asarray(sample_weights, dtype=np.float32).reshape(-1)
+        )
+
+        B = 512
+        while B < n:
+            B *= 2
+        prows = np.zeros(B, dtype=np.int32)
+        prows[:n] = index.padded_row_ids(rows)
+        valid = np.zeros(B, dtype=np.float32)
+        valid[:n] = 1.0
+        yp = np.zeros(B, dtype=np.float32)
+        yp[:n] = y
+        swp = np.zeros(B, dtype=np.float32)
+        swp[:n] = sw
+
+        anchor = (
+            self.anchor_ if self.anchor_ is not None else np.zeros(d, dtype=np.float32)
+        )
+        if self.params_ is not None and self.params_.shape[0] == d + 1:
+            params0 = self.params_
+        elif self.anchor_ is not None:
+            params0 = np.concatenate([self.anchor_, np.zeros(1)]).astype(np.float32)
+        else:
+            params0 = np.zeros(d + 1, dtype=np.float32)
+
+        params, f, diverged, mu = _fit_ce_rows(
+            index._V, index._row_scale,
+            jnp.asarray(prows), jnp.asarray(valid),
+            jnp.asarray(yp), jnp.asarray(swp),
+            jnp.asarray(float(n), dtype=jnp.float32),
+            jnp.asarray(pos_weight, dtype=jnp.float32),
+            jnp.asarray(self.reg_lambda / n, dtype=jnp.float32),
+            jnp.asarray(anchor),
+            jnp.asarray(params0),
+            fit_intercept=self.fit_intercept,
+            max_iter=self.max_iter,
+            has_anchor=self.anchor_ is not None,
+            center=self.scale == "centered",
+        )
+        if bool(diverged):
+            raise ValueError("regression training diverged (nan/inf loss)")
+        self.params_ = np.asarray(params)
+        self.mu_ = np.asarray(mu)
+        if self.verbose:
+            print(f"fit_rows done: loss={float(f):.5f}")
         return self
 
     def get_coeff(self) -> np.ndarray:

@@ -61,14 +61,15 @@ class LogReg2(PointBased):
         rows, ys = xy["rows"], xy["ys"]
         if rows.shape[0] == 0 or (ys == 1).all() or (ys == 0).all():
             return
-        Xt = self.index.vectors_for_rows(rows)
         if self.model is None:
             opts = dict(self.params.interactive_options or {})
             opts.pop("model_type", None)
             self.model = LogisticRegression(
                 regularizer_vector=self.state.tvec, **opts
             )
-        self.model.fit(Xt, ys)
+        # on device-only indexes this is ONE dispatch (gather + center +
+        # LBFGS fused); host-mirror indexes take the ordinary fit path
+        self.model.fit_rows(self.index, rows, ys)
         self.curr_vec = self.model.get_coeff()
 
 

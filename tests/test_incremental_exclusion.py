@@ -204,3 +204,39 @@ def test_sum_vectors_for_rows_device_matches_host():
         atol = 1e-5 if dtype == "float32" else 5e-2
         np.testing.assert_allclose(got, want, atol=atol)
         assert (got[2] == 0).all()
+
+
+def test_fit_rows_device_matches_host_fit():
+    """The fused serving fit (_fit_ce_rows: gather + center + LBFGS in one
+    dispatch) must produce the same coefficients as the ordinary host-path
+    fit over the same rows, f32 and int8 storage."""
+    from seesaw_tpu.learners import LogisticRegression
+
+    for dtype in ("float32", "int8"):
+        host_idx, V, meta = _make_index(n_images=40, use_pallas=False,
+                                        device_dtype=dtype)
+        dev_idx = MultiscaleIndex.from_device_arrays(
+            embedding=None, V=host_idx._V, valid=host_idx._valid,
+            boxes=host_idx._boxes, zoom=host_idx._zoom, meta=meta,
+            row_scale=host_idx._row_scale, use_pallas=False,
+        )
+        rng = np.random.default_rng(10)
+        rows = rng.choice(meta.n_vectors, size=60, replace=False)
+        y = rng.integers(0, 2, size=60).astype(np.float32)
+        y[0], y[1] = 1.0, 0.0  # both classes present
+        tvec = rng.normal(size=V.shape[1]).astype(np.float32)
+        tvec /= np.linalg.norm(tvec)
+
+        kw = dict(class_weights="balanced", scale="centered", reg_lambda=5.0,
+                  fit_intercept=False, regularizer_vector=tvec, max_iter=50)
+        m_host = LogisticRegression(**kw)
+        m_host.fit_rows(host_idx, rows, y)  # host-mirror path -> fit()
+        m_dev = LogisticRegression(**kw)
+        m_dev.fit_rows(dev_idx, rows, y)  # fused device path
+
+        atol = 1e-3 if dtype == "float32" else 2e-2
+        np.testing.assert_allclose(
+            m_dev.get_coeff(), m_host.get_coeff(), atol=atol,
+            err_msg=f"dtype={dtype}",
+        )
+        np.testing.assert_allclose(m_dev.mu_, m_host.mu_, atol=atol)

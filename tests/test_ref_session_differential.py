@@ -149,6 +149,22 @@ MATRIX_OPTIONS = dict(
 # per round.
 LOOP_CONFIGS = {
     "plain": ("plain", {}, 2e-4, "from_start"),
+    # the other protocol corners the reference yaml sweeps actually used:
+    # plain_score bypasses augmentation entirely; 'greater' joins only
+    # equal-or-coarser zoom levels (std_bench 'seesaw_multi_*' variants)
+    "plain_plain_score": (
+        "plain", {}, 2e-4, "from_start", dict(agg_method="plain_score"),
+    ),
+    "plain_greater": (
+        "plain", {}, 2e-4, "from_start", dict(aug_larger="greater"),
+    ),
+    "rocchio_greater": (
+        "rocchio_update",
+        dict(rocchio_alpha=1.0, rocchio_beta=0.7, rocchio_gamma=0.3),
+        2e-4,
+        "from_start",
+        dict(aug_larger="greater"),
+    ),
     "rocchio": (
         "rocchio_update",
         dict(rocchio_alpha=1.0, rocchio_beta=0.7, rocchio_gamma=0.3),
@@ -228,7 +244,8 @@ LOOP_CONFIGS = {
 
 
 def _make_ref_session(method, options, V, vm_df, qvec, root,
-                      start_policy="from_start"):
+                      start_policy="from_start", agg_method="avg_score",
+                      aug_larger="all"):
     bt = ref.load("seesaw.basic_types")
     ms = ref.load("seesaw.indices.multiscale.multiscale_index")
     ss = ref.load("seesaw.seesaw_session")
@@ -238,8 +255,8 @@ def _make_ref_session(method, options, V, vm_df, qvec, root,
         interactive=method,
         batch_size=BATCH_SIZE,
         shortlist_size=SHORTLIST,
-        agg_method="avg_score",
-        aug_larger="all",
+        agg_method=agg_method,
+        aug_larger=aug_larger,
         start_policy=start_policy,
         interactive_options=options or None,
     )
@@ -255,7 +272,8 @@ def _make_ref_session(method, options, V, vm_df, qvec, root,
 
 
 def _make_tpu_session(method, options, V, meta, qvec, root,
-                      start_policy="from_start"):
+                      start_policy="from_start", agg_method="avg_score",
+                      aug_larger="all"):
     from seesaw_tpu.basic_types import Box, IndexSpec, SessionParams
     from seesaw_tpu.indices.multiscale import MultiscaleIndex
     from seesaw_tpu.session import Session
@@ -265,8 +283,8 @@ def _make_tpu_session(method, options, V, meta, qvec, root,
         interactive=method,
         batch_size=BATCH_SIZE,
         shortlist_size=SHORTLIST,
-        agg_method="avg_score",
-        aug_larger="all",
+        agg_method=agg_method,
+        aug_larger=aug_larger,
         start_policy=start_policy,
         interactive_options=options or None,
     )
@@ -335,13 +353,15 @@ def _tpu_scores(activations):
 @pytest.mark.parametrize("label", list(LOOP_CONFIGS))
 def test_full_session_vs_ref(synth, label):
     V, meta, vm_df, gt, qvec, root = synth
-    method, options, score_rtol, start_policy = LOOP_CONFIGS[label]
+    entry = LOOP_CONFIGS[label]
+    method, options, score_rtol, start_policy = entry[:4]
+    extra = entry[4] if len(entry) > 4 else {}
 
     ref_session, RefBox = _make_ref_session(
-        method, options, V, vm_df, qvec, root, start_policy
+        method, options, V, vm_df, qvec, root, start_policy, **extra
     )
     tpu_session, TpuBox = _make_tpu_session(
-        method, options, V, meta, qvec, root, start_policy
+        method, options, V, meta, qvec, root, start_policy, **extra
     )
 
     ref_rounds = _drive(ref_session, RefBox, gt, _ref_scores)
