@@ -455,38 +455,53 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
     dataset = SimpleNamespace(
         get_urls=lambda idxbatch: [f"b://{int(i)}" for i in idxbatch]
     )
-    session = Session(None, dataset, idx, params)
-    session.set_text("a benchmark query")
 
-    next_ms, round_ms = [], []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        dbidxs = session.next()
-        t_next = time.perf_counter()
-        state = session.get_state()
-        for imdata in state.gdata[-1]:
-            if rng.random() < 0.3:  # simulated user accepts ~30%
-                imdata.boxes = [Box(x1=0.0, y1=0.0, x2=112.0, y2=112.0,
-                                    marked_accepted=True)]
-            else:
-                imdata.boxes = []
-        session.update_state(state)
-        session.refine()
-        t_end = time.perf_counter()
-        if r > 0:  # round 0 pays one-time compilation
-            next_ms.append((t_next - t0) * 1000)
-            round_ms.append((t_end - t0) * 1000)
-        assert len(dbidxs) == 3
+    def drive(session, n_rounds):
+        session.set_text("a benchmark query")
+        next_ms, round_ms = [], []
+        for r in range(n_rounds):
+            t0 = time.perf_counter()
+            dbidxs = session.next()
+            t_next = time.perf_counter()
+            state = session.get_state()
+            for imdata in state.gdata[-1]:
+                if rng.random() < 0.3:  # simulated user accepts ~30%
+                    imdata.boxes = [Box(x1=0.0, y1=0.0, x2=112.0, y2=112.0,
+                                        marked_accepted=True)]
+                else:
+                    imdata.boxes = []
+            session.update_state(state)
+            session.refine()
+            t_end = time.perf_counter()
+            if r > 0:  # round 0 pays one-time compilation
+                next_ms.append((t_next - t0) * 1000)
+                round_ms.append((t_end - t0) * 1000)
+            assert len(dbidxs) == 3
+        # no-repeat contract held through the device-persistent mask
+        flat = [int(x) for b in session.acc_indices for x in b]
+        assert len(flat) == len(set(flat)), "serving path repeated a dbidx"
+        return next_ms, round_ms
 
-    # no-repeat contract held across all rounds by construction (Session
-    # asserts are in the harness); sanity-check the exclusion path:
-    flat = [int(x) for b in session.acc_indices for x in b]
-    assert len(flat) == len(set(flat)), "serving path repeated a dbidx"
+    next_ms, round_ms = drive(Session(None, dataset, idx, params), rounds)
+
+    # same index object (shared, like concurrent web sessions), LogReg2 loop:
+    # refine runs the FUSED one-dispatch device fit (learners.fit_rows)
+    lr_params = params.model_copy(update=dict(
+        interactive="log_reg2",
+        interactive_options=dict(
+            class_weights="balanced", scale="centered", reg_lambda=5.0,
+            fit_intercept=False, max_iter=50,
+        ),
+    ))
+    _, lr_round_ms = drive(Session(None, dataset, idx, lr_params), max(rounds // 2, 8))
 
     return {
         "p50_session_next_ms": round(float(np.percentile(next_ms, 50)), 3),
         "p50_session_round_ms": round(float(np.percentile(round_ms, 50)), 3),
         "p90_session_round_ms": round(float(np.percentile(round_ms, 90)), 3),
+        "p50_session_round_ms_logreg": round(
+            float(np.percentile(lr_round_ms, 50)), 3
+        ),
         "session_rounds_measured": len(round_ms),
     }
 
