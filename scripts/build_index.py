@@ -6,6 +6,11 @@ import argparse
 from seesaw_tpu.dataset import SeesawDataset
 from seesaw_tpu.ingest.pipeline import create_coarse_index, create_multiscale_index
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset_path", required=True)

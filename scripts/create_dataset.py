@@ -5,6 +5,11 @@ import argparse
 
 from seesaw_tpu.dataset import SeesawDataset
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="create a seesaw dataset")
     parser.add_argument("--image_dir", required=True, help="folder with images")

@@ -4,6 +4,11 @@ import argparse
 
 from seesaw_tpu.web.app import SeesawServer
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--seesaw_root", required=True)

@@ -350,9 +350,21 @@ def get_all_session_summaries(base_dir: str, force_recompute: bool = False):
         except Exception as e:
             print(f"skipping {p}: {e!r}")
     df = pd.DataFrame(rows)
-    flat = df.drop(columns=[c for c in ("hit_indices", "dbidxs", "accepted",
-                                        "latencies", "method_stats")
-                            if c in df.columns])
+    # parquet stores the per-session arrays as list columns (pyarrow);
+    # dropping them would make the CACHED load unusable for add_metrics
+    # (hit_indices drives every ranking metric). Only method_stats (free-form
+    # dict) is json-encoded.
+    flat = df.copy()
+    for c in ("hit_indices", "dbidxs", "accepted", "latencies"):
+        if c in flat.columns:
+            flat[c] = flat[c].apply(
+                lambda a: None if not isinstance(a, (list, np.ndarray))
+                else np.asarray(a).tolist()
+            )
+    if "method_stats" in flat.columns:
+        flat["method_stats"] = flat["method_stats"].apply(
+            lambda m: json.dumps(m) if isinstance(m, dict) else None
+        )
     try:
         flat.to_parquet(sumpath)
     except Exception:

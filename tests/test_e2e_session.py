@@ -231,6 +231,17 @@ def test_bench_runner_writes_summary(synth_root, tmp_path):
     )
     assert 0 <= m["average_precision"] <= 1
 
+    # the parquet CACHE must keep the per-session arrays: add_metrics on a
+    # CACHED load previously crashed (hit_indices was dropped at write)
+    from seesaw_tpu.analysis import add_metrics, method_means
+    from seesaw_tpu.bench.harness import get_all_session_summaries
+
+    fresh = get_all_session_summaries(str(results))
+    cached = get_all_session_summaries(str(results))  # parquet round-trip
+    mm_f = method_means(add_metrics(fresh))
+    mm_c = method_means(add_metrics(cached))
+    assert (mm_f.values == mm_c.values).all()
+
 
 def test_session_state_roundtrip(synth_root):
     root, _ = synth_root
