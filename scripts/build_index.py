@@ -2,14 +2,15 @@
 """CLI: build a multiscale (and optionally coarse) index for a dataset
 (reference `create_multiscale_index`)."""
 import argparse
-
-from seesaw_tpu.dataset import SeesawDataset
-from seesaw_tpu.ingest.pipeline import create_coarse_index, create_multiscale_index
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+from seesaw_tpu.dataset import SeesawDataset
+from seesaw_tpu.ingest.pipeline import create_coarse_index, create_multiscale_index
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()

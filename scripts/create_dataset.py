@@ -2,13 +2,14 @@
 """CLI: create a dataset directory from an image folder
 (reference scripts/create_dataset.py)."""
 import argparse
-
-from seesaw_tpu.dataset import SeesawDataset
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+from seesaw_tpu.dataset import SeesawDataset
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="create a seesaw dataset")

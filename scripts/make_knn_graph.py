@@ -3,14 +3,15 @@
 (reference scripts/make_knn_graph.py, pynndescent replaced by the blocked
 exact device scan)."""
 import argparse
-
-from seesaw_tpu.dataset import SeesawDataset
-from seesaw_tpu.knn_graph import KNNGraph
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+from seesaw_tpu.dataset import SeesawDataset
+from seesaw_tpu.knn_graph import KNNGraph
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()

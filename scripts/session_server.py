@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """CLI: serve the session web API (reference scripts/session_server.py)."""
 import argparse
-
-from seesaw_tpu.web.app import SeesawServer
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+from seesaw_tpu.web.app import SeesawServer
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
