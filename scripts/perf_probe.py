@@ -371,7 +371,12 @@ def stage_G():
 
 
 if __name__ == "__main__":
+    known = sorted(n[len("stage_"):] for n in globals() if n.startswith("stage_"))
     stages = sys.argv[1:] or ["A", "B", "C", "D"]
+    if any(s not in known for s in stages):
+        print(f"usage: perf_probe.py [stage...] — stages: {' '.join(known)}\n"
+              f"{__doc__}")
+        sys.exit(0 if "--help" in stages or "-h" in stages else 2)
     for s in stages:
         print(f"--- stage {s}", flush=True)
         globals()[f"stage_{s}"]()
