@@ -370,6 +370,68 @@ def stage_G():
                   flush=True)
 
 
+def stage_H():
+    """Pallas MULTI-QUERY frame-max: (BF*T, D) @ (D, Q) per block, frame-max
+    per query in-kernel — the (N, Q) score matrix never reaches HBM.
+    Compare vs the XLA batch path (build_db bf16, Q=16).
+
+    RESULT (2026-08-17, v5e via axon): Mosaic FAILS to compile the
+    (BF, T, Q) reshape + axis-1 reduction at both block sizes (tpu_compile
+    subprocess crash) — same toolchain-limitation family as the int8
+    findings (stages B/C/G). The XLA batch path (ops.frame_scoring.
+    query_program_batch, 25.2ms @10M Q=16) remains the concurrent-serving
+    kernel; its (N, Q) intermediate costs ~2ms of extra HBM traffic."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = 16
+    V, valid, excluded, _, F = build("bf16")
+    nbytes = V.size * 2
+
+    def kernel(q_ref, v_ref, valid_ref, excluded_ref, out_ref):
+        Vb = v_ref[...]  # (BF*T, D)
+        scores = jnp.dot(Vb, q_ref[...].astype(Vb.dtype),
+                         preferred_element_type=jnp.float32)  # (BF*T, Q)
+        BF = valid_ref.shape[0]
+        s = scores.reshape(BF, TILES, Q)
+        s = jnp.where(valid_ref[...][:, :, None], s, float("-inf"))
+        fmax = jnp.max(s, axis=1)  # (BF, Q)
+        out_ref[...] = jnp.where(excluded_ref[...][:, None], float("-inf"), fmax)
+
+    for bf in (1024, 2048):
+        @functools.partial(jax.jit, static_argnames=("BF",))
+        def run(V, valid, excluded, qs, BF=bf):
+            return pl.pallas_call(
+                kernel,
+                grid=(F // BF,),
+                in_specs=[
+                    pl.BlockSpec((D, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF * TILES, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF, TILES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BF, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((F, Q), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(qs.T, V, valid, excluded)
+
+        def step(V, valid, excluded, q, bf=bf):
+            qs = jnp.tile(q[None, :], (Q, 1)) + jnp.arange(Q)[:, None] * 1e-3
+            return run(V, valid, excluded, qs, BF=bf).max()
+
+        try:
+            chain = chain_over_queries(step)
+            ms = measure(chain, lambda: (V, valid, excluded, fresh_qs()))
+            print(f"H bf16 multi-q frame-max Q={Q} BF={bf}: {ms:.2f} ms  "
+                  f"{gbps(ms, nbytes):.0f} GB/s", flush=True)
+        except Exception as e:
+            print(f"H BF={bf}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
 if __name__ == "__main__":
     known = sorted(n[len("stage_"):] for n in globals() if n.startswith("stage_"))
     stages = sys.argv[1:] or ["A", "B", "C", "D"]
