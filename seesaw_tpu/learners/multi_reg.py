@@ -195,6 +195,39 @@ class RegFit:
         return self.coeff_.copy()
 
 
+def two_head_loss(
+    flat, X, ys, sample_w, valid, qvec_hat,
+    reg_norm_lambda, reg_query_lambda,
+):
+    """The 2-head (target + confusion) objective, value-equal to the
+    reference `MultiRegModule._step` (`loops/multi_reg_module.py:65-118`):
+    per-head BCE on normalized-head logits + soft cross-entropy among heads
+    for rows with any label + cosh(log ||W_h||) norm penalty + query-angle
+    anchors on BOTH heads. Exposed standalone for the differential test."""
+    d = X.shape[1]
+    W = flat.reshape(2, d)
+    Wn = W / jnp.sqrt(jnp.sum(W * W, axis=1, keepdims=True) + 1e-30)
+    logits = X @ Wn.T  # (n, 2)
+
+    # vertical: per-head BCE, summed over heads
+    ce = jax.nn.softplus(-logits) * ys + jax.nn.softplus(logits) * (1.0 - ys)
+    vertical = ce.sum(axis=1)
+    vertical_sum = vertical @ sample_w
+
+    # horizontal: soft cross-entropy among heads for rows with any label
+    near = ys.sum(axis=1)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    xent = -(ys * logp).sum(axis=1)
+    mask = (near > 0) & valid
+    horizontal_sum = (jnp.where(mask, xent, 0.0) * sample_w).sum()
+
+    norms = jnp.sqrt(jnp.sum(W * W, axis=1) + 1e-30)
+    loss_norm = reg_norm_lambda * (jnp.cosh(jnp.log(norms)) - 1.0).sum()
+    loss_q1 = reg_query_lambda * (1.0 - Wn[0] @ qvec_hat) / 2.0
+    loss_q2 = reg_query_lambda * (1.0 - Wn[1] @ qvec_hat) / 2.0
+    return vertical_sum + horizontal_sum + loss_norm + loss_q1 + loss_q2
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def _fit_two_head(
     X, ys, sample_w, valid, qvec_hat, W0,
@@ -205,27 +238,10 @@ def _fit_two_head(
     d = X.shape[1]
 
     def loss_fn(flat):
-        W = flat.reshape(2, d)
-        Wn = W / jnp.sqrt(jnp.sum(W * W, axis=1, keepdims=True) + 1e-30)
-        logits = X @ Wn.T  # (n, 2)
-
-        # vertical: per-head BCE, summed over heads
-        ce = jax.nn.softplus(-logits) * ys + jax.nn.softplus(logits) * (1.0 - ys)
-        vertical = ce.sum(axis=1)
-        vertical_sum = vertical @ sample_w
-
-        # horizontal: soft cross-entropy among heads for rows with any label
-        near = ys.sum(axis=1)
-        logp = jax.nn.log_softmax(logits, axis=1)
-        xent = -(ys * logp).sum(axis=1)
-        mask = (near > 0) & valid
-        horizontal_sum = (jnp.where(mask, xent, 0.0) * sample_w).sum()
-
-        norms = jnp.sqrt(jnp.sum(W * W, axis=1) + 1e-30)
-        loss_norm = reg_norm_lambda * (jnp.cosh(jnp.log(norms)) - 1.0).sum()
-        loss_q1 = reg_query_lambda * (1.0 - Wn[0] @ qvec_hat) / 2.0
-        loss_q2 = reg_query_lambda * (1.0 - Wn[1] @ qvec_hat) / 2.0
-        return vertical_sum + horizontal_sum + loss_norm + loss_q1 + loss_q2
+        return two_head_loss(
+            flat, X, ys, sample_w, valid, qvec_hat,
+            reg_norm_lambda, reg_query_lambda,
+        )
 
     res = lbfgs_minimize(loss_fn, W0.reshape(-1), max_iter=max_iter, history=10)
     W = res.x.reshape(2, d)

@@ -779,3 +779,52 @@ def test_logistic_regression_vs_ref():
         np.linalg.norm(c), np.linalg.norm(c_ref), rtol=1e-3
     )
     np.testing.assert_allclose(c, c_ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# two-head MultiRegModule (multi_reg_neg) objective vs reference
+# ---------------------------------------------------------------------------
+
+def test_two_head_multi_reg_loss_vs_ref():
+    """Value parity of the 2-head target+confusion objective with the
+    literal `MultiRegModule._step` (`loops/multi_reg_module.py:39-131`)
+    across random weights/labels, incl. rows with no labels at all."""
+    import torch
+
+    mm = ref.load("seesaw.loops.multi_reg_module")
+    import jax.numpy as jnp
+
+    from seesaw_tpu.learners.multi_reg import two_head_loss
+
+    rng = np.random.default_rng(12)
+    n, d = 24, 512  # reference hardcodes in_features=512
+    for trial in range(6):
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        ys = np.zeros((n, 2), dtype=np.float32)
+        labeled = rng.random(n) < 0.7
+        ys[labeled, 0] = (rng.random(labeled.sum()) < 0.5).astype(np.float32)
+        ys[labeled, 1] = (rng.random(labeled.sum()) < 0.3).astype(np.float32)
+        sw = rng.uniform(0.2, 2.0, size=n).astype(np.float32)
+        q = rng.normal(size=d).astype(np.float32)
+        W = rng.normal(size=(2, d)).astype(np.float32)
+        lam_n, lam_q = 7.0, 0.9
+
+        module = mm.MultiRegModule(
+            qvec=torch.tensor(q), reg_norm_lambda=lam_n, reg_query_lambda=lam_q,
+        )
+        with torch.no_grad():
+            module.linear.weight.copy_(torch.tensor(W))
+        ref_loss = float(module._step(
+            (torch.tensor(X), torch.tensor(ys), torch.tensor(sw))
+        )["loss"].detach())
+
+        ours = float(two_head_loss(
+            jnp.asarray(W.reshape(-1)), jnp.asarray(X), jnp.asarray(ys),
+            jnp.asarray(sw), jnp.ones(n, bool),
+            jnp.asarray(q / np.linalg.norm(q)),
+            jnp.float32(lam_n), jnp.float32(lam_q),
+        ))
+        assert np.isclose(ours, ref_loss, rtol=2e-4), (
+            f"trial {trial}: {ours} vs {ref_loss}"
+        )
