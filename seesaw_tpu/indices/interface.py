@@ -65,9 +65,25 @@ class AccessMethod:
         from ..runtime.cache import index_cache
 
         index_path = str(Path(index_path))
+
+        def canon(v):
+            # canonical, type-aware normalization: bool before int (bool is
+            # an int subclass), ints stay ints, floats normalize 3.0 vs 3
+            # only when equal-valued as floats; everything else keys on
+            # (type, repr) so distinct values whose str() collide can't
+            # alias one cache entry (ADVICE r3)
+            if isinstance(v, bool) or v is None or isinstance(v, str):
+                return v
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, (list, tuple)):
+                return [canon(x) for x in v]
+            if isinstance(v, dict):
+                return {str(k): canon(x) for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))}
+            return f"{type(v).__module__}.{type(v).__qualname__}:{v!r}"
+
         key = json.dumps(
-            [index_path, sorted((options or {}).items(), key=str)],
-            default=str,
+            [index_path, canon(options or {})], sort_keys=True
         )
 
         def init():

@@ -463,7 +463,10 @@ class MultiscaleIndex(AccessMethod):
             dbidxs, scores, act_boxes, act_scores = sharded_query_topk(
                 self._sharded,
                 np.asarray(vector, np.float32).reshape(-1),
-                self._frame_exclusion_mask(exclude),
+                # the base mask may carry a pallas-padded tail (use_pallas +
+                # mesh); the sharded index pads its own shards — slice to
+                # the real frame count
+                self._frame_exclusion_mask(exclude)[: self.meta.n_frames],
                 topk=topk_eff,
                 shortlist_size=shortlist_size,  # GLOBAL shortlist semantics
                 aug_larger=aug_larger,

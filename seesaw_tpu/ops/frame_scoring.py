@@ -158,6 +158,31 @@ def scoring_matvec(
     return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
 
 
+def scoring_matmat(
+    vectors: jnp.ndarray, qvecs: jnp.ndarray, row_scale: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """(N, D) @ (D, Q) multi-query scores — the matrix HBM read amortized
+    over Q concurrent sessions' queries. int8 matrices quantize each query
+    with PER-QUERY symmetric scales, so column q equals the solo
+    `scoring_matvec(vectors, qvecs[q])` result exactly."""
+    if vectors.dtype == jnp.int8:
+        qmax = jnp.max(jnp.abs(qvecs), axis=1, keepdims=True) + 1e-12  # (Q,1)
+        q_i8 = jnp.clip(jnp.round(qvecs / qmax * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            vectors, q_i8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (N, Q) int32
+        out = acc.astype(jnp.float32) * (qmax[:, 0] / 127.0)[None, :]
+        return out * row_scale[:, None] if row_scale is not None else out
+    assert row_scale is None, (
+        f"row_scale is only meaningful for int8 vectors (got {vectors.dtype})"
+    )
+    return jax.lax.dot_general(
+        vectors, qvecs.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _rank_frames(
     scores: jnp.ndarray,  # (F*T,) f32 per-tile scores (padded layout)
     valid: jnp.ndarray,
@@ -370,23 +395,7 @@ def query_program_batch(
     The per-query ranking tail (shortlist/augment/top-k over tiny arrays) is
     vmapped. Returns a QueryResult with a leading Q axis on every field.
     """
-    if vectors.dtype == jnp.int8:
-        # PER-QUERY symmetric scales — each query quantizes exactly as its
-        # solo dispatch would, so batch results == solo results
-        qmax = jnp.max(jnp.abs(qvecs), axis=1, keepdims=True) + 1e-12  # (Q,1)
-        q_i8 = jnp.clip(jnp.round(qvecs / qmax * 127.0), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            vectors, q_i8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (N, Q) int32
-        scores_nq = acc.astype(jnp.float32) * (qmax[:, 0] / 127.0)[None, :]
-        if row_scale is not None:
-            scores_nq = scores_nq * row_scale[:, None]
-    else:
-        scores_nq = jax.lax.dot_general(
-            vectors, qvecs.astype(vectors.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (N, Q)
+    scores_nq = scoring_matmat(vectors, qvecs, row_scale)
 
     def tail(scores, excl):
         return _rank_frames(

@@ -23,6 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _vmem_limit_mb(BF: int, T: int, D: int, itemsize: int) -> int:
+    import os
+
+    override = os.environ.get("SEESAW_VMEM_MB")
+    if override:
+        return int(override)
+    return max(64, 5 * (BF * T * D * itemsize) // (1024 * 1024))
+
+
 def _kernel(q_ref, v_ref, valid_ref, excluded_ref, *rest, tile_bound: int):
     *scale_refs, out_ref = rest
     V = v_ref[...]  # (BF*T, D)
@@ -111,10 +120,12 @@ def fused_frame_max(
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # double-buffered (BF*T, D) blocks exceed the default 16MB scoped
-            # budget; size the limit to the block sweep (v5e has 128MB VMEM)
-            vmem_limit_bytes=max(
-                64, 5 * (BF * T * D * vectors.dtype.itemsize) // (1024 * 1024)
-            ) * 1024 * 1024,
+            # budget; size the limit to the block sweep (v5e has 128MB VMEM).
+            # SEESAW_VMEM_MB overrides for compile-time bisects (the r3 bench
+            # chain-compile regression was suspected here; see
+            # scripts/bisect_chain_compile.py findings in PARITY.md).
+            vmem_limit_bytes=_vmem_limit_mb(BF, T, D, vectors.dtype.itemsize)
+            * 1024 * 1024,
         ),
     )(*operands)
 

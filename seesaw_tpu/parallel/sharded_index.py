@@ -147,11 +147,29 @@ def _sharded_query(
         fmax = jnp.max(s_ft, axis=1)
         fmax = jnp.where(excluded[0], -jnp.inf, fmax)
 
-        # global shortlist cutoff: k_global-th best raw frame score
-        loc_top = jax.lax.top_k(fmax, shortlist_local)[0]
-        all_top = jax.lax.all_gather(loc_top, "data", tiled=True)
-        cutoff = jax.lax.top_k(all_top, k_global)[0][k_global - 1]
-        excl_eff = excluded[0] | (fmax < cutoff)
+        # global shortlist cutoff: the k_global-th best (raw frame score,
+        # global id) pair under top_k's ordering (score desc, id asc). Ties
+        # at the cutoff score are broken by global id exactly as the
+        # single-device lax.top_k does, so the sharded shortlist EQUALS the
+        # single-device shortlist even on exact f32 ties (e.g. duplicate
+        # images at the boundary). Every global-top-k_global frame is inside
+        # its shard's local top-shortlist_local under the same ordering
+        # (shard contribution <= min(k_global, Fs) <= shortlist_local), so
+        # the gathered candidate set always contains the true cutoff pair.
+        loc_scores, loc_idx = jax.lax.top_k(fmax, shortlist_local)
+        loc_gids = loc_idx.astype(jnp.int32) + frame_offset[0, 0]
+        all_scores = jax.lax.all_gather(loc_scores, "data", tiled=True)
+        all_gids = jax.lax.all_gather(loc_gids, "data", tiled=True)
+        neg_sorted, gid_sorted = jax.lax.sort(
+            (-all_scores, all_gids), num_keys=2
+        )
+        cut_s = -neg_sorted[k_global - 1]
+        cut_id = gid_sorted[k_global - 1]
+        gid_local = (
+            jnp.arange(Fs, dtype=jnp.int32) + frame_offset[0, 0]
+        )
+        keep = (fmax > cut_s) | ((fmax == cut_s) & (gid_local <= cut_id))
+        excl_eff = excluded[0] | ~keep
 
         res = frame_scoring.rank_frames_from_scores(
             scores, valid[0], boxes[0], zoom[0], excl_eff,
@@ -189,6 +207,167 @@ def _sharded_query(
         act_scores.reshape(-1)[pos],
         keep.sum(),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom",
+    ),
+)
+def _sharded_query_batch(
+    V, valid, boxes, zoom, frame_offset, qvecs, excluded,
+    *,
+    mesh: Mesh,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+):
+    """Q-query variant of `_sharded_query`: the per-shard scan becomes one
+    (N_local, D) @ (D, Q) MXU matmul (matrix HBM read amortized over all Q
+    concurrent sessions, exactly like the single-chip
+    `ops.frame_scoring.query_program_batch`), the per-query global-cutoff /
+    ranking tail is vmapped, and the (S, Q, k) candidate merge stays exact.
+    `excluded` is (S, Q, Fs) sharded over the leading axis; `qvecs` (Q, D)
+    is replicated. Batched results equal Q solo sharded queries
+    (tests/test_batch_query.py)."""
+    Fs = valid.shape[1]
+    topk_local = min(topk, Fs)
+    shortlist_local = min(shortlist_size, Fs)
+    S = len(mesh.devices)
+    k_global = min(shortlist_size, S * shortlist_local)
+
+    def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
+        scores_nq = frame_scoring.scoring_matmat(V[0], qvecs)  # (Fs*T, Q)
+        T = valid.shape[2]
+        s_qft = jnp.where(
+            valid[0][None], scores_nq.T.reshape(qvecs.shape[0], Fs, T), -jnp.inf
+        )
+        fmax = jnp.max(s_qft, axis=2)  # (Q, Fs)
+        fmax = jnp.where(excluded[0], -jnp.inf, fmax)
+
+        # per-query global shortlist cutoff with top_k's exact tie order
+        loc_scores, loc_idx = jax.lax.top_k(fmax, shortlist_local)  # (Q, k)
+        loc_gids = loc_idx.astype(jnp.int32) + frame_offset[0, 0]
+        all_scores = jax.lax.all_gather(loc_scores, "data", axis=1, tiled=True)
+        all_gids = jax.lax.all_gather(loc_gids, "data", axis=1, tiled=True)
+
+        def cutoff_one(ls, lg):
+            neg_sorted, gid_sorted = jax.lax.sort((-ls, lg), num_keys=2)
+            return -neg_sorted[k_global - 1], gid_sorted[k_global - 1]
+
+        cut_s, cut_id = jax.vmap(cutoff_one)(all_scores, all_gids)  # (Q,)
+        gid_local = jnp.arange(Fs, dtype=jnp.int32) + frame_offset[0, 0]
+        keep = (fmax > cut_s[:, None]) | (
+            (fmax == cut_s[:, None]) & (gid_local[None, :] <= cut_id[:, None])
+        )
+        excl_eff = excluded[0] | ~keep  # (Q, Fs)
+
+        res = jax.vmap(
+            lambda sc, ex: frame_scoring.rank_frames_from_scores(
+                sc, valid[0], boxes[0], zoom[0], ex,
+                shortlist_size=shortlist_local,
+                topk=topk_local,
+                aug_larger=aug_larger,
+                aug_weight=aug_weight,
+                agg_method=agg_method,
+                max_zoom=max_zoom,
+            )
+        )(scores_nq.T, excl_eff)
+        ok = res.frame_ids >= 0
+        gfids = jnp.where(ok, res.frame_ids + frame_offset[0, 0], -1)
+        return (
+            gfids[None], res.frame_scores[None],
+            res.act_boxes[None], res.act_scores[None],
+        )
+
+    spec = P("data")
+    gfids, scores, act_boxes, act_scores = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )(V, valid, boxes, zoom, frame_offset, excluded)
+
+    # (S, Q, k) -> per-query merge over the S*k candidates
+    Q = qvecs.shape[0]
+    k = gfids.shape[2]
+    flat_scores = jnp.transpose(scores, (1, 0, 2)).reshape(Q, S * k)
+    flat_gfids = jnp.transpose(gfids, (1, 0, 2)).reshape(Q, S * k)
+    flat_boxes = jnp.transpose(act_boxes, (1, 0, 2, 3)).reshape(Q, S * k, 4)
+    flat_act = jnp.transpose(act_scores, (1, 0, 2)).reshape(Q, S * k)
+    top_scores, pos = jax.lax.top_k(flat_scores, min(topk, S * k))
+    keep = top_scores > -jnp.inf
+    qi = jnp.arange(Q)[:, None]
+    return (
+        jnp.where(keep, flat_gfids[qi, pos], -1),
+        top_scores,
+        flat_boxes[qi, pos],
+        flat_act[qi, pos],
+        keep.sum(axis=1),
+    )
+
+
+def sharded_query_topk_batch(
+    idx: ShardedFrameIndex,
+    qvecs: np.ndarray,  # (Q, D)
+    excluded_global: np.ndarray,  # (Q, F_total) bool
+    *,
+    topk: int,
+    shortlist_size: int | None = None,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+):
+    """Batched multi-query entry for the sharded index (request coalescing
+    at 10M+ scale, web/coalesce.py). Returns a list of per-query
+    (dbidxs, frame_scores, act_boxes, act_scores) tuples, each equal to the
+    solo `sharded_query_topk` result."""
+    if shortlist_size is None:
+        shortlist_size = topk
+    qvecs = np.asarray(qvecs, np.float32)
+    Q = qvecs.shape[0]
+
+    S = idx.n_shards
+    Fs = idx.n_frames_local
+    F = idx.n_frames
+    exc = np.ones((Q, S * Fs), dtype=bool)
+    exc[:, :F] = excluded_global
+    exc = np.ascontiguousarray(exc.reshape(Q, S, Fs).transpose(1, 0, 2))
+
+    sharding = NamedSharding(idx.mesh, P("data"))
+    exc_dev = jax.device_put(jnp.asarray(exc), sharding)
+
+    gfids, scores, boxes, act_scores, n_valid = _sharded_query_batch(
+        idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
+        jnp.asarray(qvecs), exc_dev,
+        mesh=idx.mesh,
+        shortlist_size=shortlist_size,
+        topk=topk,
+        aug_larger=aug_larger,
+        aug_weight=aug_weight,
+        agg_method=agg_method,
+        max_zoom=idx.max_zoom,
+    )
+    gfids = np.asarray(gfids)
+    scores = np.asarray(scores)
+    boxes = np.asarray(boxes)
+    act_scores = np.asarray(act_scores)
+    n_valid = np.asarray(n_valid)
+    out = []
+    for q in range(Q):
+        n = int(n_valid[q])
+        fids = gfids[q, :n]
+        out.append((
+            idx.frame_dbidx[fids], scores[q, :n], boxes[q, :n],
+            act_scores[q, :n],
+        ))
+    return out
 
 
 def sharded_query_topk(

@@ -33,7 +33,7 @@ def db():
     return meta, V
 
 
-def single_chip_reference(meta, V, q, excluded, topk):
+def single_chip_reference(meta, V, q, excluded, topk, shortlist_size=None):
     rows, valid = meta.padded_rows(16)
     fr, fv = rows.reshape(-1), valid.reshape(-1)
     Vp = V[fr].copy(); Vp[~fv] = 0
@@ -41,7 +41,7 @@ def single_chip_reference(meta, V, q, excluded, topk):
         jnp.asarray(Vp), jnp.asarray(valid),
         jnp.asarray(meta.boxes[fr]), jnp.asarray(meta.zoom_level[fr]),
         jnp.asarray(q), None, jnp.asarray(excluded),
-        shortlist_size=meta.n_frames, topk=topk,
+        shortlist_size=shortlist_size or meta.n_frames, topk=topk,
         aug_larger="all", aug_weight="level_max",
         agg_method="avg_score", max_zoom=3,
     )
@@ -105,6 +105,136 @@ def test_uneven_small_db():
     )
     assert len(got_dbidx) == 3
     assert set(got_dbidx.tolist()) == {0, 1, 2}
+
+
+def test_sharded_shortlist_tie_break():
+    """Exact f32 ties AT the global shortlist cutoff (e.g. duplicate images
+    straddling the boundary): the sharded cutoff must keep exactly the
+    frames single-device lax.top_k keeps (ties -> lowest frame id), not a
+    superset (ADVICE r3). Tied frames have identical raw max-tile scores
+    but DIFFERENT augmented scores, so a tie-superset would leak
+    higher-augmented frames from beyond the cutoff into the final top-k."""
+    n_frames, d = 24, 8
+    dbidx = np.repeat(np.arange(n_frames), 2)
+    zoom = np.tile([1, 2], n_frames)
+    boxes = np.tile(
+        np.array([[0, 0, 64, 64], [0, 0, 128, 128]], np.float32), (n_frames, 1)
+    )
+    # raw fmax: frames 0..9 distinct high; 10..19 tie at exactly 5.0;
+    # 20..23 low. Augmented frame score = mean(tile0, tile1), which for the
+    # tie group RISES with frame id (3.0 + 0.2j on tile1).
+    s0 = np.concatenate([10.0 - 0.1 * np.arange(10), np.full(10, 5.0), np.full(4, 1.0)])
+    s1 = np.concatenate([10.0 - 0.1 * np.arange(10), 3.0 + 0.2 * np.arange(10), np.full(4, 1.0)])
+    V = np.zeros((n_frames * 2, d), np.float32)
+    V[0::2, 0] = s0.astype(np.float32)
+    V[1::2, 0] = s1.astype(np.float32)
+    meta, order = VectorMeta.from_arrays(dbidx, zoom, boxes)
+    V = V[order]
+    q = np.zeros(d, np.float32)
+    q[0] = 1.0
+
+    excluded = np.zeros(n_frames, dtype=bool)
+    want_dbidx, want_scores = single_chip_reference(
+        meta, V, q, excluded, topk=12, shortlist_size=15
+    )
+    # sanity: the single-device shortlist cut 10..14 out of the tie group
+    assert set(want_dbidx.tolist()) == set(range(10)) | {13, 14}
+
+    mesh = make_mesh(8)
+    idx = ShardedFrameIndex.build(V, meta, mesh)
+    got_dbidx, got_scores, _, _ = sharded_query_topk(
+        idx, q, excluded, topk=12, shortlist_size=15
+    )
+    assert got_dbidx.tolist() == want_dbidx.tolist()
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+
+
+def test_sharded_batch_equals_solo(db):
+    """sharded_query_topk_batch == Q solo sharded queries (per-query
+    exclusion masks), over the virtual 8-device mesh."""
+    from seesaw_tpu.parallel.sharded_index import sharded_query_topk_batch
+
+    meta, V = db
+    mesh = make_mesh(8)
+    idx = ShardedFrameIndex.build(V, meta, mesh)
+    rng = np.random.default_rng(7)
+    Q = 5
+    qs = rng.normal(size=(Q, V.shape[1])).astype(np.float32)
+    excl = np.zeros((Q, meta.n_frames), dtype=bool)
+    for i in range(Q):
+        excl[i, rng.choice(meta.n_frames, size=6, replace=False)] = True
+
+    batch = sharded_query_topk_batch(
+        idx, qs, excl, topk=8, shortlist_size=20
+    )
+    for i in range(Q):
+        want = sharded_query_topk(
+            idx, qs[i], excl[i], topk=8, shortlist_size=20
+        )
+        got = batch[i]
+        assert got[0].tolist() == want[0].tolist()
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-5)
+        np.testing.assert_allclose(got[3], want[3], rtol=1e-5)
+
+
+def test_coalescer_batches_sharded_index():
+    """Concurrent coalesced queries against a MESH-SHARDED index run the
+    batched sharded dispatch (no solo-path carve-out, VERDICT r3 weak #8)
+    and return exactly the solo results."""
+    import threading
+
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.parallel import make_mesh as mk
+    from seesaw_tpu.runtime.bitmap import BitMap
+    from seesaw_tpu.web.coalesce import QueryCoalescer
+
+    rng = np.random.default_rng(11)
+    n_frames, tiles, d = 40, 4, 16
+    dbidx = np.repeat(np.arange(n_frames), tiles)
+    zoom = np.tile([1, 1, 2, 2], n_frames)
+    xy = rng.uniform(0, 100, size=(n_frames * tiles, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + 60], axis=1)
+    meta, order = VectorMeta.from_arrays(dbidx, zoom, boxes)
+    V = rng.normal(size=(n_frames * tiles, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    idx = MultiscaleIndex(vectors=V[order], meta=meta, mesh=mk(8))
+    co = QueryCoalescer(idx, window_ms=25.0, max_batch=8)
+
+    n_threads = 5
+    qs = rng.normal(size=(n_threads, d)).astype(np.float32)
+    excludes = [
+        BitMap(rng.choice(meta.frame_dbidx, size=5, replace=False))
+        for _ in range(n_threads)
+    ]
+    results = [None] * n_threads
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = co.query(
+                vector=qs[i], topk=6, shortlist_size=20, exclude=excludes[i]
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert co.stats["batched"] > 0, f"sharded requests were not coalesced: {co.stats}"
+
+    for i in range(n_threads):
+        want = idx.query(vector=qs[i], topk=6, shortlist_size=20,
+                         exclude=BitMap(excludes[i].to_array()))
+        assert list(results[i]["dbidxs"]) == list(want["dbidxs"])
+        np.testing.assert_allclose(
+            [a["score"] for a in results[i]["activations"]],
+            [a["score"] for a in want["activations"]], rtol=1e-5,
+        )
 
 
 def test_session_over_sharded_index(tmp_path):
