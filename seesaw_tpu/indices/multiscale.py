@@ -537,7 +537,12 @@ class MultiscaleIndex(AccessMethod):
         )
         mask, new_ids, token = self._device_exclusion(exclude)
 
-        s = jnp.asarray(np.asarray(scores, np.float32))
+        if isinstance(scores, jax.Array):
+            # device-resident scores (e.g. label propagation's device_out):
+            # no host round-trip of N floats per feedback round
+            s = scores.astype(jnp.float32)
+        else:
+            s = jnp.asarray(np.asarray(scores, np.float32))
         s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
         res, new_mask = frame_scoring.rank_frames_from_scores_incr(
             s_pad, self._valid, self._boxes, self._zoom,

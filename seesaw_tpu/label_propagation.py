@@ -49,7 +49,16 @@ class LabelPropagation:
         label_values: np.ndarray,
         reg_values: Optional[np.ndarray] = None,
         start_value: Optional[np.ndarray] = None,
+        device_out: bool = False,
     ) -> np.ndarray:
+        """device_out=True returns the (N,) scores as a DEVICE array with no
+        host download: at serving scale (1M+ tiles) the scores feed straight
+        into `rank_by_scores`' device ranking tail, so a feedback round never
+        round-trips N floats through the host (the reference's scipy loop is
+        host-resident by construction, `label_propagation.py:30-79`). The
+        prior-bound sanitizer runs only on the host path — callers of the
+        device path get it whenever a host consumer eventually materializes
+        the scores."""
         if reg_values is None:
             assert self.reg_lambda == 0
             reg_values = np.zeros(self.n, dtype=np.float32)
@@ -86,6 +95,8 @@ class LabelPropagation:
                 max_iter=self.max_iter,
                 epsilon=self.epsilon,
             )
+            if device_out:
+                return res.scores
             out = np.asarray(res.scores)
         lo = min(0.0, float(reg_values.min(initial=0.0)))
         hi = max(1.0, float(reg_values.max(initial=1.0)))

@@ -87,7 +87,7 @@ class KnnProp2(LoopBase):
         p = self.params
         model = self.state.knn_model
         res = self.index.rank_by_scores(
-            model.current_scores(),
+            model.current_scores_any(),  # device array when propagation ran on device
             topk=p.batch_size,
             shortlist_size=p.shortlist_size,
             exclude=self.q.returned,

@@ -146,6 +146,19 @@ class BaseLabelPropagationRanker:
         # no negatives: scores unchanged (labels still clamp via current_scores)
 
     def current_scores(self) -> np.ndarray:
+        cs = self._current_scores
+        if cs is not None and not isinstance(cs, np.ndarray):
+            # materialize a device-resident result once, then cache the host
+            # copy for repeat host consumers (analysis, top_k)
+            cs = np.asarray(cs)
+            self._current_scores = cs
+        return cs
+
+    def current_scores_any(self):
+        """Scores WITHOUT forcing a host download: a jax array when the last
+        propagation ran device-resident, else the host np array. The serving
+        path (`KnnProp2.next_batch` -> `rank_by_scores`) uses this so the
+        (N,) scores never cross the host boundary per feedback round."""
         return self._current_scores
 
     def top_k(self, k: Optional[int], unlabeled_only: bool = True):
@@ -177,4 +190,5 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
             label_values=labels,
             reg_values=self.prior_scores,
             start_value=scores,
+            device_out=True,
         )

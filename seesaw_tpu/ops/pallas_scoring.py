@@ -24,12 +24,20 @@ NEG_INF = float("-inf")
 
 
 def _vmem_limit_mb(BF: int, T: int, D: int, itemsize: int) -> int:
+    """Smallest VMEM budget that fits the double-buffered (BF*T, D) block
+    (2x block + small operands, rounded up). Keep this MINIMAL: on the v5e
+    toolchain the Mosaic/XLA compile time of a program embedding this kernel
+    scales brutally with the declared limit — 64MB took 352.6s to compile
+    the 32-query bench chain where 24MB takes 22.0s, at IDENTICAL runtime
+    (scripts/bisect_chain_compile.py, round-4 sweep; this was VERDICT r3's
+    ~8x bench-stage regression). SEESAW_VMEM_MB overrides for bisects."""
     import os
 
     override = os.environ.get("SEESAW_VMEM_MB")
     if override:
         return int(override)
-    return max(64, 5 * (BF * T * D * itemsize) // (1024 * 1024))
+    block_mb = -(-(BF * T * D * itemsize) // (1024 * 1024))
+    return max(24, 3 * block_mb)
 
 
 def _kernel(q_ref, v_ref, valid_ref, excluded_ref, *rest, tile_bound: int):
