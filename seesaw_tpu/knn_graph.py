@@ -228,6 +228,34 @@ def factor_neighbors(
     return KNNGraph(new_dst, new_dist)
 
 
+def forward_weights(
+    graph: KNNGraph, kfun: Callable[[np.ndarray], np.ndarray]
+) -> SymmetricWeights:
+    """Fixed-degree FORWARD adjacency including the self vertex with weight
+    0 — the reference's `get_weight_matrix(symmetric=False)` followed by
+    `setdiag(0)` (`knn_graph.py:31-78`): row i holds {i} ∪ its K forward
+    neighbors as exactly K+1 explicit entries. The ENS active-search planner
+    REQUIRES this uniform row degree
+    (`efficient_nonmyopic_search.py:177-179`), and conditioning a label
+    updates the self row entry exactly as the csr `indices[start:end]` walk
+    does (`LKNN_model.py:146-147`). NOTE: pair with the FULL saved k
+    (knn_k == artifact k); the reference's `restrict_k` counts the self
+    edge as rank 0, so sub-k restrictions select k-1 forward edges where
+    ours selects k."""
+    N, K = graph.dst.shape
+    nbr = np.concatenate(
+        [np.arange(N, dtype=np.int32)[:, None], graph.dst.astype(np.int32)], axis=1
+    )
+    w = np.concatenate(
+        [np.zeros((N, 1), np.float32), kfun(graph.dist).astype(np.float32)],
+        axis=1,
+    )
+    order = np.argsort(nbr, axis=1)
+    nbr = np.take_along_axis(nbr, order, axis=1)
+    w = np.take_along_axis(w, order, axis=1)
+    return SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
+
+
 def symmetrize_weights(
     graph: KNNGraph, kfun: Callable[[np.ndarray], np.ndarray]
 ) -> SymmetricWeights:

@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 from pydantic import BaseModel
 
-from ..knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+from ..knn_graph import KNNGraph, forward_weights, rbf_kernel, symmetrize_weights
 from .knn_methods import LabelPropagationRanker2
 from .loop_base import LoopBase
 
@@ -41,7 +41,12 @@ def lookup_weights(opts: WeightMatrixOptions, *, use_cache: bool = True,
         if use_cache and key in _wm_cache:
             return _wm_cache[key]
     knng = KNNGraph.from_file(opts.knn_path).restrict_k(k=opts.knn_k)
-    weights = symmetrize_weights(knng, rbf_kernel(opts.edist))
+    if opts.symmetric:
+        weights = symmetrize_weights(knng, rbf_kernel(opts.edist))
+    else:
+        # uniform-degree forward adjacency (self included, weight 0) — the
+        # shape the ENS planner requires; see knn_graph.forward_weights
+        weights = forward_weights(knng, rbf_kernel(opts.edist))
     if opts.xlx_matrix:
         assert X_vectors is not None
         out = weights.xlx(X_vectors, normalize_by_trace=True)

@@ -139,6 +139,9 @@ def _install_stubs() -> None:
         ray_fmp = _module("ray.data.datasource.file_meta_provider")
         ray_fmp.__getattr__ = _any_class
         ray_ds.file_meta_provider = ray_fmp
+        ray_tune = _module("ray.tune")
+        ray_tune.__getattr__ = _any_class
+        ray.tune = ray_tune
 
     if "pynndescent" not in sys.modules:
         pynn = _module("pynndescent")

@@ -828,3 +828,189 @@ def test_two_head_multi_reg_loss_vs_ref():
         assert np.isclose(ours, ref_loss, rtol=2e-4), (
             f"trial {trial}: {ours} vs {ref_loss}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Textual feedback: OnlineModel linear trainer vs textual_feedback_box
+# ---------------------------------------------------------------------------
+# The literal reference TextualLoop cannot be session-driven
+# (`loops/textual.py:18` raises NotImplementedError; the model construction
+# is commented out at `loops/textual.py:14`), so C16's trainable core is
+# oracled here at component level: the reference OnlineModel
+# (`textual_feedback_box.py:120-420`) runs VERBATIM — LinearScorer modules,
+# AdamW param groups, constant-with-warmup schedule, description
+# cross-entropy + image rank hinge — against our optax re-derivation, on the
+# same deterministic mini text tower. Two environment shims, both
+# version bitrot not semantics: (a) the `clip` package is absent, so
+# build_model/tokenize come from a minimal deterministic stub (identity
+# transformer; the reference's own `compute_up_to` closure runs against it);
+# (b) `transformers.AdamW` was removed in transformers 4.57 — shimmed with
+# torch.optim.AdamW (same update rule; the removed class differed only in
+# eps default, and the reference passes no eps).
+
+_MINI = dict(vocab=64, width=32, dout=24, ctx=16)
+
+
+def _mini_sd(rng):
+    V, W, D = _MINI["vocab"], _MINI["width"], _MINI["dout"]
+    return {
+        "token_embedding.weight": rng.normal(size=(V, W)).astype(np.float32) * 0.3,
+        "positional_embedding": rng.normal(size=(_MINI["ctx"], W)).astype(np.float32) * 0.1,
+        "ln_final.weight": rng.uniform(0.8, 1.2, size=W).astype(np.float32),
+        "ln_final.bias": rng.normal(size=W).astype(np.float32) * 0.05,
+        "text_projection": rng.normal(size=(W, D)).astype(np.float32) * 0.2,
+    }
+
+
+def _tokenize_np(s: str) -> np.ndarray:
+    L, V = _MINI["ctx"], _MINI["vocab"]
+    ids = [1 + (ord(c) % (V - 3)) for c in s][: L - 1]
+    toks = np.zeros(L, dtype=np.int64)
+    toks[: len(ids)] = ids
+    toks[len(ids)] = V - 1  # eot = highest id, found by argmax
+    return toks
+
+
+def _install_clip_stub(sd_np):
+    """sys.modules['clip'] with tokenize + model.build_model, matching the
+    attribute surface `compute_up_to` walks (token_embedding,
+    positional_embedding, transformer, ln_final, text_projection, dtype)."""
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    class MiniCLIP(nn.Module):
+        def __init__(self, state_dict):
+            super().__init__()
+            V, W = state_dict["token_embedding.weight"].shape
+            self.token_embedding = nn.Embedding(V, W)
+            self.positional_embedding = nn.Parameter(torch.zeros(_MINI["ctx"], W))
+            self.transformer = nn.Identity()
+            self.ln_final = nn.LayerNorm(W)
+            self.text_projection = nn.Parameter(
+                torch.zeros(W, state_dict["text_projection"].shape[1])
+            )
+            self.load_state_dict(
+                {k: v.clone() for k, v in state_dict.items()}, strict=True
+            )
+
+        @property
+        def dtype(self):
+            return self.token_embedding.weight.dtype
+
+        def encode_text(self, tokens):
+            x = self.token_embedding(tokens) + self.positional_embedding
+            x = self.ln_final(x)
+            x = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+            return x @ self.text_projection
+
+    clip_mod = types.ModuleType("clip")
+    clip_model_mod = types.ModuleType("clip.model")
+    clip_model_mod.build_model = lambda sd: MiniCLIP(sd)
+
+    def tokenize(strings):
+        return torch.from_numpy(np.stack([_tokenize_np(s) for s in strings]))
+
+    clip_mod.tokenize = tokenize
+    clip_mod.model = clip_model_mod
+    sys.modules["clip"] = clip_mod
+    sys.modules["clip.model"] = clip_model_mod
+
+
+class _FakeClipEmbedding:
+    """The ClipEmbedding surface our OnlineModel touches, computed with
+    numpy from the SAME mini state_dict (LayerNorm eps matches torch 1e-5)."""
+
+    def __init__(self, sd):
+        self._sd = sd
+        self.params = {"text": {"projection": {"kernel": sd["text_projection"]}}}
+        self.tokenizer = self
+        self.model = self
+
+    def encode(self, s):  # tokenizer surface
+        return _tokenize_np(s)
+
+    def apply(self, variables, toks, method=None):  # model surface (preproj)
+        sd = self._sd
+        toks = np.asarray(toks)
+        x = sd["token_embedding.weight"][toks] + sd["positional_embedding"]
+        mu = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        x = (x - mu) / np.sqrt(var + 1e-5)
+        x = x * sd["ln_final.weight"] + sd["ln_final.bias"]
+        eot = toks.argmax(axis=-1)
+        return x[np.arange(x.shape[0]), eot]
+
+
+def test_online_model_linear_vs_ref(monkeypatch):
+    import torch
+
+    rng = np.random.default_rng(21)
+    sd_np = _mini_sd(rng)
+    _install_clip_stub(sd_np)
+    import transformers
+
+    monkeypatch.setattr(transformers, "AdamW", torch.optim.AdamW, raising=False)
+
+    # seesaw.models.clip_module is itself import-bitrotted (its
+    # `import pytorch_lightning as pl` is commented out while
+    # MultiModalDataModule still subclasses pl.LightningDataModule at line
+    # 69 -> NameError on import). textual_feedback_box only pulls
+    # finetune-mode helpers from it; stub the module so the linear-mode
+    # code under test imports verbatim.
+    import types as _types
+
+    if "seesaw.models.clip_module" not in sys.modules:
+        _cm = _types.ModuleType("seesaw.models.clip_module")
+        _cm.CLIPFineTunedModel = _cm.CLIPTx = _cm.MappedDataset = object
+        _cm.configure_optimizer = None
+        sys.modules["seesaw.models.clip_module"] = _cm
+
+    tb = ref.load("seesaw.textual_feedback_box")
+    from seesaw_tpu.models.online_model import OnlineModel as OurOnlineModel
+
+    cfg = dict(
+        device="cpu", mode="linear", rounds=30, num_warmup_steps=4,
+        image_loss_weight=0.4, rank_margin=0.15,
+    )
+    n, d = 20, _MINI["dout"]
+    imagevecs = rng.normal(size=(n, d)).astype(np.float32)
+    imagevecs /= np.linalg.norm(imagevecs, axis=1, keepdims=True)
+    marked = rng.random(n) < 0.4
+    annotations = np.array(
+        [rng.choice(["a cat", "a red car", ""]) if not m else ""
+         for m in marked], dtype=object
+    )
+    target = "a dog"
+
+    ref_model = tb.OnlineModel(
+        {k: torch.from_numpy(v) for k, v in sd_np.items()}, cfg
+    )
+    our_model = OurOnlineModel(_FakeClipEmbedding(sd_np), cfg)
+
+    # the frozen tower itself must agree before any training
+    np.testing.assert_allclose(
+        our_model.encode_string(target),
+        ref_model.encode_string(target).reshape(-1),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    ref_model.update(imagevecs, marked, annotations, target)
+    our_model.update(imagevecs, marked, annotations, target)
+
+    # identical scorer sets in identical order
+    assert list(ref_model.linear_scorer.scorers.keys()) == our_model.scorer_names
+
+    # trained target weight vector + full database scores (the quantities the
+    # serving loop consumes: rank_by_scores over score_vecs / lookup vec)
+    ref_w = ref_model.linear_scorer.get_vec(target).reshape(-1)
+    our_w = np.asarray(our_model.scorer_params["w"][0])
+    np.testing.assert_allclose(our_w, ref_w, rtol=5e-4, atol=5e-6)
+
+    probe = rng.normal(size=(50, d)).astype(np.float32)
+    probe /= np.linalg.norm(probe, axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        our_model.score_vecs(probe), ref_model.score_vecs(probe),
+        rtol=1e-3, atol=1e-5,
+    )

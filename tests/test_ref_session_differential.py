@@ -230,6 +230,19 @@ LOOP_CONFIGS = {
 #   `multiscale_index.py:434-442`) — iterating a DataFrame yields column
 #   NAMES, so the reference crashes on first refine.
 # - RandomResults: engine-local RNG draw order by construction.
+# - Textual: the literal reference loop is BITROTTED beyond driving —
+#   `loops/textual.py:18` `set_text_vec` raises
+#   NotImplementedError('implement me'), and the OnlineModel construction
+#   in `__init__` is commented out (`loops/textual.py:14`,
+#   `# s.model = OnlineModel(param_dict, p.method_config)`) after reading a
+#   hardcoded cluster path, so the loop holds no model to refine with. No
+#   stub can make `Session.next -> loop.next_batch` reach OnlineModel
+#   through the literal loop. The runnable reference artifact is
+#   OnlineModel itself (`textual_feedback_box.py:120-420`), which
+#   test_ref_differential.py::test_online_model_linear_vs_ref drives
+#   side-by-side with ours (deterministic init: LinearScorer weights from
+#   the string vectors, bias=0, logit_scale=0) over the full multi-step
+#   AdamW training trajectory.
 # - PseudoLR: the reference's per-round output is OPTIMIZER NOISE, not
 #   converged semantics. torch's nn.Linear init is unseeded (two reference
 #   runs differ), and on the tiny early-round problems (2 pos / 3 neg real
@@ -416,6 +429,93 @@ def test_full_session_start_policy_vs_ref(synth):
     for r, ((ri, rs, _), (ti, ts, _)) in enumerate(zip(ref_rounds, tpu_rounds)):
         assert ri == ti, f"start-policy round {r}: {ri} != {ti}"
         np.testing.assert_allclose(ts, rs, rtol=2e-4, atol=2e-5)
+
+
+def _coarse_db(seed=11, n=48, d=24):
+    """One-tile-per-image database — the regime the reference ran its
+    active-search family on (see test_lknn_session_vs_ref_coarse_regime)."""
+    rng = np.random.default_rng(seed)
+    qvec = rng.normal(size=d).astype(np.float32)
+    qvec /= np.linalg.norm(qvec)
+    is_pos = np.zeros(n, dtype=bool)
+    is_pos[rng.choice(n, size=12, replace=False)] = True
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    V[is_pos] = qvec + 0.6 * V[is_pos]
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    img = 224.0
+    from seesaw_tpu.indices.meta import VectorMeta
+
+    meta, order = VectorMeta.from_arrays(
+        np.arange(n), np.ones(n, dtype=np.int64),
+        np.tile(np.array([0.0, 0.0, img, img], np.float32), (n, 1)),
+    )
+    V = V[order]
+    vm_df = pd.DataFrame(
+        {"dbidx": meta.dbidx.astype("int64"),
+         "zoom_level": meta.zoom_level.astype("int64"),
+         "x1": meta.boxes[:, 0], "y1": meta.boxes[:, 1],
+         "x2": meta.boxes[:, 2], "y2": meta.boxes[:, 3]}
+    )
+    gt = {int(i): [(0.0, 0.0, img, img)] for i in np.where(is_pos)[0]}
+    return V, meta, vm_df, gt, qvec
+
+
+def test_active_search_ens_session_vs_ref(tmp_path):
+    """ENS active-search (interactive='active_search') full-session
+    differential: the efficient-nonmyopic planner picks one vector per round
+    from the LKNN probability model (reference `loops/active_search.py:88-
+    115` -> `research/active_search/efficient_nonmyopic_search.py:209-220`),
+    labels condition the model (`active_search.py:117-155`). Deterministic
+    given the graph (fixed gamma), so per-round proposals must be identical.
+    Coarse regime for the same reason as LKNN: on multiscale indices the
+    literal reference conditions only the image's first vector and can
+    re-propose an already-seen image's sibling tile."""
+    V, meta, vm_df, gt, qvec = _coarse_db()
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    root = str(tmp_path)
+    KNNGraph.build(V, n_neighbors=KNN_K).save(
+        tmp_path / "knn_graph" / "subset_diff"
+    )
+
+    options = dict(
+        # symmetric=False: the ENS planner requires a UNIFORM-degree csr
+        # (`efficient_nonmyopic_search.py:177-179`); the symmetrized union
+        # graph has ragged degrees and the reference asserts out. With
+        # knn_k == the artifact's full k both engines see the identical
+        # self + k-forward edge set (reference restrict_k counts the self
+        # edge as rank 0 — see knn_graph.forward_weights docstring).
+        matrix_options=dict(MATRIX_OPTIONS, symmetric=False),
+        normalize_scores=True,
+        normalize_epsilon=0.1,
+        sigmoid_before_propagate=True,
+        calib_a=2.0,
+        calib_b=-0.5,
+        prior_weight=1.0,
+        gamma=dict(mode="fixed", value=0.15),
+        reward_horizon=10,
+        adjust_horizon=False,
+        max_steps=100,
+        pruning_on=False,
+        implementation="vectorized",
+    )
+    ref_session, RefBox = _make_ref_session(
+        "active_search", options, V, vm_df, qvec, root
+    )
+    tpu_session, TpuBox = _make_tpu_session(
+        "active_search", options, V, meta, qvec, root
+    )
+
+    ref_rounds = _drive(ref_session, RefBox, gt, _ref_scores)
+    tpu_rounds = _drive(tpu_session, TpuBox, gt, _tpu_scores)
+    assert len(ref_rounds) == len(tpu_rounds) == N_ROUNDS
+    for r, ((ri, _, _), (ti, _, _)) in enumerate(zip(ref_rounds, tpu_rounds)):
+        assert ri == ti, f"active_search round {r}: ref={ri} tpu={ti}"
+    assert sorted(ref_session.accepted) == sorted(
+        int(x) for x in tpu_session.accepted
+    )
+    assert len(ref_session.accepted) > 0
 
 
 def test_lknn_session_vs_ref_coarse_regime(tmp_path):
