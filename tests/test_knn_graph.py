@@ -221,3 +221,41 @@ def test_normalize_scores():
     assert out[0] == pytest.approx(0.1) and out[-1] == pytest.approx(0.9)
     const = normalize_scores(np.ones(4), 0.1)
     assert (const == 0.5).all()
+
+
+def test_propagate_chunked_bitwise_equal():
+    """Bounded-dispatch propagation (dispatch_iters) must be BIT-identical
+    to the single-dispatch program — it is the same while_loop resumed from
+    carried state (the serving path chunks 1M-tile runs to stay under
+    device execution watchdogs)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seesaw_tpu.ops.propagation import propagate
+
+    rng = np.random.default_rng(5)
+    n, k = 300, 6
+    nbr = rng.integers(0, n, size=(n, k)).astype(np.int32)
+    nbr[5, 2:] = -1  # padding rows
+    w = rng.uniform(0.1, 1.0, size=(n, k)).astype(np.float32)
+    w[nbr < 0] = 0.0
+    degree = w.sum(axis=1)
+    prior = rng.uniform(0.01, 0.99, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:10] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:20] = True
+
+    args = [jnp.asarray(x) for x in
+            (nbr, w, degree, prior, labels, is_labeled, prior)]
+    for eps, max_iter in ((1e-7, 300), (0.0, 37)):
+        ref = propagate(*args, reg_lambda=1.0, max_iter=max_iter, epsilon=eps)
+        for c in (1, 3, 50, 1000):
+            got = propagate(*args, reg_lambda=1.0, max_iter=max_iter,
+                            epsilon=eps, dispatch_iters=c)
+            assert int(got.n_iter) == int(ref.n_iter), (eps, max_iter, c)
+            assert bool(got.converged) == bool(ref.converged)
+            np.testing.assert_array_equal(
+                np.asarray(got.scores), np.asarray(ref.scores),
+                err_msg=f"eps={eps} chunk={c}",
+            )
