@@ -355,9 +355,20 @@ def bench_multi_query(n_vectors: int, Q: int = 16, dtype: str = "int8") -> dict:
     import jax
     import jax.numpy as jnp
 
-    from seesaw_tpu.ops.frame_scoring import query_program_batch
+    from seesaw_tpu.ops.frame_scoring import (
+        query_program_batch, query_program_batch_framescale,
+    )
 
-    V, valid, boxes, zoom, row_scale, n_frames = build_db(n_vectors, dtype=dtype)
+    frame_mode = dtype == "int8_frame"
+    V, valid, boxes, zoom, row_scale, n_frames = build_db(
+        n_vectors, dtype="int8" if frame_mode else dtype
+    )
+    if frame_mode:
+        # per-FRAME dequant scales: the int32-max batch path
+        frame_scale = jax.random.uniform(
+            jax.random.PRNGKey(3), (n_frames,), minval=0.5, maxval=1.0
+        ) * (1.0 / 127.0)
+        row_scale = frame_scale
     rng = np.random.default_rng(0)
     d = V.shape[1]
     K = 8  # chained batch dispatches
@@ -365,12 +376,20 @@ def bench_multi_query(n_vectors: int, Q: int = 16, dtype: str = "int8") -> dict:
     @jax.jit
     def chain(V_a, valid_a, boxes_a, zoom_a, rs_a, qss, excl0):
         def body(excl, qs):
-            r = query_program_batch(
-                V_a, valid_a, boxes_a, zoom_a, qs, excl, rs_a,
-                shortlist_size=SHORTLIST, topk=TOPK,
-                aug_larger="all", aug_weight="level_max",
-                agg_method="avg_score", max_zoom=3,
-            )
+            if frame_mode:
+                r = query_program_batch_framescale(
+                    V_a, valid_a, boxes_a, zoom_a, qs, excl, rs_a,
+                    shortlist_size=SHORTLIST, topk=TOPK,
+                    aug_larger="all", aug_weight="level_max",
+                    agg_method="avg_score", max_zoom=3,
+                )
+            else:
+                r = query_program_batch(
+                    V_a, valid_a, boxes_a, zoom_a, qs, excl, rs_a,
+                    shortlist_size=SHORTLIST, topk=TOPK,
+                    aug_larger="all", aug_weight="level_max",
+                    agg_method="avg_score", max_zoom=3,
+                )
             # each session excludes its own top hit (data dependency)
             top = jnp.maximum(r.frame_ids[:, 0], 0)
             excl = excl.at[jnp.arange(excl.shape[0]), top].set(True)
@@ -569,9 +588,10 @@ def bench_refine(d: int = 512, n_labeled: int = 512) -> dict:
             "refine_n_labeled": n_labeled}
 
 
-def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> float:
+def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> dict:
     """On-chip shortlist-recall study: fraction of the exact f32 top-10
-    contained in the per-row int8 top-50 shortlist, CLIP-like vectors."""
+    contained in the int8 top-50 shortlist, CLIP-like vectors — per-ROW
+    scales and per-FRAME scales (the batch-serving quantization) both."""
     import jax
     import jax.numpy as jnp
 
@@ -586,27 +606,43 @@ def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> float:
     row_max = np.abs(V).max(axis=1)
     scales = (row_max / 127.0).astype(np.float32)
     V8 = np.clip(np.round(V / scales[:, None]), -127, 127).astype(np.int8)
+    # per-FRAME scales (8-row groups, the batch-serving quantization):
+    # coarser than per-row — its recall ships alongside the speed claim
+    fmax_scale = row_max.reshape(-1, TILES).max(axis=1)
+    fscales = np.repeat((fmax_scale / 127.0).astype(np.float32), TILES)
+    V8f = np.clip(np.round(V / fscales[:, None]), -127, 127).astype(np.int8)
 
     from seesaw_tpu.ops.frame_scoring import scoring_matvec
 
     Vd = jnp.asarray(V)
     V8d = jnp.asarray(V8)
     sd = jnp.asarray(scales)
+    V8fd = jnp.asarray(V8f)
+    sfd = jnp.asarray(fscales)
 
     @jax.jit
-    def tops(Vx, V8x, sx, q):  # arrays as args: closing over them would
-        exact = jax.lax.top_k(scoring_matvec(Vx, q), TOPK)[1]  # bake 2.5GB
+    def tops(Vx, V8x, sx, V8fx, sfx, q):  # arrays as args: closing over
+        exact = jax.lax.top_k(scoring_matvec(Vx, q), TOPK)[1]  # would bake GBs
         quant = jax.lax.top_k(scoring_matvec(V8x, q, sx), SHORTLIST)[1]
-        return exact, quant
+        quant_f = jax.lax.top_k(scoring_matvec(V8fx, q, sfx), SHORTLIST)[1]
+        return exact, quant, quant_f
 
-    hits = 0
+    hits = hits_f = 0
     trials = 20
     for t in range(trials):
         q = 0.6 * centers[t] + 0.3 * rng.normal(size=d)
-        exact, quant = tops(Vd, V8d, sd,
-                            jnp.asarray(q / np.linalg.norm(q), dtype=jnp.float32))
-        hits += len(set(np.asarray(exact).tolist()) & set(np.asarray(quant).tolist()))
-    return hits / (trials * TOPK)
+        exact, quant, quant_f = tops(
+            Vd, V8d, sd, V8fd, sfd,
+            jnp.asarray(q / np.linalg.norm(q), dtype=jnp.float32))
+        e = set(np.asarray(exact).tolist())
+        hits += len(e & set(np.asarray(quant).tolist()))
+        hits_f += len(e & set(np.asarray(quant_f).tolist()))
+    return {
+        "int8_shortlist_recall_1M": round(hits / (trials * TOPK), 4),
+        "int8_shortlist_recall_1M_framescale": round(
+            hits_f / (trials * TOPK), 4
+        ),
+    }
 
 
 def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
@@ -1047,6 +1083,11 @@ def _main():
     _stage("multiq_bf16", 100,
            lambda: bench_multi_query(n_vectors, dtype="bfloat16"),
            skip_env="SEESAW_BENCH_SKIP_MULTIQ")
+    # per-frame-scale int8: int32 tile max before dequant keeps the
+    # matmul->max fusion — the fastest batch scan (perf_probe stage K)
+    _stage("multiq_int8_frame", 100,
+           lambda: bench_multi_query(n_vectors, dtype="int8_frame"),
+           skip_env="SEESAW_BENCH_SKIP_MULTIQ")
 
     _stage("refine", 60, bench_refine, skip_env="SEESAW_BENCH_SKIP_REFINE")
 
@@ -1058,10 +1099,8 @@ def _main():
     _stage("graph_session", 180, bench_graph_session,
            skip_env="SEESAW_BENCH_SKIP_GRAPH")
 
-    def run_recall_1m():
-        return {"int8_shortlist_recall_1M": round(bench_int8_recall(), 4)}
-
-    _stage("recall_1M", 120, run_recall_1m, skip_env="SEESAW_BENCH_SKIP_RECALL")
+    _stage("recall_1M", 120, bench_int8_recall,
+           skip_env="SEESAW_BENCH_SKIP_RECALL")
     # 10M sweep: one generated database, 8 trials, budget-guarded (r3's
     # budget-eater — VERDICT r3 next #4)
     _stage("recall_10M", 300,

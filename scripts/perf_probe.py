@@ -633,6 +633,109 @@ def stage_J():
               F * T * 4 * 4)
 
 
+
+
+def stage_K():
+    """int8 batch TAIL repair (stage I follow-up: int8 mm=8.5ms beats bf16
+    mm=15.4ms, but the frame-max tail costs +19.5ms on int8 vs +3.7ms on
+    bf16 — the dequant chain breaks fusion). Variants:
+      tail-f32:   current formulation (baseline)
+      tail-bf16:  dequant to bf16 (N,Q) intermediate, max in bf16
+      tail-int32: max over T in int32 BEFORE dequant (valid only without
+                  per-row scales — semantics probe)
+      tail-rowmax: rescale trick — fold row_scale into a per-frame
+                  pre-max by expanding scales to (F,T,Q)? measures the
+                  where+reshape+max skeleton cost alone (w/o matmul)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    Q = 16
+    V, valid, excluded, scale, F = build("int8")
+    nbytes = V.size
+
+    def chain_over_qbatches(step_fn):
+        @jax.jit
+        def chain(*args):
+            *consts, qs = args
+
+            def body(carry, q):
+                qb = jnp.tile(q[None, :], (Q, 1)) + (
+                    jnp.arange(Q, dtype=jnp.float32)[:, None] * 1e-3
+                )
+                out = step_fn(*consts, qb + carry * 0.0)
+                return out * 0.0 + carry, out
+
+            _, outs = jax.lax.scan(body, jnp.float32(0), qs)
+            return outs.sum()
+
+        return chain
+
+    def acc_of(V, qb):
+        qmax = jnp.max(jnp.abs(qb), axis=1, keepdims=True) + 1e-12
+        q_i8 = jnp.clip(jnp.round(qb / qmax * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            V, q_i8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc, (qmax[:, 0] / 127.0)
+
+    T = valid.shape[1]
+
+    def tail_f32(V, valid, excluded, scale, qb):
+        acc, qs_scale = acc_of(V, qb)
+        s = acc.astype(jnp.float32) * qs_scale[None, :] * scale[:, None]
+        s = s.reshape(F, T, Q)
+        s = jnp.where(valid[..., None], s, -jnp.inf)
+        fmax = jnp.max(s, axis=1)
+        fmax = jnp.where(excluded[:, None], -jnp.inf, fmax)
+        return jnp.where(jnp.isfinite(fmax), fmax, 0.0).sum()
+
+    def tail_bf16(V, valid, excluded, scale, qb):
+        acc, qs_scale = acc_of(V, qb)
+        s = (acc.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)[:, None])
+        s = s.reshape(F, T, Q)
+        s = jnp.where(valid[..., None], s, jnp.bfloat16(-jnp.inf))
+        fmax = jnp.max(s, axis=1).astype(jnp.float32) * qs_scale[None, :]
+        fmax = jnp.where(excluded[:, None], -jnp.inf, fmax)
+        return jnp.where(jnp.isfinite(fmax), fmax, 0.0).sum()
+
+    def tail_int32(V, valid, excluded, scale, qb):
+        acc, qs_scale = acc_of(V, qb)  # no row scales: max commutes
+        a = acc.reshape(F, T, Q)
+        a = jnp.where(valid[..., None], a, jnp.int32(-2**31 + 1))
+        fmax = jnp.max(a, axis=1).astype(jnp.float32) * qs_scale[None, :]
+        fmax = jnp.where(excluded[:, None], -jnp.inf, fmax)
+        return jnp.where(jnp.isfinite(fmax), fmax, 0.0).sum()
+
+    def tail_transposed(V, valid, excluded, scale, qb):
+        # (Q, N) orientation: scores minor axis = N
+        qmax = jnp.max(jnp.abs(qb), axis=1, keepdims=True) + 1e-12
+        q_i8 = jnp.clip(jnp.round(qb / qmax * 127.0), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q_i8, V, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Q, N)
+        s = acc.astype(jnp.float32) * (qmax / 127.0) * scale[None, :]
+        s = s.reshape(Q, F, T)
+        s = jnp.where(valid[None], s, -jnp.inf)
+        fmax = jnp.max(s, axis=2)
+        fmax = jnp.where(excluded[None, :], -jnp.inf, fmax)
+        return jnp.where(jnp.isfinite(fmax), fmax, 0.0).sum()
+
+    for name, fn in (("tail-f32", tail_f32), ("tail-bf16", tail_bf16),
+                     ("tail-int32", tail_int32),
+                     ("tail-transposed", tail_transposed)):
+        try:
+            chain = chain_over_qbatches(fn)
+            ms = measure(chain, lambda: (V, valid, excluded, scale, fresh_qs()))
+            print(f"K int8 {name} Q={Q}: {ms:.2f} ms  "
+                  f"{gbps(ms, nbytes):.0f} GB/s", flush=True)
+        except Exception as e:
+            print(f"K int8 {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
 if __name__ == "__main__":
     known = sorted(n[len("stage_"):] for n in globals() if n.startswith("stage_"))
     stages = sys.argv[1:] or ["A", "B", "C", "D"]

@@ -121,6 +121,7 @@ class MultiscaleIndex(AccessMethod):
         device_dtype: str = "float32",
         mesh=None,
         use_pallas: bool = False,
+        int8_scale: str = "row",
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' (HBM-halving, default
         for big indices — fastest measured scan), or 'int8' (per-row
@@ -172,6 +173,7 @@ class MultiscaleIndex(AccessMethod):
         V_pad[~flat_valid] = 0.0
         self.device_dtype = device_dtype
         self._sharded = None
+        self._frame_scale = None
         if mesh is not None and mesh.devices.size > 1:
             from ..parallel.sharded_index import ShardedFrameIndex
 
@@ -185,9 +187,28 @@ class MultiscaleIndex(AccessMethod):
         elif device_dtype == "int8":
             # per-row symmetric scales (the standard near-free accuracy win
             # over one global scale): row r stores round(V_r / s_r), s_r =
-            # max|V_r|/127, dequantized inside the scoring matvec
+            # max|V_r|/127, dequantized inside the scoring matvec.
+            # int8_scale='frame' shares one scale across a frame's tiles:
+            # slightly coarser quantization, but the multi-query batch path
+            # can then run its tile max in int32 BEFORE dequantization,
+            # which keeps XLA's matmul->max fusion intact — the fastest
+            # measured batch scan (14.2 ms vs bf16's 19.1 at 10M Q=16,
+            # ops.frame_scoring.query_program_batch_framescale).
             row_max = np.abs(V_pad).max(axis=1)
-            scales = np.where(row_max > 0, row_max / 127.0, 1.0).astype(np.float32)
+            if int8_scale == "frame":
+                Fq_ = valid.shape[0]
+                frame_max = row_max.reshape(Fq_, self._tile_bound).max(axis=1)
+                fscales = np.where(
+                    frame_max > 0, frame_max / 127.0, 1.0
+                ).astype(np.float32)
+                scales = np.repeat(fscales, self._tile_bound)
+                self._frame_scale = jnp.asarray(fscales)
+            else:
+                assert int8_scale == "row", f"unknown int8_scale {int8_scale!r}"
+                scales = np.where(
+                    row_max > 0, row_max / 127.0, 1.0
+                ).astype(np.float32)
+                self._frame_scale = None
             self._V = jnp.asarray(
                 np.clip(np.round(V_pad / scales[:, None]), -127, 127).astype(np.int8)
             )
@@ -227,6 +248,7 @@ class MultiscaleIndex(AccessMethod):
         zoom: "jnp.ndarray",  # (Fq*T,) device
         meta: VectorMeta,
         row_scale: Optional["jnp.ndarray"] = None,
+        frame_scale: Optional["jnp.ndarray"] = None,  # (Fq,) int8 per-frame
         use_pallas: bool = True,
     ) -> "MultiscaleIndex":
         """Serving-scale construction from pre-built DEVICE arrays, with NO
@@ -248,6 +270,7 @@ class MultiscaleIndex(AccessMethod):
         self._sharded = None
         self._V = V
         self._row_scale = row_scale
+        self._frame_scale = frame_scale
         self._pad_rows = None  # rank_by_scores needs the host-built plan
         self._pad_valid_flat = None
         self._valid = valid
@@ -654,6 +677,7 @@ class MultiscaleIndex(AccessMethod):
             device_dtype=device_dtype,
             mesh=mesh,
             use_pallas=bool(options.get("use_pallas", False)),
+            int8_scale=options.get("int8_scale", "row"),
         )
         if options.get("coalesce_ms"):
             # concurrent sessions share one (N,D)@(D,Q) device scan

@@ -407,6 +407,130 @@ def query_program_batch(
     return jax.vmap(tail, in_axes=(1, 0))(scores_nq, excluded)
 
 
+@functools.partial(
+    jax.jit, static_argnames=_RANK_STATICS + ("tile_bound",)
+)
+def rank_from_frame_max(
+    vectors: jnp.ndarray,  # (Fp*T, D) frame-major padded
+    valid: jnp.ndarray,  # (F, T)
+    boxes: jnp.ndarray,  # (F*T, 4)
+    zoom: jnp.ndarray,  # (F*T,)
+    qvec: jnp.ndarray,  # (D,)
+    fmax: jnp.ndarray,  # (F,) per-frame max raw score, -inf = excluded
+    row_scale: jnp.ndarray | None = None,  # (Fp*T,) int8 per-row scales
+    frame_scale: jnp.ndarray | None = None,  # (F,) int8 per-frame scales
+    *,
+    shortlist_size: int,
+    topk: int,
+    tile_bound: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> QueryResult:
+    """Shortlist tail shared by the Pallas fused query and the int8 batch
+    path: top-`shortlist_size` frames by `fmax`, recompute their B*T tile
+    scores exactly, augment, final top-k. The (N,) score vector is never
+    materialized — only shortlisted rows are rescored."""
+    T = tile_bound
+    short_scores, short_fids = jax.lax.top_k(fmax, shortlist_size)
+    short_valid = short_scores > NEG_INF
+
+    rows = short_fids[:, None] * T + jnp.arange(T, dtype=jnp.int32)[None, :]
+    tile_valid = valid[short_fids] & short_valid[:, None]
+    t_vecs = vectors[rows.reshape(-1)]  # (B*T, D)
+    if frame_scale is not None:
+        t_scale = jnp.repeat(frame_scale[short_fids], T)
+    elif row_scale is not None:
+        t_scale = row_scale[rows.reshape(-1)]
+    else:
+        t_scale = None
+    t_scores = scoring_matvec(t_vecs, qvec, t_scale).reshape(shortlist_size, T)
+    t_scores = jnp.where(tile_valid, t_scores, NEG_INF)
+    t_boxes = boxes[rows]
+    t_zoom = zoom[rows]
+
+    aug = jax.vmap(
+        lambda b, z, s, v: augment_tile_scores(
+            b, z, s, v, aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=max_zoom,
+        )
+    )(t_boxes, t_zoom, t_scores, tile_valid)
+
+    frame_score = jnp.max(aug, axis=1)
+    top_tile = jnp.argmax(aug, axis=1)
+    bidx = jnp.arange(aug.shape[0])
+    act_box = t_boxes[bidx, top_tile]
+    act_score = aug[bidx, top_tile]
+
+    frame_score = jnp.where(short_valid, frame_score, NEG_INF)
+    final_scores, final_pos = jax.lax.top_k(
+        frame_score, min(topk, shortlist_size)
+    )
+    n_valid = (final_scores > NEG_INF).sum()
+    return QueryResult(
+        frame_ids=jnp.where(final_scores > NEG_INF, short_fids[final_pos], -1),
+        frame_scores=final_scores,
+        act_boxes=act_box[final_pos],
+        act_scores=act_score[final_pos],
+        n_valid=n_valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def query_program_batch_framescale(
+    vectors: jnp.ndarray,  # (F*T, D) int8 frame-major padded
+    valid: jnp.ndarray,  # (F, T) bool
+    boxes: jnp.ndarray,  # (F*T, 4)
+    zoom: jnp.ndarray,  # (F*T,)
+    qvecs: jnp.ndarray,  # (Q, D)
+    excluded: jnp.ndarray,  # (Q, F) bool
+    frame_scale: jnp.ndarray,  # (F,) per-FRAME dequant scales
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> QueryResult:
+    """Multi-query int8 serving with PER-FRAME quantization scales: the tile
+    max runs in int32 BEFORE dequantization (max commutes with one positive
+    scale per frame), which keeps XLA's matmul->max fusion intact — the
+    per-row-scale dequant chain de-fuses and materializes the (N, Q) f32
+    scores (28.0 ms vs 14.2 ms at 10M Q=16, perf_probe stage K; bf16 is
+    19.1 ms — per-frame int8 makes int8 the fastest BATCH scan too, on top
+    of its matvec win and half-HBM footprint)."""
+    assert vectors.dtype == jnp.int8
+    F, T = valid.shape
+    qmax = jnp.max(jnp.abs(qvecs), axis=1, keepdims=True) + 1e-12  # (Q,1)
+    q_i8 = jnp.clip(jnp.round(qvecs / qmax * 127.0), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        vectors, q_i8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (N, Q) int32
+    a = acc.reshape(F, T, acc.shape[1])
+    a = jnp.where(valid[..., None], a, jnp.int32(-(2**31) + 1))
+    fmax_i = jnp.max(a, axis=1)  # (F, Q) int32
+    # multiply in scoring_matvec's order ((acc * q_scale) * row_scale) so
+    # results are bit-identical to the per-row-scale f32 formulation
+    fmax = (
+        fmax_i.astype(jnp.float32) * (qmax[:, 0] / 127.0)[None, :]
+    ) * frame_scale[:, None]
+    fmax = jnp.where(excluded.T | ~valid.any(axis=1)[:, None], NEG_INF, fmax)
+
+    return jax.vmap(
+        lambda q, fm: rank_from_frame_max(
+            vectors, valid, boxes, zoom, q, fm,
+            None, frame_scale,
+            shortlist_size=shortlist_size, topk=topk, tile_bound=T,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=max_zoom,
+        ),
+        in_axes=(0, 1),
+    )(qvecs, fmax)
+
+
 @jax.jit
 def score_frames_max(
     vectors: jnp.ndarray, valid: jnp.ndarray, qvec: jnp.ndarray,

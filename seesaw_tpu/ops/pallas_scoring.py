@@ -172,48 +172,18 @@ def query_program_fused(
 ):
     """Full query with the Pallas shortlist stage: the (N,) score vector is
     never materialized in HBM — per-tile scores are recomputed only for the
-    shortlisted frames (B*T rows). Returns ops.frame_scoring.QueryResult."""
-    from .frame_scoring import NEG_INF as NI, QueryResult, augment_tile_scores, scoring_matvec
+    shortlisted frames (B*T rows, frame_scoring.rank_from_frame_max)."""
+    from .frame_scoring import rank_from_frame_max
 
-    F, T = valid.shape
     fmax = fused_frame_max(
         vectors, valid, excluded, qvec, row_scale,
         tile_bound=tile_bound, block_frames=block_frames, interpret=interpret,
     )
-    short_scores, short_fids = jax.lax.top_k(fmax, shortlist_size)
-    short_valid = short_scores > NI
-
-    rows = short_fids[:, None] * T + jnp.arange(T, dtype=jnp.int32)[None, :]
-    tile_valid = valid[short_fids] & short_valid[:, None]
-    t_vecs = vectors[rows.reshape(-1)]  # (B*T, D)
-    t_scale = row_scale[rows.reshape(-1)] if row_scale is not None else None
-    t_scores = scoring_matvec(t_vecs, qvec, t_scale).reshape(shortlist_size, T)
-    t_scores = jnp.where(tile_valid, t_scores, NI)
-    t_boxes = boxes[rows]
-    t_zoom = zoom[rows]
-
-    aug = jax.vmap(
-        lambda b, z, s, v: augment_tile_scores(
-            b, z, s, v, aug_larger=aug_larger, aug_weight=aug_weight,
-            agg_method=agg_method, max_zoom=max_zoom,
-        )
-    )(t_boxes, t_zoom, t_scores, tile_valid)
-
-    frame_score = jnp.max(aug, axis=1)
-    top_tile = jnp.argmax(aug, axis=1)
-    bidx = jnp.arange(aug.shape[0])
-    act_box = t_boxes[bidx, top_tile]
-    act_score = aug[bidx, top_tile]
-
-    frame_score = jnp.where(short_valid, frame_score, NI)
-    final_scores, final_pos = jax.lax.top_k(frame_score, min(topk, shortlist_size))
-    n_valid = (final_scores > NI).sum()
-    return QueryResult(
-        frame_ids=jnp.where(final_scores > NI, short_fids[final_pos], -1),
-        frame_scores=final_scores,
-        act_boxes=act_box[final_pos],
-        act_scores=act_score[final_pos],
-        n_valid=n_valid,
+    return rank_from_frame_max(
+        vectors, valid, boxes, zoom, qvec, fmax, row_scale, None,
+        shortlist_size=shortlist_size, topk=topk, tile_bound=tile_bound,
+        aug_larger=aug_larger, aug_weight=aug_weight,
+        agg_method=agg_method, max_zoom=max_zoom,
     )
 
 

@@ -169,13 +169,24 @@ class QueryCoalescer:
                     "activations": activations,
                 }
             return
-        res = frame_scoring.query_program_batch(
-            idx._V, idx._valid, idx._boxes, idx._zoom,
-            jnp.asarray(qs), jnp.asarray(masks), idx._row_scale,
-            shortlist_size=shortlist_size, topk=topk_eff,
-            aug_larger=aug_larger, aug_weight=aug_weight,
-            agg_method=agg_method, max_zoom=idx._max_zoom,
-        )
+        if getattr(idx, "_frame_scale", None) is not None:
+            # int8 with per-frame scales: tile max runs in int32 before
+            # dequant — the fastest batch scan (frame_scoring docstring)
+            res = frame_scoring.query_program_batch_framescale(
+                idx._V, idx._valid, idx._boxes, idx._zoom,
+                jnp.asarray(qs), jnp.asarray(masks), idx._frame_scale,
+                shortlist_size=shortlist_size, topk=topk_eff,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=idx._max_zoom,
+            )
+        else:
+            res = frame_scoring.query_program_batch(
+                idx._V, idx._valid, idx._boxes, idx._zoom,
+                jnp.asarray(qs), jnp.asarray(masks), idx._row_scale,
+                shortlist_size=shortlist_size, topk=topk_eff,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=idx._max_zoom,
+            )
         import jax
 
         res = jax.device_get(res)

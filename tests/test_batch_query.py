@@ -67,6 +67,85 @@ def test_batch_equals_serial(device_dtype):
         )
 
 
+def test_batch_framescale_equals_serial():
+    """int8 with PER-FRAME scales: query_program_batch_framescale (int32
+    tile max before dequant — the fastest batch scan on chip) must equal Q
+    solo query_program runs over the same index (whose row_scale is the
+    frame scale expanded per tile)."""
+    V, meta = _db(seed=9)
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype="int8",
+                          int8_scale="frame")
+    assert idx._frame_scale is not None
+    rng = np.random.default_rng(10)
+    Q = 5
+    qs = rng.normal(size=(Q, V.shape[1])).astype(np.float32)
+    excl = np.zeros((Q, meta.n_frames), dtype=bool)
+    for i in range(Q):
+        excl[i, rng.choice(meta.n_frames, size=7, replace=False)] = True
+
+    kw = dict(shortlist_size=20, topk=6, aug_larger="all",
+              aug_weight="level_max", agg_method="avg_score", max_zoom=2)
+    batch = frame_scoring.query_program_batch_framescale(
+        idx._V, idx._valid, idx._boxes, idx._zoom,
+        jnp.asarray(qs), jnp.asarray(excl), idx._frame_scale, **kw,
+    )
+    for i in range(Q):
+        single = frame_scoring.query_program(
+            idx._V, idx._valid, idx._boxes, idx._zoom,
+            jnp.asarray(qs[i]), None, jnp.asarray(excl[i]),
+            idx._row_scale, **kw,
+        )
+        n = int(single.n_valid)
+        assert int(batch.n_valid[i]) == n
+        assert (np.asarray(batch.frame_ids[i])[:n]
+                == np.asarray(single.frame_ids)[:n]).all()
+        np.testing.assert_allclose(
+            np.asarray(batch.frame_scores[i])[:n],
+            np.asarray(single.frame_scores)[:n], rtol=1e-5,
+        )
+
+
+def test_coalescer_uses_framescale_program():
+    """A coalescer over an int8_scale='frame' index batches through the
+    framescale program and still returns exactly the solo results."""
+    import threading
+
+    from seesaw_tpu.web.coalesce import QueryCoalescer
+
+    V, meta = _db(seed=12)
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype="int8",
+                          int8_scale="frame")
+    co = QueryCoalescer(idx, window_ms=25.0, max_batch=8)
+    rng = np.random.default_rng(13)
+    n_threads = 5
+    qs = rng.normal(size=(n_threads, V.shape[1])).astype(np.float32)
+    excludes = [
+        BitMap(rng.choice(meta.frame_dbidx, size=5, replace=False))
+        for _ in range(n_threads)
+    ]
+    results = [None] * n_threads
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = co.query(vector=qs[i], topk=5, shortlist_size=20,
+                                  exclude=excludes[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert co.stats["batched"] > 0
+    for i in range(n_threads):
+        want = idx.query(vector=qs[i], topk=5, shortlist_size=20,
+                         exclude=BitMap(excludes[i].to_array()))
+        assert list(results[i]["dbidxs"]) == list(want["dbidxs"])
+
+
 def test_coalescer_transparent():
     from seesaw_tpu.web.coalesce import QueryCoalescer
 
