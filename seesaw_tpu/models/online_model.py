@@ -226,7 +226,20 @@ class OnlineModel:
     def _train_finetune(self, pre_strings, desc_vecs, string_ids, all_vecs, marked_accepted):
         cfg = self.config
         P0 = jnp.asarray(self.text_projection)
-        tx = optax.adamw(cfg.get("lr", 5e-4), weight_decay=cfg.get("weight_decay", 0.0))
+        warmup = cfg.get("num_warmup_steps", 0)
+        # constant-with-warmup schedule, like the reference's
+        # get_constant_schedule_with_warmup (scaling the whole AdamW update
+        # equals scaling its lr, weight decay included)
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, 1.0, max(warmup, 1)),
+             optax.constant_schedule(1.0)],
+            [max(warmup, 1)],
+        ) if warmup else optax.constant_schedule(1.0)
+        tx = optax.chain(
+            optax.adamw(cfg.get("lr", 5e-4),
+                        weight_decay=cfg.get("weight_decay", 0.0)),
+            optax.scale_by_schedule(sched),
+        )
         opt_state = tx.init(P0)
 
         pre = jnp.asarray(pre_strings.astype(np.float32))

@@ -1014,3 +1014,87 @@ def test_online_model_linear_vs_ref(monkeypatch):
         our_model.score_vecs(probe), ref_model.score_vecs(probe),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_online_model_finetune_vs_ref(monkeypatch):
+    """Finetune mode: only `text_projection` receives gradients in BOTH
+    engines (the reference computes stringvecs under no_grad, so its
+    optimizer groups for other params see zero grads; ours trains the
+    projection by construction). The reference's literal
+    `_update_finetune` + `configure_optimizer`/`add_to_group` run verbatim
+    (the clip_module prefix above its import-bitrotted Lightning class is
+    exec'd directly) with a text_projection-only opt_config; trajectories
+    must match through the warmup-scheduled AdamW."""
+    import torch
+
+    rng = np.random.default_rng(31)
+    sd_np = _mini_sd(rng)
+    _install_clip_stub(sd_np)
+    import transformers
+
+    monkeypatch.setattr(transformers, "AdamW", torch.optim.AdamW, raising=False)
+
+    # literal configure_optimizer/add_to_group: exec the reference module
+    # prefix (everything above `class CLIPFineTunedModel(pl.LightningModule)`
+    # — the class body itself raises NameError on import, see the linear test)
+    import types as _types
+
+    ref._ensure()  # ray/pyroaring stubs must exist before the exec below
+    if "seesaw.models.clip_module" not in sys.modules:
+        _cm = _types.ModuleType("seesaw.models.clip_module")
+        _cm.CLIPFineTunedModel = _cm.CLIPTx = _cm.MappedDataset = object
+        _cm.configure_optimizer = None
+        sys.modules["seesaw.models.clip_module"] = _cm
+    cm_src = Path("/root/reference/seesaw/models/clip_module.py").read_text()
+    # skip the two Lightning classes (pl NameError at class-creation time);
+    # everything else — imports, add_to_group, configure_optimizer — runs
+    # verbatim
+    head = cm_src[: cm_src.index("class MultiModalDataModule")]
+    mid = cm_src[cm_src.index("def add_to_group")
+                 : cm_src.index("class CLIPFineTunedModel")]
+    ns = {}
+    exec(compile(head + mid, "ref_clip_module_prefix", "exec"), ns)
+
+    tb = ref.load("seesaw.textual_feedback_box")
+    # the literal configure_optimizer, rebound where OnlineModel looks it up
+    monkeypatch.setattr(tb, "configure_optimizer", ns["configure_optimizer"])
+    from seesaw_tpu.models.online_model import OnlineModel as OurOnlineModel
+
+    opt_config = {
+        "text_projection": {"lr": 2e-3, "weight_decay": 0.0},
+        "token_embedding": None,
+        "positional_embedding": None,
+        "ln_final": None,
+    }
+    cfg = dict(
+        device="cpu", mode="finetune", rounds=25, num_warmup_steps=4,
+        image_loss_weight=0.35, rank_margin=0.15, label_margin=0.1,
+        opt_config=opt_config, lr=2e-3, weight_decay=0.0,
+    )
+    n, d = 18, _MINI["dout"]
+    imagevecs = rng.normal(size=(n, d)).astype(np.float32)
+    imagevecs /= np.linalg.norm(imagevecs, axis=1, keepdims=True)
+    marked = rng.random(n) < 0.4
+    annotations = np.array(
+        [rng.choice(["a bird", "a blue sky", ""]) if not m else ""
+         for m in marked], dtype=object
+    )
+    target = "a plane"
+
+    ref_model = tb.OnlineModel(
+        {k: torch.from_numpy(v) for k, v in sd_np.items()}, cfg
+    )
+    our_model = OurOnlineModel(_FakeClipEmbedding(sd_np), cfg)
+
+    ref_model.update(imagevecs, marked, annotations, target)
+    our_model.update(imagevecs, marked, annotations, target)
+
+    ref_P = ref_model.model.text_projection.detach().numpy()
+    np.testing.assert_allclose(
+        our_model.text_projection, ref_P, rtol=5e-4, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        our_model.encode_string(target),
+        ref_model.encode_string(target).reshape(-1),
+        rtol=5e-4, atol=5e-6,
+    )
