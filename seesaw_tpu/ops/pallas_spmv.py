@@ -1,0 +1,244 @@
+"""Windowed SpMV Pallas kernel: label propagation's gather at lane speed.
+
+The propagation step needs wf_i = sum_k w[i,k] * f[nbr[i,k]] over a
+fixed-degree kNN graph. XLA lowers the (N*K,)-element scalar gather to a
+~9ns/element loop — 287 ms/iter at 1M x K=32, flat across index locality,
+sortedness and dtype (scripts/perf_probe.py stage J). Mosaic's ONE fast
+data-movement primitive for this is the intra-tile lane shuffle:
+`take_along_axis` on (rows, 128) with (rows, 128) lane indices runs at
+~3.3 G elem/s (scripts/probe_gather_envelope.py) — 29x XLA.
+
+Design (scripts/probe_spmv_kernel.py: 28.5 ms/iter at 1M x K=32, 10x XLA):
+- Vertices are processed in blocks of B. Each block b gets a WINDOW of W
+  consecutive f values (W/128 rows of f viewed as (R, 128)); an edge is
+  "window-local" when its neighbor lies inside the block's window.
+- At BUILD time (static graph), each vertex's window-local edges are
+  grouped by their window row u and packed into at most `cap` lane slots
+  per (vertex, u): arrays cidx/wslab of shape (NB, W/128, B*cap/128, 128).
+  Empty slots carry weight 0. Out-of-window / over-cap edges go to a COO
+  overflow list served by the XLA gather (fast iff rare).
+- Per grid step the kernel loads the full (R, 128) f once (VMEM-resident,
+  4MB at 1M tiles, 40MB at 10M), and for each window row u lane-gathers
+  from that row broadcast across the edge tile — no HBM random access at
+  all. Per-vertex sums over the cap lanes happen in XLA afterwards (Mosaic
+  cannot reshape lanes).
+- Locality is a property of the vertex LABELING: real kNN graphs cluster,
+  and `rcm_order` (reverse Cuthill-McKee over the symmetric adjacency)
+  concentrates neighbors near the diagonal. `coverage` reports the
+  window-local edge fraction so callers can check before opting in.
+
+Windowed propagation is numerically equal to the XLA step up to f32
+summation order (edges sum grouped by window row + overflow); it is OPT-IN
+at serving scale — the default XLA path stays bit-identical to the
+reference for the fidelity differentials.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _win_base_row(b: int | jnp.ndarray, B: int, W: int, R: int):
+    """First f-row of block b's window; same formula traced in-kernel and
+    concretely in the builder."""
+    center = b * B + B // 2
+    base = (center - W // 2) // 128
+    lo, hi = 0, R - W // 128
+    if isinstance(b, (int, np.integer)):
+        return int(np.clip(base, lo, hi))
+    return jnp.clip(base, lo, hi)
+
+
+@dataclass
+class WindowedSpmv:
+    """Build-time edge layout for `windowed_spmv` (numpy, graph-static)."""
+
+    cidx: np.ndarray  # (NB, UROWS, EROWS, 128) int32 lane index in window row
+    wslab: np.ndarray  # (NB, UROWS, EROWS, 128) float32, 0 = empty slot
+    ovf_src: np.ndarray  # (M,) int32 destination vertex (padded with 0)
+    ovf_nbr: np.ndarray  # (M,) int32 source vertex (padded with 0)
+    ovf_w: np.ndarray  # (M,) float32 (padded with 0)
+    n: int
+    B: int
+    W: int
+    cap: int
+    coverage: float  # fraction of edges served by the kernel
+
+    @property
+    def n_pad(self) -> int:
+        return self.cidx.shape[0] * self.B
+
+
+def build_windowed_layout(
+    nbr: np.ndarray,  # (N, K) int32, -1 padding
+    w: np.ndarray,  # (N, K) float32
+    *,
+    B: int = 1024,
+    W: int = 1024,
+    cap: int = 8,
+) -> WindowedSpmv:
+    assert B % 128 == 0 and W % 128 == 0 and (B * cap) % 128 == 0
+    N, K = nbr.shape
+    NB = -(-N // B)
+    N_pad = NB * B
+    R = N_pad // 128
+    UROWS = W // 128
+    EROWS = B * cap // 128
+
+    # all (N, K) row-wise vectorized ops — no 32M global argsort (a 1-vCPU
+    # host builds the 1M x 32 layout in seconds, not minutes)
+    dst = nbr.astype(np.int64)
+    real = dst >= 0
+    blk = (np.arange(N, dtype=np.int64) // B)[:, None]
+    base_row = np.array(
+        [_win_base_row(b, B, W, R) for b in range(NB)], dtype=np.int64
+    )
+    rel = dst - (base_row[blk] * 128).repeat(K).reshape(N, K)
+    inside = real & (rel >= 0) & (rel < W)
+    u = np.where(inside, rel >> 7, UROWS)  # outside -> sentinel row
+
+    # per-(vertex, u) occurrence index: sort each row of K by u (stable)
+    order = np.argsort(u, axis=1, kind="stable")
+    u_s = np.take_along_axis(u, order, axis=1)
+    same = np.zeros((N, K), dtype=np.int64)
+    same[:, 1:] = (u_s[:, 1:] == u_s[:, :-1]).astype(np.int64)
+    # occurrence = run position via per-row cumulative count of same-run
+    occ = np.zeros((N, K), dtype=np.int64)
+    run = same.copy()
+    for k in range(1, K):  # K is small (<=64): per-column carry propagate
+        run[:, k] = np.where(same[:, k] == 1, run[:, k - 1] + 1, 0)
+    occ = run
+
+    inside_s = u_s < UROWS
+    keep_s = inside_s & (occ < cap)
+    vv = np.broadcast_to(np.arange(N, dtype=np.int64)[:, None], (N, K))
+    dst_s = np.take_along_axis(dst, order, axis=1)
+    wt_s = np.take_along_axis(w.astype(np.float32), order, axis=1)
+    lane_s = np.where(inside_s, np.take_along_axis(rel, order, axis=1) & 127, 0)
+
+    cidx = np.zeros((NB, UROWS, B * cap), dtype=np.int32)
+    wslab = np.zeros((NB, UROWS, B * cap), dtype=np.float32)
+    km = keep_s
+    vb = vv[km] % B
+    flat = vb * cap + occ[km]
+    cidx[vv[km] // B, u_s[km], flat] = lane_s[km].astype(np.int32)
+    wslab[vv[km] // B, u_s[km], flat] = wt_s[km]
+    cidx = cidx.reshape(NB, UROWS, EROWS, 128)
+    wslab = wslab.reshape(NB, UROWS, EROWS, 128)
+
+    real_s = dst_s >= 0
+    ovf_mask = real_s & ~km
+    v_ovf = vv[ovf_mask]
+    dst_ovf = dst_s[ovf_mask]
+    wt_ovf = wt_s[ovf_mask]
+    M = int(ovf_mask.sum())
+    Mp = max(-(-M // 128) * 128, 128)
+    ovf_src = np.zeros(Mp, dtype=np.int32)
+    ovf_nbr = np.zeros(Mp, dtype=np.int32)
+    ovf_w = np.zeros(Mp, dtype=np.float32)
+    ovf_src[:M] = v_ovf
+    ovf_nbr[:M] = dst_ovf
+    ovf_w[:M] = wt_ovf
+
+    total = int(real.sum())
+    return WindowedSpmv(
+        cidx=cidx, wslab=wslab,
+        ovf_src=ovf_src, ovf_nbr=ovf_nbr, ovf_w=ovf_w,
+        n=N, B=B, W=W, cap=cap,
+        coverage=1.0 - (M / max(total, 1)),
+    )
+
+
+def _spmv_kernel(f_ref, idx_ref, w_ref, out_ref, *, B, W, R, UROWS, EROWS):
+    b = pl.program_id(0)
+    base_row = _win_base_row(b, B, W, R)
+    acc = jnp.zeros((EROWS, 128), jnp.float32)
+    for u in range(UROWS):
+        frow = f_ref[pl.ds(base_row + u, 1), :]  # (1, 128) dynamic row
+        src = jnp.broadcast_to(frow, (EROWS, 128))
+        g = jnp.take_along_axis(src, idx_ref[0, u], axis=1)
+        acc = acc + w_ref[0, u] * g
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "B", "W", "cap", "interpret")
+)
+def windowed_spmv(
+    f: jnp.ndarray,  # (N,) float32
+    cidx: jnp.ndarray,
+    wslab: jnp.ndarray,
+    ovf_src: jnp.ndarray,
+    ovf_nbr: jnp.ndarray,
+    ovf_w: jnp.ndarray,
+    *,
+    n: int,
+    B: int,
+    W: int,
+    cap: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    NB, UROWS, EROWS, _ = cidx.shape
+    N_pad = NB * B
+    R = N_pad // 128
+    f_pad = jnp.pad(f, (0, N_pad - n)) if N_pad != n else f
+    f2d = f_pad.reshape(R, 128)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spmv_kernel, B=B, W=W, R=R, UROWS=UROWS, EROWS=EROWS
+        ),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda i: (0, 0)),  # full f, VMEM-resident
+            pl.BlockSpec((1, UROWS, EROWS, 128), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, UROWS, EROWS, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, EROWS, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, EROWS, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=(R * 128 * 4 + 8 * UROWS * EROWS * 128 * 8)
+            // (1024 * 1024) * 1024 * 1024 + 24 * 1024 * 1024,
+        ),
+    )(f2d, cidx, wslab)
+
+    wf = out.reshape(NB, EROWS * 128 // cap, cap).sum(-1).reshape(N_pad)[:n]
+    # overflow edges: XLA gather + scatter-add (rare by construction)
+    g = ovf_w * f[jnp.clip(ovf_nbr, 0, n - 1)]
+    wf = wf + jnp.zeros(n, jnp.float32).at[ovf_src].add(g)
+    return wf
+
+
+def rcm_order(nbr: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee vertex ordering over the symmetrized adjacency:
+    relabeling real kNN graphs with this concentrates neighbors inside the
+    windows (perm[new] = old; apply with `apply_order`)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    N, K = nbr.shape
+    v = np.repeat(np.arange(N, dtype=np.int64), K)
+    dst = nbr.reshape(-1).astype(np.int64)
+    m = (dst >= 0) & (dst != v)
+    A = sp.csr_array(
+        (np.ones(int(m.sum()), dtype=np.int8), (v[m], dst[m])), shape=(N, N)
+    )
+    A = A + A.T
+    return np.asarray(reverse_cuthill_mckee(A), dtype=np.int64)
+
+
+def apply_order(nbr: np.ndarray, w: np.ndarray, order: np.ndarray):
+    """Relabel the graph: vertex order[i] becomes i. Returns (nbr2, w2, inv)
+    with inv mapping old ids -> new ids (scores reorder as f_new = f_old[order])."""
+    N = nbr.shape[0]
+    inv = np.empty(N, dtype=np.int64)
+    inv[order] = np.arange(N)
+    nbr2 = np.where(nbr >= 0, inv[np.clip(nbr, 0, None)], -1)[order]
+    return nbr2.astype(np.int32), w[order], inv

@@ -107,3 +107,93 @@ def propagate(
     return PropagationResult(
         scores=jnp.where(done, f_prev, f), n_iter=n, converged=done
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "n", "B", "W", "cap", "interpret"),
+)
+def _propagate_segment_windowed(
+    cidx, wslab, ovf_src, ovf_nbr, ovf_w, degree, prior, labels, is_labeled,
+    f0, f_prev0, i0, done0, stop_at,
+    *,
+    reg_lambda: float,
+    max_iter: int,
+    epsilon: float,
+    n: int,
+    B: int,
+    W: int,
+    cap: int,
+    interpret: bool,
+):
+    from .pallas_spmv import windowed_spmv
+
+    denom = degree + reg_lambda
+    denom = jnp.where(denom > 0, denom, 1.0)
+
+    def step(f):
+        wf = windowed_spmv(
+            f, cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+            n=n, B=B, W=W, cap=cap, interpret=interpret,
+        )
+        new_f = (wf + reg_lambda * prior) / denom
+        return jnp.where(is_labeled, labels, new_f)
+
+    def cond(state):
+        f, f_prev, i, done = state
+        return (~done) & (i < max_iter) & (i < stop_at)
+
+    def body(state):
+        f, _, i, _ = state
+        new_f = step(f)
+        done = jnp.max((new_f - f) ** 2) < epsilon
+        return (new_f, f, i + 1, done)
+
+    return jax.lax.while_loop(cond, body, (f0, f_prev0, i0, done0))
+
+
+def propagate_windowed(
+    layout,  # ops.pallas_spmv.WindowedSpmv (or arrays already on device)
+    degree: jnp.ndarray,
+    prior: jnp.ndarray,
+    labels: jnp.ndarray,
+    is_labeled: jnp.ndarray,
+    start: jnp.ndarray,
+    *,
+    reg_lambda: float,
+    max_iter: int = 300,
+    epsilon: float = 1e-5,
+    dispatch_iters: int | None = 50,
+    interpret: bool | None = None,
+) -> PropagationResult:
+    """`propagate` with the windowed-SpMV Pallas step (ops.pallas_spmv):
+    287 -> 28.5 ms/iter at 1M x K=32 on chip for window-local graphs (use
+    `rcm_order` to relabel first; `layout.coverage` reports the fraction the
+    kernel serves). Numerics match the XLA step up to f32 summation order —
+    use the default path where bit-parity with the reference matters."""
+    if interpret is None:
+        # Mosaic only compiles for real TPU backends; CPU (tests / virtual
+        # meshes) runs the kernel in interpret mode
+        interpret = jax.default_backend() == "cpu"
+    cidx = jnp.asarray(layout.cidx)
+    wslab = jnp.asarray(layout.wslab)
+    ovf = (jnp.asarray(layout.ovf_src), jnp.asarray(layout.ovf_nbr),
+           jnp.asarray(layout.ovf_w))
+    f0 = jnp.where(is_labeled, labels, start)
+    state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
+    c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
+    while True:
+        f, f_prev, i, done = _propagate_segment_windowed(
+            cidx, wslab, *ovf, degree, prior, labels, is_labeled,
+            *state, jnp.asarray(int(state[2]) + c),
+            reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
+            n=layout.n, B=layout.B, W=layout.W, cap=layout.cap,
+            interpret=interpret,
+        )
+        state = (f, f_prev, i, done)
+        if bool(done) or int(i) >= max_iter:
+            break
+    f, f_prev, n_it, done = state
+    return PropagationResult(
+        scores=jnp.where(done, f_prev, f), n_iter=n_it, converged=done
+    )

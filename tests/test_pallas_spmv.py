@@ -1,0 +1,168 @@
+"""Windowed SpMV: layout builder + kernel (interpret) + propagation parity.
+
+The kernel replaces XLA's ~9ns/element scalar gather in the propagation
+step (287 -> 28.5 ms/iter at 1M x K=32 on chip); correctness contract here:
+windowed_spmv == SymmetricWeights.apply == dense einsum, on graphs mixing
+window-local and overflow edges, and windowed propagation matches the XLA
+propagate to f32-summation-order tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seesaw_tpu.ops.pallas_spmv import (
+    WindowedSpmv,
+    apply_order,
+    build_windowed_layout,
+    rcm_order,
+    windowed_spmv,
+)
+
+
+def _graph(n, K, seed=0, local_frac=0.8, spread=300):
+    """Fixed-degree graph: mostly near-diagonal neighbors + some random."""
+    rng = np.random.default_rng(seed)
+    base = np.arange(n)[:, None]
+    local = np.clip(
+        base + rng.integers(-spread, spread + 1, size=(n, K)), 0, n - 1
+    )
+    rand = rng.integers(0, n, size=(n, K))
+    nbr = np.where(rng.random((n, K)) < local_frac, local, rand).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    # some padding slots
+    nbr[7, 3:] = -1
+    w[nbr < 0] = 0.0
+    return nbr, w
+
+
+def _dense_spmv(nbr, w, f):
+    vals = np.where(nbr >= 0, f[np.clip(nbr, 0, None)], 0.0)
+    return (w * vals).sum(axis=1)
+
+
+@pytest.mark.parametrize("n,K,B,W,cap", [
+    (2000, 6, 256, 512, 4),
+    (1500, 8, 128, 256, 8),
+])
+def test_windowed_spmv_matches_dense(n, K, B, W, cap):
+    nbr, w = _graph(n, K, spread=W // 4)
+    layout = build_windowed_layout(nbr, w, B=B, W=W, cap=cap)
+    assert 0.3 < layout.coverage <= 1.0
+
+    rng = np.random.default_rng(1)
+    f = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+    got = np.asarray(windowed_spmv(
+        jnp.asarray(f), jnp.asarray(layout.cidx), jnp.asarray(layout.wslab),
+        jnp.asarray(layout.ovf_src), jnp.asarray(layout.ovf_nbr),
+        jnp.asarray(layout.ovf_w),
+        n=layout.n, B=layout.B, W=layout.W, cap=layout.cap, interpret=True,
+    ))
+    want = _dense_spmv(nbr, w, f)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_all_overflow_degenerate():
+    """A graph with zero window locality still computes correctly (pure
+    fallback path)."""
+    rng = np.random.default_rng(3)
+    n, K = 600, 4
+    nbr = rng.integers(0, n, size=(n, K)).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    layout = build_windowed_layout(nbr, w, B=128, W=128, cap=4)
+    f = rng.uniform(size=n).astype(np.float32)
+    got = np.asarray(windowed_spmv(
+        jnp.asarray(f), jnp.asarray(layout.cidx), jnp.asarray(layout.wslab),
+        jnp.asarray(layout.ovf_src), jnp.asarray(layout.ovf_nbr),
+        jnp.asarray(layout.ovf_w),
+        n=layout.n, B=layout.B, W=layout.W, cap=layout.cap, interpret=True,
+    ))
+    np.testing.assert_allclose(got, _dense_spmv(nbr, w, f), rtol=2e-6, atol=2e-6)
+
+
+def test_rcm_order_improves_locality():
+    """A clustered kNN graph under a scrambled labeling has poor window
+    coverage; RCM relabeling recovers it."""
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+
+    rng = np.random.default_rng(5)
+    n, d = 1500, 16
+    centers = rng.normal(size=(30, d))
+    which = rng.integers(0, 30, size=n)
+    V = centers[which] + 0.15 * rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    perm = rng.permutation(n)  # scrambled ingest order
+    V = V[perm].astype(np.float32)
+
+    g = KNNGraph.build(V, 6)
+    sw = symmetrize_weights(g, rbf_kernel(0.5))
+    before = build_windowed_layout(sw.nbr, sw.w, B=256, W=512, cap=8).coverage
+
+    order = rcm_order(sw.nbr)
+    nbr2, w2, inv = apply_order(sw.nbr, sw.w, order)
+    after = build_windowed_layout(nbr2, w2, B=256, W=512, cap=8).coverage
+    assert after > before + 0.2, (before, after)
+    assert after > 0.8, after
+
+    # relabeled SpMV == original SpMV permuted
+    f = rng.uniform(size=n).astype(np.float32)
+    got = _dense_spmv(nbr2, w2, f[order])
+    want = _dense_spmv(sw.nbr, sw.w, f)[order]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_windowed_propagation_matches_xla():
+    from seesaw_tpu.ops.propagation import propagate, propagate_windowed
+
+    n, K = 1200, 6
+    nbr, w = _graph(n, K, seed=9, spread=100)
+    layout = build_windowed_layout(nbr, w, B=128, W=512, cap=8)
+    degree = w.sum(axis=1)
+    rng = np.random.default_rng(2)
+    prior = rng.uniform(0.01, 0.99, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:8] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:16] = True
+
+    args = dict(reg_lambda=1.0, max_iter=300, epsilon=1e-7)
+    ref = propagate(
+        jnp.asarray(nbr), jnp.asarray(w), jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), **args,
+    )
+    got = propagate_windowed(
+        layout, jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), interpret=True, **args,
+    )
+    # equal up to f32 summation order inside the step
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
+    assert abs(int(got.n_iter) - int(ref.n_iter)) <= 1
+
+
+def test_label_propagation_windowed_layout_option():
+    """LabelPropagation(windowed_layout=...) serves fit_transform through
+    the kernel step and matches the default XLA path."""
+    from seesaw_tpu.knn_graph import SymmetricWeights
+    from seesaw_tpu.label_propagation import LabelPropagation
+
+    n, K = 900, 6
+    nbr, w = _graph(n, K, seed=4, spread=80)
+    sw = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
+    layout = build_windowed_layout(nbr, w, B=128, W=512, cap=8)
+
+    rng = np.random.default_rng(7)
+    prior = rng.uniform(0.05, 0.95, size=n).astype(np.float32)
+    ids = np.array([3, 50, 200])
+    vals = np.array([1.0, 0.0, 1.0])
+
+    got = LabelPropagation(
+        sw, reg_lambda=1.0, windowed_layout=layout
+    ).fit_transform(label_ids=ids, label_values=vals, reg_values=prior)
+    want = LabelPropagation(sw, reg_lambda=1.0).fit_transform(
+        label_ids=ids, label_values=vals, reg_values=prior
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
