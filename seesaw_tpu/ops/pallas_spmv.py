@@ -74,6 +74,21 @@ class WindowedSpmv:
     def n_pad(self) -> int:
         return self.cidx.shape[0] * self.B
 
+    def device_arrays(self):
+        """Device-resident (cidx, wslab, ovf_src, ovf_nbr, ovf_w), uploaded
+        ONCE and cached — the slabs are ~0.5GB at 1M x K=32 and the serving
+        loop calls propagation every round (re-uploading per call costs ~20s
+        through a dev tunnel and dwarfs the iteration time)."""
+        dev = getattr(self, "_device_arrays", None)
+        if dev is None:
+            dev = tuple(
+                jnp.asarray(x)
+                for x in (self.cidx, self.wslab, self.ovf_src,
+                          self.ovf_nbr, self.ovf_w)
+            )
+            object.__setattr__(self, "_device_arrays", dev)
+        return dev
+
 
 def build_windowed_layout(
     nbr: np.ndarray,  # (N, K) int32, -1 padding

@@ -175,10 +175,9 @@ def propagate_windowed(
         # Mosaic only compiles for real TPU backends; CPU (tests / virtual
         # meshes) runs the kernel in interpret mode
         interpret = jax.default_backend() == "cpu"
-    cidx = jnp.asarray(layout.cidx)
-    wslab = jnp.asarray(layout.wslab)
-    ovf = (jnp.asarray(layout.ovf_src), jnp.asarray(layout.ovf_nbr),
-           jnp.asarray(layout.ovf_w))
+    # uploaded once per layout and cached — per-call uploads of the ~0.5GB
+    # slabs would dominate every serving round through a slow link
+    cidx, wslab, *ovf = layout.device_arrays()
     f0 = jnp.where(is_labeled, labels, start)
     state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
     c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
