@@ -904,51 +904,75 @@ def bench_graph_session(n_tiles: int = 1_000_000, rounds: int = 10) -> dict:
         vectors=V[order], meta=meta, device_dtype="bfloat16", use_pallas=False
     )
 
+    # graph edges: window-local (the post-RCM regime of a real kNN graph,
+    # see ops.pallas_spmv) so both propagation formulations can be timed
     K = 32
-    nbr = rng.integers(0, n_tiles, size=(n_tiles, K), dtype=np.int32)
+    base_v = np.arange(n_tiles)[:, None]
+    local = np.clip(
+        base_v + rng.integers(-400, 401, size=(n_tiles, K)), 0, n_tiles - 1
+    )
+    rand_nbr = rng.integers(0, n_tiles, size=(n_tiles, K))
+    nbr = np.where(
+        rng.random((n_tiles, K)) < 0.97, local, rand_nbr
+    ).astype(np.int32)
     w = rng.uniform(0.1, 1.0, size=(n_tiles, K)).astype(np.float32)
     weights = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
-    ranker = LabelPropagationRanker2(
-        weights=weights, normalize_scores=True, normalize_epsilon=0.1,
+
+    def drive(ranker, label):
+        qvec = rng.normal(size=d).astype(np.float32)
+        ranker.set_base_scores(idx.score(qvec / np.linalg.norm(qvec)))
+        returned = BitMap()
+        round_ms = []
+        batch = 3
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            res = idx.rank_by_scores(
+                ranker.current_scores_any(), topk=batch,
+                shortlist_size=SHORTLIST,
+                exclude=returned, agg_method="avg_score", aug_larger="all",
+            )
+            got = list(res["dbidxs"])
+            returned.update(got)
+            # user labels the batch -> the ranker re-propagates on device
+            rows = []
+            for dbx in got:
+                f = int(np.searchsorted(meta.frame_dbidx, dbx))
+                rows.append(int(meta.frame_starts[f]))
+            labels = (rng.random(len(rows)) < 0.3).astype(np.float64)
+            ranker.update(np.asarray(rows), labels)
+            _ = float(ranker.current_scores_any()[rows[0]])  # fetch barrier
+            if r > 0:  # round 0 pays compilation
+                round_ms.append((time.perf_counter() - t0) * 1000)
+        flat = sorted(int(x) for x in returned)
+        assert len(flat) == len(set(flat)) == rounds * batch
+        return {
+            f"p50_session_round_ms_knnprop2_1M{label}": round(
+                float(np.percentile(round_ms, 50)), 2
+            ),
+        }
+
+    ranker_opts = dict(
+        normalize_scores=True, normalize_epsilon=0.1,
         sigmoid_before_propagate=True, calib_a=10.0, calib_b=-5.0,
         prior_weight=1.0,
     )
-    qvec = rng.normal(size=d).astype(np.float32)
-    ranker.set_base_scores(idx.score(qvec / np.linalg.norm(qvec)))
+    out = drive(LabelPropagationRanker2(weights=weights, **ranker_opts), "")
 
-    returned = BitMap()
-    round_ms = []
-    batch = 3
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        res = idx.rank_by_scores(
-            ranker.current_scores_any(), topk=batch, shortlist_size=SHORTLIST,
-            exclude=returned, agg_method="avg_score", aug_larger="all",
-        )
-        got = list(res["dbidxs"])
-        returned.update(got)
-        # user labels the batch -> the ranker re-propagates on device
-        rows = []
-        for dbx in got:
-            f = int(np.searchsorted(meta.frame_dbidx, dbx))
-            rows.append(int(meta.frame_starts[f]))
-        labels = (rng.random(len(rows)) < 0.3).astype(np.float64)
-        ranker.update(np.asarray(rows), labels)
-        _ = float(ranker.current_scores_any()[rows[0]])  # scalar-fetch barrier
-        if r > 0:  # round 0 pays compilation
-            round_ms.append((time.perf_counter() - t0) * 1000)
-    flat = sorted(int(x) for x in returned)
-    assert len(flat) == len(set(flat)) == rounds * batch
-    del idx, weights, ranker
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout
+
+    layout = build_windowed_layout(nbr, w, B=1024, W=2048, cap=8)
+    out.update(drive(
+        LabelPropagationRanker2(
+            weights=weights, windowed_layout=layout, **ranker_opts
+        ),
+        "_windowed",
+    ))
+    out["knnprop2_rounds_measured"] = rounds - 1
+    del idx, weights, layout
     import gc
 
     gc.collect()
-    return {
-        "p50_session_round_ms_knnprop2_1M": round(
-            float(np.percentile(round_ms, 50)), 2
-        ),
-        "knnprop2_rounds_measured": len(round_ms),
-    }
+    return out
 
 
 def _progress(msg):
@@ -1166,9 +1190,9 @@ def _main():
     _stage("ingest", 180, bench_ingest, skip_env="SEESAW_BENCH_SKIP_INGEST")
 
     # graph path at scale (VERDICT r3 missing #4)
-    _stage("propagation", 120, bench_propagation,
+    _stage("propagation", 300, bench_propagation,
            skip_env="SEESAW_BENCH_SKIP_GRAPH")
-    _stage("graph_session", 180, bench_graph_session,
+    _stage("graph_session", 300, bench_graph_session,
            skip_env="SEESAW_BENCH_SKIP_GRAPH")
 
     _stage("recall_1M", 120, bench_int8_recall,

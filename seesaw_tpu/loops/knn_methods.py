@@ -175,11 +175,15 @@ class BaseLabelPropagationRanker:
 
 
 class LabelPropagationRanker2(BaseLabelPropagationRanker):
-    def __init__(self, *, weights: SymmetricWeights, verbose: int = 0, **other):
+    def __init__(self, *, weights: SymmetricWeights, verbose: int = 0,
+                 windowed_layout=None, **other):
         super().__init__(nvecs=weights.nvecs, **other)
         self.weights = weights
+        # windowed_layout: ops.pallas_spmv.WindowedSpmv for the serving-scale
+        # lane-shuffle propagation step (pass after rcm_order relabeling)
         self.lp = LabelPropagation(
-            weights, reg_lambda=self.prior_weight, max_iter=300, verbose=verbose
+            weights, reg_lambda=self.prior_weight, max_iter=300,
+            verbose=verbose, windowed_layout=windowed_layout,
         )
 
     def _propagate(self, scores: np.ndarray) -> np.ndarray:
