@@ -592,7 +592,8 @@ def bench_refine(d: int = 512, n_labeled: int = 512) -> dict:
             "refine_n_labeled": n_labeled}
 
 
-def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> dict:
+def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512,
+                      trials: int = 20) -> dict:
     """On-chip shortlist-recall study: fraction of the exact f32 top-10
     contained in the int8 top-50 shortlist, CLIP-like vectors — per-ROW
     scales and per-FRAME scales (the batch-serving quantization) both."""
@@ -632,7 +633,6 @@ def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512) -> dict:
         return exact, quant, quant_f
 
     hits = hits_f = 0
-    trials = 20
     for t in range(trials):
         q = 0.6 * centers[t] + 0.3 * rng.normal(size=d)
         exact, quant, quant_f = tops(
@@ -764,16 +764,16 @@ def bench_propagation(n_tiles: int = 1_000_000, K: int = 32) -> dict:
         return dt, int(res.n_iter)
 
     # compile both variants
-    run(0.0, 50, jax.random.PRNGKey(100))
+    run(0.0, 25, jax.random.PRNGKey(100))
     run(1e-5, 300, jax.random.PRNGKey(101))
 
-    # per-iteration device cost from fixed 50-iter runs (XLA's (N,K) scalar
+    # per-iteration device cost from fixed 25-iter runs (XLA's (N,K) scalar
     # gather is the known bottleneck: ~282 ms/iter at 1M, flat across
     # locality/sortedness/dtype — scripts/perf_probe.py stage J)
-    fixed = [run(0.0, 50, jax.random.PRNGKey(200 + i))[0] for i in range(2)]
+    fixed = [run(0.0, 25, jax.random.PRNGKey(200 + i))[0] for i in range(2)]
     conv = [run(1e-5, 300, jax.random.PRNGKey(300 + i)) for i in range(3)]
     out = {
-        "propagation_ms_per_iter_1M": round(float(min(fixed)) / 50.0, 2),
+        "propagation_ms_per_iter_1M": round(float(min(fixed)) / 25.0, 2),
         "p50_propagation_ms_1M": round(
             float(np.percentile([c[0] for c in conv], 50)), 2
         ),
@@ -856,7 +856,7 @@ def _bench_propagation_windowed(n_tiles: int, K: int) -> dict:
     return out
 
 
-def bench_graph_session(n_tiles: int = 1_000_000, rounds: int = 10) -> dict:
+def bench_graph_session(n_tiles: int = 1_000_000, rounds: int = 8) -> dict:
     """KnnProp2 serving round at 1M tiles through the REAL loop pieces:
     LabelPropagationRanker2.update (device Jacobi propagation, scores stay
     device-resident via device_out) -> index.rank_by_scores (device ranking
@@ -1195,12 +1195,12 @@ def _main():
     _stage("graph_session", 300, bench_graph_session,
            skip_env="SEESAW_BENCH_SKIP_GRAPH")
 
-    _stage("recall_1M", 120, bench_int8_recall,
-           skip_env="SEESAW_BENCH_SKIP_RECALL")
-    # 10M sweep: one generated database, 8 trials, budget-guarded (r3's
-    # budget-eater — VERDICT r3 next #4)
-    _stage("recall_10M", 300,
+    # 10M sweep first (the headline-scale claim): one generated database,
+    # 8 trials — ~30s warm, ~120s cold (r3's budget-eater tamed)
+    _stage("recall_10M", 150,
            lambda: bench_int8_recall_at_scale(n_vectors, trials=8),
+           skip_env="SEESAW_BENCH_SKIP_RECALL")
+    _stage("recall_1M", 150, lambda: bench_int8_recall(trials=12),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
 
     # transfer-free ingest bound for an attached v5e-8 host: encode is the
