@@ -71,7 +71,19 @@ def get_weights_from_index(idx, weight_matrix_options: dict, xlx_matrix: bool = 
 def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
     weights = get_weights_from_index(q.index, label_prop_params["matrix_options"])
     kwargs = {k: v for k, v in label_prop_params.items() if k != "matrix_options"}
-    return LabelPropagationRanker2(weights=weights, **kwargs)
+    layout = None
+    if kwargs.pop("windowed", False):
+        # serving-scale lane-shuffle propagation (ops.pallas_spmv). The
+        # layout is built on the index's OWN vector order — multiscale
+        # graphs have natural window locality (a tile's kNN neighbors are
+        # often sibling tiles of the same/adjacent frames); the layout's
+        # coverage field quantifies it, and out-of-window edges fall back
+        # to the exact XLA gather, so results stay correct regardless.
+        from ..ops.pallas_spmv import build_windowed_layout
+
+        layout = build_windowed_layout(weights.nbr, weights.w)
+    return LabelPropagationRanker2(weights=weights, windowed_layout=layout,
+                                   **kwargs)
 
 
 class KnnProp2(LoopBase):

@@ -102,6 +102,7 @@ def build_windowed_layout(
     N, K = nbr.shape
     NB = -(-N // B)
     N_pad = NB * B
+    W = min(W, N_pad)  # small graphs: the window cannot exceed the array
     R = N_pad // 128
     UROWS = W // 128
     EROWS = B * cap // 128

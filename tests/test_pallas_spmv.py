@@ -166,3 +166,66 @@ def test_label_propagation_windowed_layout_option():
         label_ids=ids, label_values=vals, reg_values=prior
     )
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_knnprop2_session_windowed_option(tmp_path):
+    """interactive_options.windowed=True routes KnnProp2's propagation
+    through the lane-shuffle kernel; the session returns the same images as
+    the default XLA path (same math up to f32 summation order)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from synth import build_synthetic_root, QSTR
+
+    from seesaw_tpu.basic_types import IndexSpec, SessionParams
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.knn_graph import KNNGraph
+    from seesaw_tpu.session import make_session
+
+    root = tmp_path / "root"
+    build_synthetic_root(str(root), dataset_name="winprop")
+    gdm = GlobalDataManager(str(root))
+    ds = gdm.get_dataset("winprop")
+    idx = ds.load_index("multiscale", options={})
+    KNNGraph.build(idx.vectors, n_neighbors=5).save(
+        Path(idx.get_knng_path(name="subset_win"))
+    )
+
+    def run(windowed):
+        opts = dict(
+            matrix_options=dict(
+                knn_path="subset_win", knn_k=5, edist=0.3,
+                self_edges=False, normalized_weights=False, symmetric=True,
+            ),
+            normalize_scores=True, normalize_epsilon=0.1,
+            sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+            prior_weight=1.0,
+        )
+        if windowed:
+            opts["windowed"] = True
+        p = SessionParams(
+            index_spec=IndexSpec(d_name="winprop", i_name="multiscale"),
+            interactive="knn_prop2", batch_size=3, shortlist_size=20,
+            interactive_options=opts,
+        )
+        s = make_session(gdm, p)["session"]
+        s.set_text(QSTR)
+        seen = []
+        for r in range(4):
+            batch = [int(i) for i in s.next()]
+            seen.extend(batch)
+            state = s.get_state()
+            from seesaw_tpu.basic_types import Box
+
+            for j, imdata in enumerate(state.gdata[-1]):
+                if j == 0:
+                    imdata.boxes = [Box(x1=0.0, y1=0.0, x2=100.0, y2=100.0,
+                                        marked_accepted=True)]
+                else:
+                    imdata.boxes = []
+            s.update_state(state)
+            s.refine()
+        return seen
+
+    assert run(True) == run(False)
