@@ -15,6 +15,7 @@ translated to a frame mask via the native bitmap's vectorized membership.
 """
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 from typing import Optional
@@ -103,6 +104,60 @@ def match_labels_to_vectors(
 
     ys = (max_iou > 0).astype(np.float32)
     return rows, meta.dbidx[rows], ys, max_iou
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "use_pallas", "tile_bound", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom", "interpret",
+    ),
+)
+def _rocchio_query_incr(
+    V, valid, boxes, zoom, row_scale,
+    q0, pos_rows, neg_rows,  # padded-layout row ids, -1 padded
+    mask, new_ids, alpha, beta, gamma,
+    *,
+    use_pallas: bool,
+    tile_bound: int,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+    interpret: bool,
+):
+    """Class-mean gather + Rocchio update + full incremental query in ONE
+    program. Returns (QueryResult, new exclusion mask, resolved qvec)."""
+
+    def class_mean(rows):
+        ok = rows >= 0
+        safe = jnp.clip(rows, 0, None)
+        vecs = V[safe].astype(jnp.float32)
+        if row_scale is not None:  # int8: dequantize before summing
+            vecs = vecs * row_scale[safe][:, None]
+        vecs = vecs * ok[:, None]
+        return vecs.sum(axis=0) / jnp.maximum(ok.sum(), 1)
+
+    q = alpha * q0 + beta * class_mean(pos_rows) - gamma * class_mean(neg_rows)
+    if use_pallas:
+        from ..ops.pallas_scoring import query_program_fused_incr
+
+        res, new_mask = query_program_fused_incr(
+            V, valid, boxes, zoom, q, mask, new_ids, row_scale,
+            shortlist_size=shortlist_size, topk=topk, tile_bound=tile_bound,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=max_zoom, interpret=interpret,
+        )
+    else:
+        res, new_mask = frame_scoring.query_program_incr(
+            V, valid, boxes, zoom, q, None, mask, new_ids, row_scale,
+            shortlist_size=shortlist_size, topk=topk,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=max_zoom,
+        )
+    return res, new_mask, q
 
 
 class MultiscaleIndex(AccessMethod):
@@ -460,6 +515,12 @@ class MultiscaleIndex(AccessMethod):
                 self._excl_prev = prev_copy
                 self._excl_dev = new_mask
 
+    @property
+    def supports_deferred_query(self) -> bool:
+        """One-dispatch refine+query fusion (DeferredRocchio): available on
+        single-chip device-resident matrices."""
+        return self._V is not None and self._sharded is None
+
     def query(
         self,
         *,
@@ -479,6 +540,17 @@ class MultiscaleIndex(AccessMethod):
             shortlist_size = max(topk * 5, shortlist_size or 0)
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
+
+        if isinstance(vector, frame_scoring.DeferredRocchio):
+            if not self.supports_deferred_query:
+                vector = vector.materialize(self)
+            else:
+                assert vector2 is None
+                return self._query_rocchio(
+                    vector, topk_eff=topk_eff, shortlist_size=shortlist_size,
+                    exclude=exclude, agg_method=agg_method,
+                    aug_larger=aug_larger, aug_weight=aug_weight,
+                )
 
         if self._sharded is not None:
             from ..parallel.sharded_index import sharded_query_topk
@@ -536,6 +608,49 @@ class MultiscaleIndex(AccessMethod):
             )
         self._commit_exclusion(token, new_mask)
         return self._format_result(res)
+
+    def _query_rocchio(
+        self,
+        dv: "frame_scoring.DeferredRocchio",
+        *,
+        topk_eff: int,
+        shortlist_size: int,
+        exclude: Optional[BitMap],
+        agg_method: str,
+        aug_larger: str,
+        aug_weight: str,
+    ) -> dict:
+        """ONE-dispatch feedback round: class-mean gather + Rocchio update +
+        full query program fused into a single device program (the default
+        path dispatches the class sums and the query separately)."""
+        mask, new_ids, token = self._device_exclusion(exclude)
+
+        def pad_rows(r):
+            pr = (self.padded_row_ids(r) if r.size
+                  else np.empty(0, np.int32))
+            # pow2 buckets bound recompiles to log2(max labels) programs
+            B = max(16, 1 << int(np.ceil(np.log2(max(pr.size, 1)))))
+            out = np.full(B, -1, np.int32)
+            out[: pr.size] = pr
+            return jnp.asarray(out)
+
+        res, new_mask, q = _rocchio_query_incr(
+            self._V, self._valid, self._boxes, self._zoom, self._row_scale,
+            jnp.asarray(dv.q0), pad_rows(dv.pos_rows), pad_rows(dv.neg_rows),
+            mask, new_ids,
+            np.float32(dv.alpha), np.float32(dv.beta), np.float32(dv.gamma),
+            use_pallas=bool(self._use_pallas and self._V.dtype != jnp.int8),
+            tile_bound=self._tile_bound,
+            shortlist_size=shortlist_size, topk=topk_eff,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=self._max_zoom,
+            interpret=_pallas_interpret(),
+        )
+        self._commit_exclusion(token, new_mask)
+        res, q = jax.device_get((res, q))  # one transfer
+        out = self._format_result(res)
+        out["qvec"] = np.asarray(q, np.float32)
+        return out
 
     def rank_by_scores(
         self,

@@ -22,6 +22,22 @@ class PointBased(LoopBase):
 
     def next_batch(self):
         assert self.curr_vec is not None
+        from ..ops.frame_scoring import DeferredRocchio
+
+        if isinstance(self.curr_vec, DeferredRocchio):
+            res = self.q.query_stateful(
+                vector=self.curr_vec,
+                batch_size=self.params.batch_size,
+                shortlist_size=self.params.shortlist_size,
+                agg_method=self.params.agg_method,
+                aug_larger=self.params.aug_larger,
+                aug_weight=self.params.aug_weight or "level_max",
+            )
+            # the device-resolved vector rides back in the same fetch so
+            # host consumers (state/save) still see a concrete vector
+            if "qvec" in res:
+                self.curr_vec = res.pop("qvec")
+            return res
         return self._next_batch_curr_vec(np.asarray(self.curr_vec).reshape(-1))
 
     def refine(self, change=None):
@@ -90,9 +106,20 @@ class RocchioUpdate(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys = xy["rows"], xy["ys"]
+        pos_rows, neg_rows = rows[ys > 0], rows[ys == 0]
+        if getattr(self.index, "supports_deferred_query", False):
+            # ONE device dispatch per round: the class-mean gather + Rocchio
+            # update fuse into the next query program
+            # (ops.frame_scoring.DeferredRocchio)
+            from ..ops.frame_scoring import DeferredRocchio
+
+            self.curr_vec = DeferredRocchio(
+                self.curr_qvec, pos_rows, neg_rows,
+                self.alpha, self.beta, self.gamma,
+            )
+            return
         # class sums reduce ON the index (one tiny dispatch on device-only
         # indexes) instead of fetching the whole labeled matrix
-        pos_rows, neg_rows = rows[ys > 0], rows[ys == 0]
         sums = self.index.sum_vectors_for_rows([pos_rows, neg_rows])
         mean_rel = sums[0] / max(pos_rows.shape[0], 1)
         mean_nrel = sums[1] / max(neg_rows.shape[0], 1)

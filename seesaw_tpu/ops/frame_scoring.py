@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -jnp.inf
 
@@ -156,6 +157,37 @@ def scoring_matvec(
         "passing it with a float matrix would be silently ignored"
     )
     return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
+
+
+class DeferredRocchio:
+    """Deferred Rocchio query vector: q = alpha*q0 + beta*mean(pos rows) -
+    gamma*mean(neg rows), resolved ON DEVICE inside the same dispatch as
+    the query itself (MultiscaleIndex._query_rocchio) — a feedback round
+    then costs ONE device dispatch instead of two (class-sum gather +
+    query), which matters wherever dispatch latency is non-trivial
+    (the reference pays a full scatter/gather round per refine,
+    `rocchio_update.py:19-44`). Indexes that cannot fuse (sharded, host
+    mirrors, other AccessMethods) materialize via `materialize(index)` —
+    identical math through `sum_vectors_for_rows`."""
+
+    __slots__ = ("q0", "pos_rows", "neg_rows", "alpha", "beta", "gamma")
+
+    def __init__(self, q0, pos_rows, neg_rows, alpha, beta, gamma):
+        self.q0 = np.asarray(q0, np.float32).reshape(-1)
+        self.pos_rows = np.asarray(pos_rows, np.int64).reshape(-1)
+        self.neg_rows = np.asarray(neg_rows, np.int64).reshape(-1)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.gamma = float(gamma)
+
+    def materialize(self, index) -> np.ndarray:
+        sums = index.sum_vectors_for_rows([self.pos_rows, self.neg_rows])
+        mean_rel = sums[0] / max(self.pos_rows.shape[0], 1)
+        mean_nrel = sums[1] / max(self.neg_rows.shape[0], 1)
+        return (
+            self.alpha * self.q0 + self.beta * mean_rel
+            - self.gamma * mean_nrel
+        ).astype(np.float32)
 
 
 def scoring_matmat(

@@ -67,8 +67,12 @@ class QueryCoalescer:
         # rescore_method exist and both are no-ops, but a future meaningful
         # kwarg must never silently diverge between solo and batched runs)
         extra = {k for k in kwargs if k not in ("force_exact", "rescore_method")}
-        if vector2 is not None or extra:
-            # discount queries and unknown-kwarg requests take the solo path
+        if (
+            vector2 is not None or extra
+            or isinstance(vector, frame_scoring.DeferredRocchio)
+        ):
+            # discount queries, unknown-kwarg requests and deferred
+            # (device-fused) vectors take the solo path
             return idx.query(
                 vector=vector, vector2=vector2, topk=topk,
                 shortlist_size=shortlist_size, exclude=exclude,
