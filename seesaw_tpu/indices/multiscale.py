@@ -628,8 +628,9 @@ class MultiscaleIndex(AccessMethod):
         def pad_rows(r):
             pr = (self.padded_row_ids(r) if r.size
                   else np.empty(0, np.int32))
-            # pow2 buckets bound recompiles to log2(max labels) programs
-            B = max(16, 1 << int(np.ceil(np.log2(max(pr.size, 1)))))
+            # pow2 buckets bound recompiles to log2(max labels) programs;
+            # min 64 covers ~20 feedback rounds before the first regrowth
+            B = max(64, 1 << int(np.ceil(np.log2(max(pr.size, 1)))))
             out = np.full(B, -1, np.int32)
             out[: pr.size] = pr
             return jnp.asarray(out)
