@@ -507,7 +507,8 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
             session.update_state(state)
             session.refine()
             t_end = time.perf_counter()
-            if r > 0:  # round 0 pays one-time compilation
+            if r > 1:  # rounds 0-1 pay one-time compilation (the plain
+                # query and the fused refine+query program)
                 next_ms.append((t_next - t0) * 1000)
                 round_ms.append((t_end - t0) * 1000)
             assert len(dbidxs) == 3
