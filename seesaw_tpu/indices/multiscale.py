@@ -141,23 +141,86 @@ def _rocchio_query_incr(
         return vecs.sum(axis=0) / jnp.maximum(ok.sum(), 1)
 
     q = alpha * q0 + beta * class_mean(pos_rows) - gamma * class_mean(neg_rows)
+    res, new_mask = _query_incr_dispatch(
+        V, valid, boxes, zoom, row_scale, q, mask, new_ids,
+        use_pallas=use_pallas, tile_bound=tile_bound,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+        interpret=interpret,
+    )
+    return res, new_mask, q
+
+
+def _query_incr_dispatch(
+    V, valid, boxes, zoom, row_scale, q, mask, new_ids, *,
+    use_pallas, tile_bound, shortlist_size, topk,
+    aug_larger, aug_weight, agg_method, max_zoom, interpret,
+):
+    """Incremental query tail shared by the deferred-vector programs."""
     if use_pallas:
         from ..ops.pallas_scoring import query_program_fused_incr
 
-        res, new_mask = query_program_fused_incr(
+        return query_program_fused_incr(
             V, valid, boxes, zoom, q, mask, new_ids, row_scale,
             shortlist_size=shortlist_size, topk=topk, tile_bound=tile_bound,
             aug_larger=aug_larger, aug_weight=aug_weight,
             agg_method=agg_method, max_zoom=max_zoom, interpret=interpret,
         )
-    else:
-        res, new_mask = frame_scoring.query_program_incr(
-            V, valid, boxes, zoom, q, None, mask, new_ids, row_scale,
-            shortlist_size=shortlist_size, topk=topk,
-            aug_larger=aug_larger, aug_weight=aug_weight,
-            agg_method=agg_method, max_zoom=max_zoom,
-        )
-    return res, new_mask, q
+    return frame_scoring.query_program_incr(
+        V, valid, boxes, zoom, q, None, mask, new_ids, row_scale,
+        shortlist_size=shortlist_size, topk=topk,
+        aug_larger=aug_larger, aug_weight=aug_weight,
+        agg_method=agg_method, max_zoom=max_zoom,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fit_intercept", "max_iter", "has_anchor", "center",
+        "use_pallas", "tile_bound", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom", "interpret",
+    ),
+)
+def _logistic_query_incr(
+    V, valid, boxes, zoom, row_scale,
+    prows, lvalid, y, sw, n_real, pos_weight, reg_weight, anchor, params0,
+    mask, new_ids,
+    *,
+    fit_intercept: bool,
+    max_iter: int,
+    has_anchor: bool,
+    center: bool,
+    use_pallas: bool,
+    tile_bound: int,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+    interpret: bool,
+):
+    """Labeled-row gather + centering + LBFGS logistic fit + the full
+    incremental query over the fitted coefficient, in ONE device program
+    (LogReg2's feedback round = one dispatch)."""
+    from ..learners.logistic_regression import _fit_ce_rows
+
+    params, f, diverged, mu = _fit_ce_rows(
+        V, row_scale, prows, lvalid, y, sw, n_real, pos_weight, reg_weight,
+        anchor, params0,
+        fit_intercept=fit_intercept, max_iter=max_iter,
+        has_anchor=has_anchor, center=center,
+    )
+    q = params[:-1]
+    res, new_mask = _query_incr_dispatch(
+        V, valid, boxes, zoom, row_scale, q, mask, new_ids,
+        use_pallas=use_pallas, tile_bound=tile_bound,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+        interpret=interpret,
+    )
+    return res, new_mask, params, mu, f, diverged
 
 
 class MultiscaleIndex(AccessMethod):
@@ -541,12 +604,17 @@ class MultiscaleIndex(AccessMethod):
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
 
-        if isinstance(vector, frame_scoring.DeferredRocchio):
+        if isinstance(vector, frame_scoring.DeferredVector):
             if not self.supports_deferred_query:
                 vector = vector.materialize(self)
             else:
                 assert vector2 is None
-                return self._query_rocchio(
+                handler = (
+                    self._query_rocchio
+                    if isinstance(vector, frame_scoring.DeferredRocchio)
+                    else self._query_logistic
+                )
+                return handler(
                     vector, topk_eff=topk_eff, shortlist_size=shortlist_size,
                     exclude=exclude, agg_method=agg_method,
                     aug_larger=aug_larger, aug_weight=aug_weight,
@@ -651,6 +719,48 @@ class MultiscaleIndex(AccessMethod):
         res, q = jax.device_get((res, q))  # one transfer
         out = self._format_result(res)
         out["qvec"] = np.asarray(q, np.float32)
+        return out
+
+    def _query_logistic(
+        self,
+        dv: "frame_scoring.DeferredLogistic",
+        *,
+        topk_eff: int,
+        shortlist_size: int,
+        exclude: Optional[BitMap],
+        agg_method: str,
+        aug_larger: str,
+        aug_weight: str,
+    ) -> dict:
+        """ONE-dispatch LogReg2 round: labeled-row gather + LBFGS fit + the
+        query over the fitted coefficient (see _logistic_query_incr)."""
+        mask, new_ids, token = self._device_exclusion(exclude)
+        res, new_mask, params, mu, f, diverged = _logistic_query_incr(
+            self._V, self._valid, self._boxes, self._zoom, self._row_scale,
+            jnp.asarray(dv.prows), jnp.asarray(dv.valid), jnp.asarray(dv.y),
+            jnp.asarray(dv.sw), jnp.asarray(dv.n_real),
+            jnp.asarray(dv.pos_weight), jnp.asarray(dv.reg_weight),
+            jnp.asarray(dv.anchor), jnp.asarray(dv.params0),
+            mask, new_ids,
+            fit_intercept=dv.fit_intercept, max_iter=dv.max_iter,
+            has_anchor=dv.has_anchor, center=dv.center,
+            use_pallas=bool(self._use_pallas and self._V.dtype != jnp.int8),
+            tile_bound=self._tile_bound,
+            shortlist_size=shortlist_size, topk=topk_eff,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=self._max_zoom,
+            interpret=_pallas_interpret(),
+        )
+        self._commit_exclusion(token, new_mask)
+        res, params, mu, f, diverged = jax.device_get(
+            (res, params, mu, f, diverged)
+        )  # one transfer
+        out = self._format_result(res)
+        out["qvec"] = np.asarray(params[:-1], np.float32)
+        out["fit"] = {
+            "params": np.asarray(params), "mu": np.asarray(mu),
+            "loss": float(f), "diverged": bool(diverged),
+        }
         return out
 
     def rank_by_scores(

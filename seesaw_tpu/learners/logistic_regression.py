@@ -293,6 +293,71 @@ class _LinearProbeBase:
             print(f"fit_rows done: loss={float(f):.5f}")
         return self
 
+    def deferred_fit_rows(self, index, rows, y, sample_weights=None):
+        """The fit_rows device arguments packaged as a DeferredVector: the
+        index fuses the fit INTO the next query dispatch
+        (MultiscaleIndex._query_logistic) — one device round-trip per
+        LogReg2 feedback round. Apply the returned 'fit' payload with
+        `apply_fit_result` to keep warm starts working."""
+        from ..ops.frame_scoring import DeferredLogistic
+
+        assert self.loss_kind == "ce"
+        rows = np.asarray(rows, dtype=np.int64)
+        y = np.asarray(y, dtype=np.float32).reshape(-1)
+        n = rows.shape[0]
+        d = int(index._V.shape[1])
+        assert n == y.shape[0] and n > 0
+
+        if self.class_weights == "balanced":
+            npos = max(int((y == 1).sum()), 1)
+            nneg = max(int((y == 0).sum()), 1)
+            pos_weight = nneg / npos
+        else:
+            pos_weight = float(self.class_weights or 1.0)
+        sw = (
+            np.ones(n, dtype=np.float32)
+            if sample_weights is None
+            else np.asarray(sample_weights, dtype=np.float32).reshape(-1)
+        )
+        B = 512
+        while B < n:
+            B *= 2
+        prows = np.zeros(B, dtype=np.int32)
+        prows[:n] = index.padded_row_ids(rows)
+        valid = np.zeros(B, dtype=np.float32)
+        valid[:n] = 1.0
+        yp = np.zeros(B, dtype=np.float32)
+        yp[:n] = y
+        swp = np.zeros(B, dtype=np.float32)
+        swp[:n] = sw
+        anchor = (
+            self.anchor_ if self.anchor_ is not None
+            else np.zeros(d, dtype=np.float32)
+        )
+        if self.params_ is not None and self.params_.shape[0] == d + 1:
+            params0 = self.params_
+        elif self.anchor_ is not None:
+            params0 = np.concatenate([self.anchor_, np.zeros(1)]).astype(np.float32)
+        else:
+            params0 = np.zeros(d + 1, dtype=np.float32)
+        return DeferredLogistic(
+            prows=prows, valid=valid, y=yp, sw=swp,
+            n_real=np.float32(n), pos_weight=np.float32(pos_weight),
+            reg_weight=np.float32(self.reg_lambda / n),
+            anchor=np.asarray(anchor, np.float32),
+            params0=np.asarray(params0, np.float32),
+            fit_intercept=self.fit_intercept, max_iter=self.max_iter,
+            has_anchor=self.anchor_ is not None,
+            center=self.scale == "centered",
+            model=self,
+        )
+
+    def apply_fit_result(self, fit: dict):
+        if bool(fit["diverged"]):
+            raise ValueError("regression training diverged (nan/inf loss)")
+        self.params_ = np.asarray(fit["params"])
+        self.mu_ = np.asarray(fit["mu"])
+
     def get_coeff(self) -> np.ndarray:
         assert self.params_ is not None
         return self.params_[:-1].copy()

@@ -22,9 +22,9 @@ class PointBased(LoopBase):
 
     def next_batch(self):
         assert self.curr_vec is not None
-        from ..ops.frame_scoring import DeferredRocchio
+        from ..ops.frame_scoring import DeferredVector
 
-        if isinstance(self.curr_vec, DeferredRocchio):
+        if isinstance(self.curr_vec, DeferredVector):
             res = self.q.query_stateful(
                 vector=self.curr_vec,
                 batch_size=self.params.batch_size,
@@ -72,6 +72,14 @@ class LogReg2(PointBased):
         super().set_text_vec(vec)
         self.model = None
 
+    def next_batch(self):
+        res = super().next_batch()
+        fit = res.pop("fit", None) if isinstance(res, dict) else None
+        if fit is not None:
+            # the fused round's fit payload keeps warm starts working
+            self.model.apply_fit_result(fit)
+        return res
+
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys = xy["rows"], xy["ys"]
@@ -83,6 +91,10 @@ class LogReg2(PointBased):
             self.model = LogisticRegression(
                 regularizer_vector=self.state.tvec, **opts
             )
+        if getattr(self.index, "supports_deferred_query", False):
+            # ONE device dispatch per round: fit fuses into the next query
+            self.curr_vec = self.model.deferred_fit_rows(self.index, rows, ys)
+            return
         # on device-only indexes this is ONE dispatch (gather + center +
         # LBFGS fused); host-mirror indexes take the ordinary fit path
         self.model.fit_rows(self.index, rows, ys)

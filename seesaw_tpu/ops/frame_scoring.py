@@ -159,7 +159,41 @@ def scoring_matvec(
     return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
 
 
-class DeferredRocchio:
+class DeferredVector:
+    """Marker base for query vectors resolved ON DEVICE inside the query
+    dispatch itself (one-dispatch feedback rounds). Subclasses provide
+    `materialize(index)` for indexes that cannot fuse."""
+
+
+class DeferredLogistic(DeferredVector):
+    """Deferred logistic-probe fit: the labeled-row gather + centering +
+    LBFGS solve (`learners.logistic_regression._fit_ce_rows`) runs inside
+    the SAME dispatch as the query over its coefficient — one device
+    dispatch per LogReg2 feedback round. Built by
+    `LogisticRegression.deferred_fit_rows`; the fitted (params, mu, loss)
+    ride back in the query result ('fit') and are applied to the model via
+    `apply_fit_result`."""
+
+    __slots__ = (
+        "prows", "valid", "y", "sw", "n_real", "pos_weight", "reg_weight",
+        "anchor", "params0", "fit_intercept", "max_iter", "has_anchor",
+        "center", "model",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def materialize(self, index) -> np.ndarray:
+        # non-fusable index: run the model's ordinary fit_rows path
+        rows = np.asarray(self.prows)  # padded-layout; recover exact rows
+        raise NotImplementedError(
+            "DeferredLogistic is only built for fusable indexes "
+            "(LogReg2.refine checks supports_deferred_query first)"
+        )
+
+
+class DeferredRocchio(DeferredVector):
     """Deferred Rocchio query vector: q = alpha*q0 + beta*mean(pos rows) -
     gamma*mean(neg rows), resolved ON DEVICE inside the same dispatch as
     the query itself (MultiscaleIndex._query_rocchio) — a feedback round

@@ -69,7 +69,7 @@ class QueryCoalescer:
         extra = {k for k in kwargs if k not in ("force_exact", "rescore_method")}
         if (
             vector2 is not None or extra
-            or isinstance(vector, frame_scoring.DeferredRocchio)
+            or isinstance(vector, frame_scoring.DeferredVector)
         ):
             # discount queries, unknown-kwarg requests and deferred
             # (device-fused) vectors take the solo path

@@ -118,3 +118,86 @@ def test_rocchio_session_uses_one_dispatch(tmp_path):
         assert isinstance(s.loop.curr_vec, DeferredRocchio)
     s.next()
     assert isinstance(s.loop.curr_vec, np.ndarray)
+
+
+@pytest.mark.parametrize("device_dtype", ["float32", "int8"])
+def test_deferred_logistic_equals_fit_rows(device_dtype):
+    """DeferredLogistic through query == fit_rows + query over get_coeff."""
+    from seesaw_tpu.learners import LogisticRegression
+
+    V, meta = _db(seed=5)
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype=device_dtype)
+    rng = np.random.default_rng(6)
+    tvec = rng.normal(size=V.shape[1]).astype(np.float32)
+    tvec /= np.linalg.norm(tvec)
+    rows = rng.choice(meta.n_vectors, size=30, replace=False)
+    ys = rng.integers(0, 2, size=30).astype(np.float32)
+    opts = dict(class_weights="balanced", scale="centered", reg_lambda=5.0,
+                fit_intercept=False, max_iter=50)
+
+    m1 = LogisticRegression(regularizer_vector=tvec, **opts)
+    dv = m1.deferred_fit_rows(idx, rows, ys)
+    got = idx.query(vector=dv, topk=6, shortlist_size=20)
+    m1.apply_fit_result(got["fit"])
+
+    # reference: the (device) fit_rows path on an index WITHOUT host mirror
+    # semantics — drive _fit_ce_rows via fit_rows by hiding the mirror
+    m2 = LogisticRegression(regularizer_vector=tvec, **opts)
+    mirror = idx.vectors
+    idx.vectors = None
+    try:
+        m2.fit_rows(idx, rows, ys)
+    finally:
+        idx.vectors = mirror
+    np.testing.assert_allclose(m1.params_, m2.params_, rtol=2e-4, atol=2e-5)
+    want = idx.query(vector=m2.get_coeff(), topk=6, shortlist_size=20)
+    assert list(got["dbidxs"]) == list(want["dbidxs"])
+    np.testing.assert_allclose(got["qvec"], m2.get_coeff(), rtol=2e-4, atol=2e-5)
+
+
+def test_logreg2_session_one_dispatch(tmp_path):
+    """A LogReg2 session on a device index defers the fit into the query and
+    keeps warm starts (model params update from the fused payload)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from synth import build_synthetic_root, QSTR
+
+    from seesaw_tpu.basic_types import Box, IndexSpec, SessionParams
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.ops.frame_scoring import DeferredLogistic
+    from seesaw_tpu.session import make_session
+
+    build_synthetic_root(str(tmp_path), dataset_name="deflog")
+    gdm = GlobalDataManager(str(tmp_path))
+    p = SessionParams(
+        index_spec=IndexSpec(d_name="deflog", i_name="multiscale"),
+        interactive="log_reg2", batch_size=3, shortlist_size=20,
+        interactive_options=dict(
+            class_weights="balanced", scale="centered", reg_lambda=5.0,
+            fit_intercept=False, max_iter=50,
+        ),
+    )
+    s = make_session(gdm, p)["session"]
+    s.set_text(QSTR)
+    for r in range(5):
+        batch = [int(i) for i in s.next()]
+        assert len(batch) == 3
+        state = s.get_state()
+        for j, imdata in enumerate(state.gdata[-1]):
+            imdata.boxes = (
+                [Box(x1=0.0, y1=0.0, x2=90.0, y2=90.0, marked_accepted=True)]
+                if (r + j) % 2 == 0 else []
+            )
+        s.update_state(state)
+        s.refine()
+        if s.loop.model is not None:
+            assert isinstance(s.loop.curr_vec, DeferredLogistic)
+    s.next()
+    if s.loop.model is not None:
+        assert s.loop.model.params_ is not None  # warm-start state flowed back
+        assert isinstance(s.loop.curr_vec, np.ndarray)
+    # no-repeat contract held
+    seen = [im.dbidx for b in s.get_state().gdata for im in b]
+    assert len(seen) == len(set(seen))
