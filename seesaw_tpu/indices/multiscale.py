@@ -223,6 +223,65 @@ def _logistic_query_incr(
     return res, new_mask, params, mu, f, diverged
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "label_loss_type", "pos_weight_balanced", "max_iter",
+        "use_pallas", "tile_bound", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom", "interpret",
+    ),
+)
+def _multireg_query_incr(
+    V, valid, boxes, zoom, row_scale,
+    prows, lvalid, y, sw, qvec_hat, xlx,
+    rank_loss_margin, pos_weight_value,
+    reg_data_lambda, reg_norm_lambda, reg_query_lambda,
+    mask, new_ids,
+    *,
+    label_loss_type: str,
+    pos_weight_balanced: bool,
+    max_iter: int,
+    use_pallas: bool,
+    tile_bound: int,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+    interpret: bool,
+):
+    """Labeled-row gather + centering + the 4-term 'seesaw' LBFGS fit + the
+    incremental query over the fitted coefficient, in ONE device program."""
+    from ..learners.multi_reg import _fit_reg
+
+    ok = lvalid
+    safe = jnp.clip(prows, 0, None)
+    X = V[safe].astype(jnp.float32)
+    if row_scale is not None:
+        X = X * row_scale[safe][:, None]
+    n_real = jnp.maximum(ok.sum(), 1)
+    mu = (X * ok[:, None]).sum(axis=0) / n_real
+    X = jnp.where(ok[:, None], X - mu[None, :], 0.0)
+
+    coeff, f, diverged = _fit_reg(
+        X, y, sw, ok, qvec_hat, xlx, qvec_hat,
+        rank_loss_margin, pos_weight_value,
+        reg_data_lambda, reg_norm_lambda, reg_query_lambda,
+        label_loss_type=label_loss_type,
+        pos_weight_balanced=pos_weight_balanced,
+        max_iter=max_iter,
+    )
+    res, new_mask = _query_incr_dispatch(
+        V, valid, boxes, zoom, row_scale, coeff, mask, new_ids,
+        use_pallas=use_pallas, tile_bound=tile_bound,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+        interpret=interpret,
+    )
+    return res, new_mask, coeff, f, diverged
+
+
 class MultiscaleIndex(AccessMethod):
     # how many newly-excluded frames per click ride into the fused query
     # dispatch; bigger deltas fall back to a full host mask rebuild
@@ -609,11 +668,11 @@ class MultiscaleIndex(AccessMethod):
                 vector = vector.materialize(self)
             else:
                 assert vector2 is None
-                handler = (
-                    self._query_rocchio
-                    if isinstance(vector, frame_scoring.DeferredRocchio)
-                    else self._query_logistic
-                )
+                handler = {
+                    frame_scoring.DeferredRocchio: self._query_rocchio,
+                    frame_scoring.DeferredLogistic: self._query_logistic,
+                    frame_scoring.DeferredMultiReg: self._query_multireg,
+                }[type(vector)]
                 return handler(
                     vector, topk_eff=topk_eff, shortlist_size=shortlist_size,
                     exclude=exclude, agg_method=agg_method,
@@ -761,6 +820,46 @@ class MultiscaleIndex(AccessMethod):
             "params": np.asarray(params), "mu": np.asarray(mu),
             "loss": float(f), "diverged": bool(diverged),
         }
+        return out
+
+    def _query_multireg(
+        self,
+        dv: "frame_scoring.DeferredMultiReg",
+        *,
+        topk_eff: int,
+        shortlist_size: int,
+        exclude: Optional[BitMap],
+        agg_method: str,
+        aug_larger: str,
+        aug_weight: str,
+    ) -> dict:
+        """ONE-dispatch MultiReg ('seesaw') round: labeled-row gather +
+        centering + the 4-term LBFGS fit + the query over the coefficient
+        (see _multireg_query_incr)."""
+        mask, new_ids, token = self._device_exclusion(exclude)
+        res, new_mask, coeff, f, diverged = _multireg_query_incr(
+            self._V, self._valid, self._boxes, self._zoom, self._row_scale,
+            jnp.asarray(dv.prows), jnp.asarray(dv.valid), jnp.asarray(dv.y),
+            jnp.asarray(dv.sw), jnp.asarray(dv.qvec_hat), jnp.asarray(dv.xlx),
+            jnp.asarray(dv.rank_loss_margin), jnp.asarray(dv.pos_weight_value),
+            jnp.asarray(dv.reg_data_lambda), jnp.asarray(dv.reg_norm_lambda),
+            jnp.asarray(dv.reg_query_lambda),
+            mask, new_ids,
+            label_loss_type=dv.label_loss_type,
+            pos_weight_balanced=dv.pos_weight_balanced,
+            max_iter=dv.max_iter,
+            use_pallas=bool(self._use_pallas and self._V.dtype != jnp.int8),
+            tile_bound=self._tile_bound,
+            shortlist_size=shortlist_size, topk=topk_eff,
+            aug_larger=aug_larger, aug_weight=aug_weight,
+            agg_method=agg_method, max_zoom=self._max_zoom,
+            interpret=_pallas_interpret(),
+        )
+        self._commit_exclusion(token, new_mask)
+        res, coeff, f, diverged = jax.device_get((res, coeff, f, diverged))
+        assert not bool(diverged), "multi-reg fit diverged (nan/inf)"
+        out = self._format_result(res)
+        out["qvec"] = np.asarray(coeff, np.float32)
         return out
 
     def rank_by_scores(

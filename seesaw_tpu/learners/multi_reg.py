@@ -190,6 +190,44 @@ class RegFit:
             print(f"reg fit loss={float(f):.5f}")
         return self
 
+    def deferred_fit_rows(self, index, rows, y, sample_weights=None):
+        """Package the fit as a DeferredVector: the index fuses the labeled-
+        row gather + centering + 4-term LBFGS + the query over the fitted
+        coefficient into ONE dispatch (MultiscaleIndex._query_multireg)."""
+        from ..ops.frame_scoring import DeferredMultiReg
+
+        rows = np.asarray(rows, dtype=np.int64)
+        y = np.asarray(y, dtype=np.float32).reshape(-1)
+        n = rows.shape[0]
+        sw = (
+            np.ones(n, dtype=np.float32)
+            if sample_weights is None
+            else np.asarray(sample_weights, dtype=np.float32).reshape(-1)
+        )
+        npad = _pad_pow2(max(n, 1))
+        prows = np.zeros(npad, dtype=np.int32)
+        prows[:n] = index.padded_row_ids(rows)
+        vp = np.zeros(npad, dtype=bool)
+        vp[:n] = True
+        yp = np.zeros(npad, dtype=np.float32)
+        yp[:n] = y
+        swp = np.zeros(npad, dtype=np.float32)
+        swp[:n] = sw
+        return DeferredMultiReg(
+            prows=prows, valid=vp, y=yp, sw=swp,
+            qvec_hat=self.qvec_hat, xlx=self.xlx,
+            rank_loss_margin=np.float32(self.rank_loss_margin),
+            pos_weight_value=np.float32(
+                self.pos_weight if isinstance(self.pos_weight, float) else 1.0
+            ),
+            pos_weight_balanced=self.pos_weight == "balanced",
+            label_loss_type=self.label_loss_type,
+            reg_data_lambda=np.float32(self.reg_data_lambda),
+            reg_norm_lambda=np.float32(self.reg_norm_lambda),
+            reg_query_lambda=np.float32(self.reg_query_lambda),
+            max_iter=self.max_iter,
+        )
+
     def get_coeff(self) -> np.ndarray:
         assert self.coeff_ is not None
         return self.coeff_.copy()

@@ -52,7 +52,6 @@ class MultiReg(PointBased):
     def refine(self, change=None):
         xy = self.q.getXy()
         rows, ys, dbidx = xy["rows"], xy["ys"], xy["dbidx"]
-        X = self.index.vectors_for_rows(rows)
         assert self.curr_qvec is not None
         model = RegFit(
             xlx=self.xlx,
@@ -66,5 +65,16 @@ class MultiReg(PointBased):
             max_iter=self.options.get("max_iter", 100),
             verbose=self.options.get("verbose", False),
         )
+        if (
+            getattr(self.index, "supports_deferred_query", False)
+            and rows.shape[0] > 0
+        ):
+            # ONE device dispatch per round: the 4-term fit fuses into the
+            # next query (ops.frame_scoring.DeferredMultiReg)
+            self.curr_vec = model.deferred_fit_rows(
+                self.index, rows, ys, _per_image_weights(dbidx)
+            )
+            return
+        X = self.index.vectors_for_rows(rows)
         model.fit(X, ys, _per_image_weights(dbidx))
         self.curr_vec = model.get_coeff()

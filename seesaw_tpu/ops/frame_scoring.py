@@ -193,6 +193,30 @@ class DeferredLogistic(DeferredVector):
         )
 
 
+class DeferredMultiReg(DeferredVector):
+    """Deferred multi-regularized 'seesaw' fit: labeled-row gather +
+    centering + the 4-term LBFGS objective (`learners.multi_reg._fit_reg`)
+    + the query over the fitted coefficient, as ONE device dispatch
+    (MultiscaleIndex._query_multireg). Built by `RegFit.deferred_fit_rows`."""
+
+    __slots__ = (
+        "prows", "valid", "y", "sw", "qvec_hat", "xlx",
+        "rank_loss_margin", "pos_weight_value", "pos_weight_balanced",
+        "label_loss_type",
+        "reg_data_lambda", "reg_norm_lambda", "reg_query_lambda", "max_iter",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def materialize(self, index) -> np.ndarray:
+        raise NotImplementedError(
+            "DeferredMultiReg is only built for fusable indexes "
+            "(MultiReg.refine checks supports_deferred_query first)"
+        )
+
+
 class DeferredRocchio(DeferredVector):
     """Deferred Rocchio query vector: q = alpha*q0 + beta*mean(pos rows) -
     gamma*mean(neg rows), resolved ON DEVICE inside the same dispatch as

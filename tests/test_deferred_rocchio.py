@@ -201,3 +201,40 @@ def test_logreg2_session_one_dispatch(tmp_path):
     # no-repeat contract held
     seen = [im.dbidx for b in s.get_state().gdata for im in b]
     assert len(seen) == len(set(seen))
+
+
+@pytest.mark.parametrize("device_dtype", ["float32", "int8"])
+def test_deferred_multireg_equals_host_fit(device_dtype):
+    """DeferredMultiReg through query == RegFit.fit on the same (device)
+    rows + query over get_coeff."""
+    from seesaw_tpu.learners.multi_reg import RegFit
+
+    V, meta = _db(seed=8)
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype=device_dtype)
+    rng = np.random.default_rng(9)
+    d = V.shape[1]
+    qvec = rng.normal(size=d).astype(np.float32)
+    rows = rng.choice(meta.n_vectors, size=28, replace=False)
+    ys = rng.integers(0, 2, size=28).astype(np.float32)
+    sw = rng.uniform(0.5, 1.0, size=28).astype(np.float32)
+    xlx = (np.eye(d) * 1e-3).astype(np.float32)
+    kw = dict(
+        xlx=xlx, qvec=qvec, label_loss_type="ce_loss", rank_loss_margin=0.0,
+        pos_weight="balanced", reg_data_lambda=0.1, reg_norm_lambda=10.0,
+        reg_query_lambda=1.0, max_iter=50,
+    )
+    m1 = RegFit(**kw)
+    dv = m1.deferred_fit_rows(idx, rows, ys, sw)
+    got = idx.query(vector=dv, topk=6, shortlist_size=20)
+
+    # host fit over the DEVICE rows' values (int8: dequantized)
+    prows = idx.padded_row_ids(rows)
+    X = np.asarray(idx._V)[prows].astype(np.float32)
+    if idx._row_scale is not None:
+        X = X * np.asarray(idx._row_scale)[prows][:, None]
+    m2 = RegFit(**kw)
+    m2.fit(X, ys, sw)
+    np.testing.assert_allclose(got["qvec"], m2.get_coeff(),
+                               rtol=5e-4, atol=5e-5)
+    want = idx.query(vector=m2.get_coeff(), topk=6, shortlist_size=20)
+    assert list(got["dbidxs"]) == list(want["dbidxs"])
