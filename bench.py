@@ -1131,6 +1131,11 @@ def main():
 def _main():
     n_vectors = int(os.environ.get("SEESAW_BENCH_VECTORS", 10_000_000))
     use_pallas = os.environ.get("SEESAW_BENCH_NO_PALLAS") is None
+    # first device contact: if the tunnel/worker is wedged (observed: a
+    # trivial dispatch can block indefinitely after a killed TPU process),
+    # this is where the run hangs — the stderr line tells the reader, and
+    # the SIGTERM handler still emits a (value: null) partial record
+    _progress("first device contact (rtt probe)")
     EXTRAS["tunnel_rtt_ms"] = round(measure_rtt(), 2)
 
     # -- headline stages first, so a timeout still leaves the core record --
