@@ -21,7 +21,10 @@ The run is RESILIENT: extras accumulate as stages complete, the headline
 JSON prints from an atexit/SIGTERM handler (a timeout yields a partial
 record, never silence), and every stage is wall-time-budgeted against
 SEESAW_BENCH_BUDGET_S (default 1500s) — stages that don't fit are skipped
-with a recorded reason.
+with a recorded reason. On top of that, the default entry point SUPERVISES
+the run in a child process (see _supervise): a wedged tunnel at first
+device contact — observed repeatedly in this environment — is detected,
+killed, and retried, so the driver always gets its one JSON line.
 
 Env overrides: SEESAW_BENCH_VECTORS (default 10_000_000),
 SEESAW_BENCH_BUDGET_S, SEESAW_BENCH_SKIP_CLIP=1 / SEESAW_BENCH_SKIP_INGEST=1
@@ -1137,6 +1140,9 @@ def _main():
     # the SIGTERM handler still emits a (value: null) partial record
     _progress("first device contact (rtt probe)")
     EXTRAS["tunnel_rtt_ms"] = round(measure_rtt(), 2)
+    # the supervisor watches for this exact phrase — the observed tunnel
+    # failure mode is an indefinite block right here, BEFORE any stage
+    _progress(f"device contact ok (rtt {EXTRAS['tunnel_rtt_ms']}ms)")
 
     # -- headline stages first, so a timeout still leaves the core record --
     def run_bf16():
@@ -1233,5 +1239,165 @@ def _main():
             )
 
 
+def _last_json_line(lines) -> str | None:
+    for ln in reversed(lines):
+        ln = ln.strip()
+        if ln.startswith("{") and '"metric"' in ln:
+            return ln
+    return None
+
+
+def _supervise() -> int:
+    """Babysit the real bench run against tunnel wedges.
+
+    Observed failure mode in this environment (three times in round 4): the
+    first device contact through the axon tunnel blocks INDEFINITELY after a
+    previously-killed TPU process — the child sits in a C-level wait where
+    even its SIGTERM partial-emit handler cannot run. The supervisor spawns
+    the bench as a child process, requires the "device contact ok" stderr
+    line within SEESAW_BENCH_CONTACT_S (default 240s), kills + retries on a
+    pre-contact wedge (the tunnel usually un-wedges after the stuck client
+    dies), enforces a post-contact stall timeout (SEESAW_BENCH_STALL_S,
+    default 600s — longer than the worst cold compile), and ALWAYS forwards
+    exactly one headline JSON line to stdout, falling back to a partial
+    record it prints itself. Total wall across attempts is capped by
+    SEESAW_BENCH_TOTAL_S (default 1680s) to stay inside the driver deadline.
+
+    SEESAW_BENCH_NO_SUPERVISE=1 runs the bench inline (single process).
+    """
+    import signal
+    import subprocess
+    import sys
+    import threading
+
+    total_s = float(os.environ.get("SEESAW_BENCH_TOTAL_S", 1680))
+    first_contact_s = float(os.environ.get("SEESAW_BENCH_CONTACT_S", 240))
+    stall_s = float(os.environ.get("SEESAW_BENCH_STALL_S", 600))
+    t0 = time.time()
+    out_lines: list[str] = []
+    attempts = 0
+    stop = {"flag": False}
+    child: dict = {"proc": None}
+
+    def remaining() -> float:
+        return total_s - (time.time() - t0)
+
+    def on_signal(signum, frame):  # driver timeout: pass it down, then forward
+        stop["flag"] = True
+        p = child["proc"]
+        if p is not None and p.poll() is None:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, on_signal)
+        except (ValueError, OSError):
+            pass
+
+    while attempts < 3 and not stop["flag"] and remaining() > 300:
+        attempts += 1
+        env = dict(os.environ)
+        env["SEESAW_BENCH_CHILD"] = "1"
+        env["SEESAW_BENCH_BUDGET_S"] = str(int(max(300, remaining() - 90)))
+        _progress(
+            f"supervisor: attempt {attempts} "
+            f"(child budget {env['SEESAW_BENCH_BUDGET_S']}s)"
+        )
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        child["proc"] = p
+        state = {"last": time.time(), "contact": False}
+
+        def pump(stream, is_err, state=state):
+            for line in stream:
+                state["last"] = time.time()
+                if is_err:
+                    sys.stderr.write(line)
+                    sys.stderr.flush()
+                    if "device contact ok" in line:
+                        state["contact"] = True
+                else:
+                    out_lines.append(line)
+            stream.close()
+
+        th_e = threading.Thread(target=pump, args=(p.stderr, True), daemon=True)
+        th_o = threading.Thread(target=pump, args=(p.stdout, False), daemon=True)
+        th_e.start()
+        th_o.start()
+
+        wedged = False
+        while p.poll() is None and not stop["flag"]:
+            time.sleep(2)
+            silent = time.time() - state["last"]
+            if not state["contact"] and silent > first_contact_s:
+                _progress(f"supervisor: no device contact in {silent:.0f}s — "
+                          "tunnel wedged, killing child")
+                wedged = True
+                break
+            if state["contact"] and silent > stall_s:
+                _progress(f"supervisor: no progress in {silent:.0f}s — "
+                          "killing child")
+                wedged = True
+                break
+            if remaining() < 45:
+                _progress("supervisor: total budget exhausted — terminating "
+                          "child (it emits its partial record)")
+                try:
+                    p.terminate()
+                except OSError:
+                    pass
+                break
+
+        if p.poll() is None:
+            if wedged:
+                try:
+                    p.terminate()  # give the partial-emit handler a chance
+                    p.wait(timeout=15)
+                except (subprocess.TimeoutExpired, OSError):
+                    p.kill()
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        th_e.join(timeout=5)
+        th_o.join(timeout=5)
+
+        last = _last_json_line(out_lines)
+        have_value = False
+        if last is not None:
+            try:
+                have_value = json.loads(last).get("value") is not None
+            except ValueError:
+                pass
+        if have_value or stop["flag"]:
+            break
+        if remaining() > 600:
+            _progress("supervisor: no headline value yet — cooling down 30s, "
+                      "then retrying")
+            time.sleep(30)
+            continue
+        break
+
+    line = _last_json_line(out_lines)
+    if line is None:
+        EXTRAS["supervisor_attempts"] = attempts
+        EXTRAS["supervisor_wedged"] = True
+        _emit(partial=True)
+    else:
+        print(line, flush=True)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SEESAW_BENCH_CHILD") or os.environ.get(
+        "SEESAW_BENCH_NO_SUPERVISE"
+    ):
+        main()
+    else:
+        raise SystemExit(_supervise())
