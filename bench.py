@@ -496,6 +496,8 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
     def drive(session, n_rounds):
         session.set_text("a benchmark query")
         next_ms, round_ms = [], []
+        seen_shapes: set = set()
+        compile_rounds = 0
         for r in range(n_rounds):
             t0 = time.perf_counter()
             dbidxs = session.next()
@@ -510,17 +512,29 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
             session.update_state(state)
             session.refine()
             t_end = time.perf_counter()
-            if r > 1:  # rounds 0-1 pay one-time compilation (the plain
-                # query and the fused refine+query program)
+            # the labeled set grows every round, so the deferred-refine
+            # program recompiles at each pow2 row-bucket boundary — a round
+            # that FIRST used a program shape paid that one-time jit (cached
+            # across runs by .jax_cache, but cold on a fresh cache). Those
+            # warm-up rounds are excluded from the steady-state percentiles
+            # and counted separately.
+            shape = idx.last_program_shape
+            is_compile_round = shape not in seen_shapes
+            seen_shapes.add(shape)
+            if is_compile_round:
+                compile_rounds += 1
+            elif r > 1:  # rounds 0-1: plain-query + refine-path warm-up
                 next_ms.append((t_next - t0) * 1000)
                 round_ms.append((t_end - t0) * 1000)
             assert len(dbidxs) == 3
         # no-repeat contract held through the device-persistent mask
         flat = [int(x) for b in session.acc_indices for x in b]
         assert len(flat) == len(set(flat)), "serving path repeated a dbidx"
-        return next_ms, round_ms
+        return next_ms, round_ms, compile_rounds
 
-    next_ms, round_ms = drive(Session(None, dataset, idx, params), rounds)
+    next_ms, round_ms, n_compile = drive(
+        Session(None, dataset, idx, params), rounds
+    )
 
     # same index object (shared, like concurrent web sessions), LogReg2 loop:
     # refine runs the FUSED one-dispatch device fit (learners.fit_rows)
@@ -531,7 +545,9 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
             fit_intercept=False, max_iter=50,
         ),
     ))
-    _, lr_round_ms = drive(Session(None, dataset, idx, lr_params), max(rounds // 2, 8))
+    _, lr_round_ms, lr_compile = drive(
+        Session(None, dataset, idx, lr_params), max(rounds // 2, 8)
+    )
 
     return {
         "p50_session_next_ms": round(float(np.percentile(next_ms, 50)), 3),
@@ -541,6 +557,7 @@ def bench_session_rounds(n_vectors: int, rounds: int = 24) -> dict:
             float(np.percentile(lr_round_ms, 50)), 3
         ),
         "session_rounds_measured": len(round_ms),
+        "session_compile_rounds_excluded": n_compile + lr_compile,
     }
 
 

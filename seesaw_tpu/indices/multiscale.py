@@ -287,6 +287,13 @@ class MultiscaleIndex(AccessMethod):
     # dispatch; bigger deltas fall back to a full host mask rebuild
     _EXCL_DELTA = 8
 
+    # shape key of the device program the LAST query dispatched. The labeled
+    # set grows every feedback round, so deferred-refine programs are padded
+    # to pow2 row buckets (bounded recompiles) — a NEW key means that round
+    # paid a one-time jit compile. Benchmarks use this to separate
+    # steady-state latency from warm-up rounds (bench.bench_session_rounds).
+    last_program_shape: "tuple | None" = None
+
     def __init__(
         self,
         *,
@@ -710,6 +717,7 @@ class MultiscaleIndex(AccessMethod):
         q = jnp.asarray(np.asarray(vector, np.float32).reshape(-1))
         q2 = (jnp.asarray(np.asarray(vector2, np.float32).reshape(-1))
               if vector2 is not None else None)
+        self.last_program_shape = ("plain", vector2 is not None)
         # int8 always routes through XLA: Mosaic int8 VMEM paths stall at
         # ~200GB/s while XLA's int8 matvec streams at ~477GB/s of int8
         # bytes — the fastest scan on this toolchain (scripts/perf_probe.py)
@@ -762,9 +770,14 @@ class MultiscaleIndex(AccessMethod):
             out[: pr.size] = pr
             return jnp.asarray(out)
 
+        pos_padded = pad_rows(dv.pos_rows)
+        neg_padded = pad_rows(dv.neg_rows)
+        self.last_program_shape = (
+            "rocchio", pos_padded.shape[0], neg_padded.shape[0]
+        )
         res, new_mask, q = _rocchio_query_incr(
             self._V, self._valid, self._boxes, self._zoom, self._row_scale,
-            jnp.asarray(dv.q0), pad_rows(dv.pos_rows), pad_rows(dv.neg_rows),
+            jnp.asarray(dv.q0), pos_padded, neg_padded,
             mask, new_ids,
             np.float32(dv.alpha), np.float32(dv.beta), np.float32(dv.gamma),
             use_pallas=bool(self._use_pallas and self._V.dtype != jnp.int8),
@@ -794,6 +807,9 @@ class MultiscaleIndex(AccessMethod):
         """ONE-dispatch LogReg2 round: labeled-row gather + LBFGS fit + the
         query over the fitted coefficient (see _logistic_query_incr)."""
         mask, new_ids, token = self._device_exclusion(exclude)
+        self.last_program_shape = (
+            "logreg", dv.prows.shape[0], dv.max_iter, dv.has_anchor
+        )
         res, new_mask, params, mu, f, diverged = _logistic_query_incr(
             self._V, self._valid, self._boxes, self._zoom, self._row_scale,
             jnp.asarray(dv.prows), jnp.asarray(dv.valid), jnp.asarray(dv.y),
@@ -837,6 +853,9 @@ class MultiscaleIndex(AccessMethod):
         centering + the 4-term LBFGS fit + the query over the coefficient
         (see _multireg_query_incr)."""
         mask, new_ids, token = self._device_exclusion(exclude)
+        self.last_program_shape = (
+            "multireg", dv.prows.shape[0], dv.max_iter, dv.label_loss_type
+        )
         res, new_mask, coeff, f, diverged = _multireg_query_incr(
             self._V, self._valid, self._boxes, self._zoom, self._row_scale,
             jnp.asarray(dv.prows), jnp.asarray(dv.valid), jnp.asarray(dv.y),
