@@ -671,14 +671,21 @@ def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512,
 
 
 def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
-                               trials: int = 20) -> dict:
+                               trials: int = 20,
+                               scale: str = "row") -> dict:
     """int8 shortlist recall AT HEADLINE SCALE with a shortlist sweep.
 
     f32 ground truth never fits next to the int8 copy at 10M (20 + 5 GB),
     so the f32 database is generated in device chunks: each chunk scores
-    all queries exactly in f32, is quantized to per-row int8 and freed —
-    only the (N,) int8 rows + (N, Q) f32 exact scores persist. Recall(k) =
-    |exact top-10 ∩ int8 top-k| / 10, swept over shortlist sizes."""
+    all queries exactly in f32, is quantized to int8 and freed — only the
+    (N,) int8 rows + (N, Q) f32 exact scores persist. Recall(k) =
+    |exact top-10 ∩ int8 top-k| / 10, swept over shortlist sizes.
+
+    scale='row' is the matvec serving quantization; scale='frame' (one
+    scale per 8-row tile group) is the BATCH serving quantization
+    (MultiscaleIndex int8_scale='frame') — its recall ships at headline
+    scale alongside the speed claim. Runs are separate stages so the two
+    5 GB int8 copies never coexist in HBM."""
     import gc
 
     import jax
@@ -704,6 +711,9 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
         V = V / jnp.linalg.norm(V, axis=1, keepdims=True)
         exact = V @ qd.T  # (rows, Q) f32 ground truth
         row_max = jnp.abs(V).max(axis=1)
+        if scale == "frame":  # one scale per TILES-row frame group
+            fmax = row_max.reshape(-1, TILES).max(axis=1)
+            row_max = jnp.repeat(fmax, TILES)
         sc = jnp.where(row_max > 0, row_max / 127.0, 1.0)
         V8 = jnp.clip(jnp.round(V / sc[:, None]), -127, 127).astype(jnp.int8)
         return V8, sc.astype(jnp.float32), exact.astype(jnp.float32)
@@ -734,8 +744,9 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
         q_list = np.asarray(q_ids).tolist()
         for k in sweep:
             hits[k] += len(e & set(q_list[:k]))
+    tag = "" if scale == "row" else f"_{scale}scale"
     out = {
-        f"int8_shortlist_recall_{n_vectors // 1_000_000}M_k{k}":
+        f"int8_shortlist_recall_{n_vectors // 1_000_000}M_k{k}{tag}":
             round(hits[k] / (trials * TOPK), 4)
         for k in sweep
     }
@@ -1228,6 +1239,13 @@ def _main():
     # 8 trials — ~30s warm, ~120s cold (r3's budget-eater tamed)
     _stage("recall_10M", 150,
            lambda: bench_int8_recall_at_scale(n_vectors, trials=8),
+           skip_env="SEESAW_BENCH_SKIP_RECALL")
+    # the batch-serving (per-frame-scale) quantization's accuracy at the
+    # same scale its speed is claimed: separate stage so the two 5GB int8
+    # copies never coexist in HBM
+    _stage("recall_10M_frame", 120,
+           lambda: bench_int8_recall_at_scale(n_vectors, trials=8,
+                                              scale="frame"),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
     _stage("recall_1M", 150, lambda: bench_int8_recall(trials=12),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
