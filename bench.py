@@ -240,9 +240,10 @@ def bench_clip_embed():
     emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
     model, params = emb.model, emb.params
     # B=1024 measured fastest (8287 img/s vs 7745 at 256; 2048 regresses).
-    # The remaining ~63% of peak is attention at seq=50: the r4 ablation
-    # profile (PARITY.md round-4 item 9) shows QK/AV batched tiny matmuls +
-    # softmax cost ~54ms of the 125ms batch where their FLOPs are ~8%.
+    # The r4 ablation (PARITY.md round-4 item 9) showed attention at seq=50
+    # costing 58% of the forward for ~8% of FLOPs; the fused pair-packed
+    # Pallas kernel (ops/pallas_attention.py, on by default) attacks that:
+    # 8286 -> 11932 img/s measured (scripts/probe_fused_attention.py).
     B, ITERS = 1024, 8
 
     @jax.jit

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -41,6 +42,10 @@ class ClipConfig:
     text_heads: int = 8
     # numerics
     dtype: Any = jnp.float32
+    # fused pair-packed Pallas attention on eligible shapes (head_dim 64,
+    # even heads, no mask, L <= 128) — see ops/pallas_attention.py; the
+    # einsum path is used automatically wherever ineligible
+    fused_attention: bool = True
 
     @property
     def grid(self) -> int:
@@ -75,6 +80,7 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -86,6 +92,24 @@ class MultiHeadAttention(nn.Module):
         q = dense(name="q_proj")(x)
         k = dense(name="k_proj")(x)
         v = dense(name="v_proj")(x)
+
+        # fused pair-packed Pallas attention (ops/pallas_attention.py):
+        # reads/writes the natural (B, L, width) layout — no head
+        # split/merge transposes, 128-deep MXU contractions. Ablation shows
+        # the einsum path below spends 58% of the ViT forward here for ~8%
+        # of its FLOPs (PARITY.md round-4 item 10).
+        if (self.fused and mask is None and head_dim == 64
+                and self.heads % 2 == 0 and L <= 128):
+            backend = jax.default_backend()
+            if backend != "cpu" or os.environ.get(
+                "SEESAW_FUSED_ATTN_INTERPRET"
+            ):
+                from ..ops.pallas_attention import fused_pair_attention
+
+                out = fused_pair_attention(
+                    q, k, v, interpret=(backend == "cpu")
+                )
+                return dense(name="out_proj")(out)
 
         def split(t):
             return t.reshape(B, L, self.heads, head_dim).transpose(0, 2, 1, 3)
@@ -119,13 +143,15 @@ class ResidualBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm1")
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm2")
         x = x + MultiHeadAttention(
-            self.width, self.heads, dtype=self.dtype, name="self_attn"
+            self.width, self.heads, dtype=self.dtype, fused=self.fused,
+            name="self_attn"
         )(ln1(x).astype(self.dtype), mask)
         x = x + MLP(self.width, dtype=self.dtype, name="mlp")(
             ln2(x).astype(self.dtype)
@@ -170,7 +196,8 @@ class VisionTower(nn.Module):
         x = x.astype(c.dtype)
         for i in range(c.vision_layers):
             x = ResidualBlock(
-                c.vision_width, c.vision_heads, dtype=c.dtype, name=f"layer_{i}"
+                c.vision_width, c.vision_heads, dtype=c.dtype,
+                fused=c.fused_attention, name=f"layer_{i}"
             )(x)
         pooled = x[:, 0]
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_layernorm")(

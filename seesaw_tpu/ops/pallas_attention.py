@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused multi-head self-attention for small-sequence
+ViT shapes (CLIP ViT-B/32: seq 50, head_dim 64).
+
+Why XLA loses here: the round-4 on-chip ablation (PARITY.md round-4 item
+10) shows attention costing 58% of the ViT-B/32 forward for ~8% of its
+FLOPs — the (B*H, 50, 64) batched QK^T/AV matmuls run ~30x under MXU peak
+(64-deep contractions on a 128x128 systolic array) and the head
+split/merge transposes re-lay out every tensor through HBM. XLA-level
+reformulations (no-transpose einsums, merged QKV, bf16 logits, 12-head
+block-masking) measured equal or worse.
+
+This kernel changes the SHAPES instead of the schedule, exploiting
+head_dim 64 = exactly half the 128-lane register width:
+
+- Heads are processed in PAIRS: two 64-lane heads side by side occupy
+  exactly 128 lanes, so Q/K/V are read directly from the natural
+  (B, L, width) projection layout (head h lives in channels
+  [64h, 64h+64) — the same convention as reshape(B, L, H, 64)), and the
+  output is written back merged. NO split/merge transposes anywhere.
+- K and V are block-diagonalized IN VMEM with two lane-masked copies and
+  a sublane concat (no transposes): k2 rows 0:L = [K_A | 0], rows
+  L:2L = [0 | K_B]. Contracting q (L, 128) against k2 (2L, 128) over
+  lanes then yields both heads' logits in one (L, 2L) MXU op with a
+  FULL 128-deep contraction; the AV dot contracts 2L=100 sublanes (vs
+  50). The block-diagonal zeros double the nominal FLOPs, but attention
+  is 8% of model FLOPs and the MXU pipeline is depth-limited at these
+  sizes — filling the contraction dimension is what matters.
+- Softmax is SEGMENTED across the two heads' column ranges with lane-iota
+  masks (f32, numerically-stable max-subtraction per segment), matching
+  the reference pipeline's fp32-softmax-accumulation semantics
+  (models/clip.py MultiHeadAttention; reference CLIP does the same).
+
+The kernel covers the non-causal tower (mask=None). Requirements:
+head_dim == 64, an even number of heads, L <= 128. `interpret=True` makes
+it testable on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # -inf-like that survives bf16/f32 masking arithmetic
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    bb, L, _ = q_ref.shape  # (bb, L, 128): bb images, one head-pair
+
+    for i in range(bb):  # unrolled: bb is a small static block
+        q = q_ref[i]  # (L, 128) = two heads side by side
+        k = k_ref[i]
+        v = v_ref[i]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+        in_a = lane < 64
+        zero = jnp.zeros((), k.dtype)
+        # block-diagonal K/V: two lane-masked copies + sublane concat
+        k2 = jnp.concatenate(
+            [jnp.where(in_a, k, zero), jnp.where(in_a, zero, k)], axis=0
+        )  # (2L, 128): rows 0:L = [K_A|0], rows L:2L = [0|K_B]
+        v2 = jnp.concatenate(
+            [jnp.where(in_a, v, zero), jnp.where(in_a, zero, v)], axis=0
+        )
+
+        # both heads' logits in ONE 128-deep-contraction MXU op
+        s = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (L, 2L): cols 0:L head A, L:2L head B
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
+        seg_a = col < L
+        # segmented fp32 softmax (stable: per-segment max subtraction)
+        m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
+        m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
+        e = jnp.exp(s - jnp.where(seg_a, m_a, m_b))
+        d_a = jnp.sum(jnp.where(seg_a, e, 0.0), axis=1, keepdims=True)
+        d_b = jnp.sum(jnp.where(seg_a, 0.0, e), axis=1, keepdims=True)
+        p = (e / jnp.where(seg_a, d_a, d_b)).astype(v.dtype)
+
+        # AV with a 2L-deep contraction; output lands pre-merged
+        o = jax.lax.dot_general(
+            p, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (L, 128) = [O_A | O_B]
+        o_ref[i] = o.astype(o_ref.dtype)
+
+
+def _ref_attention(q, k, v):
+    """The einsum formulation (clip.py MultiHeadAttention) for head_dim 64.
+
+    Used ONLY to derive the backward pass: pallas_call has no automatic
+    VJP, and fine-tuning (models/clip_finetune.py) differentiates through
+    the vision tower. Backward-by-einsum keeps grads numerically identical
+    to the unfused path while the forward runs the kernel."""
+    B, L, W = q.shape
+    H = W // 64
+
+    def split(t):
+        return t.reshape(B, L, H, 64).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) / 8.0
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused(q, k, v, block_b, interpret):
+    return _pallas_forward(q, k, v, block_b, interpret)
+
+
+def _fused_fwd(q, k, v, block_b, interpret):
+    return _pallas_forward(q, k, v, block_b, interpret), (q, k, v)
+
+
+def _fused_bwd(block_b, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_ref_attention, q, k, v)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_pair_attention(q, k, v, *, block_b: int = 16,
+                         interpret: bool = False):
+    """softmax(q kᵀ / sqrt(64)) v per 64-wide head, fused on TPU.
+
+    q, k, v: (B, L, width) in the natural projection layout (no head
+    split); width = heads * 64, heads even, L <= 128. Returns (B, L, width)
+    merged output, ready for the out-projection. Differentiable: the VJP
+    recomputes through the einsum formulation (`_ref_attention`).
+
+    block_b=16: measured 8286 (einsum) -> 11661/11932/11994 img/s at
+    block_b 8/16/32 on the full ViT-B/32 B=1024 forward (v5e chip,
+    scripts/probe_fused_attention.py) — 16 is within noise of 32 at less
+    VMEM and compile.
+    """
+    return _fused(q, k, v, block_b, interpret)
+
+
+def _pallas_forward(q, k, v, block_b, interpret):
+    B, L, W = q.shape
+    assert W % 128 == 0, "needs an even number of 64-wide heads"
+    assert L <= 128, "small-sequence kernel (ViT-B/32 seq=50)"
+    if B % block_b:  # pad batch to the block size; sliced off below
+        pad = block_b - B % block_b
+        zq = jnp.zeros((pad, L, W), q.dtype)
+        q, k, v = (jnp.concatenate([t, zq], 0) for t in (q, k, v))
+    Bp = q.shape[0]
+
+    spec = pl.BlockSpec((block_b, L, 128), lambda i, j: (i, 0, j))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=1.0 / 8.0),
+        grid=(Bp // block_b, W // 128),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, L, W), q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # keep MINIMAL: oversized vmem limits inflate Mosaic compile
+            # ~16x at identical runtime (scripts/bisect_chain_compile.py)
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+    )(q, k, v)
+    return out[:B]
