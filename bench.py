@@ -239,12 +239,13 @@ def bench_clip_embed():
 
     emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
     model, params = emb.model, emb.params
-    # B=1024 measured fastest (8287 img/s vs 7745 at 256; 2048 regresses).
     # The r4 ablation (PARITY.md round-4 item 9) showed attention at seq=50
     # costing 58% of the forward for ~8% of FLOPs; the fused pair-packed
     # Pallas kernel (ops/pallas_attention.py, on by default) attacks that:
-    # 8286 -> 11932 img/s measured (scripts/probe_fused_attention.py).
-    B, ITERS = 1024, 8
+    # 8286 -> 11932 img/s at B=1024 (scripts/probe_fused_attention.py).
+    # With fused attention the batch optimum moved DOWN: B 128/256/512/768/
+    # 1024/2048 -> 12520/11962/12584/11999/11932/11741 img/s.
+    B, ITERS = 512, 16
 
     @jax.jit
     def chained(p, key):
