@@ -43,8 +43,8 @@ class ClipConfig:
     # numerics
     dtype: Any = jnp.float32
     # fused pair-packed Pallas attention on eligible shapes (head_dim 64,
-    # even heads, no mask, L <= 128) — see ops/pallas_attention.py; the
-    # einsum path is used automatically wherever ineligible
+    # even heads, no mask, L <= 384 — all three ViT vision towers) — see
+    # ops/pallas_attention.py; the einsum path is used wherever ineligible
     fused_attention: bool = True
 
     @property
@@ -99,7 +99,7 @@ class MultiHeadAttention(nn.Module):
         # the einsum path below spends 58% of the ViT forward here for ~8%
         # of its FLOPs (PARITY.md round-4 item 10).
         if (self.fused and mask is None and head_dim == 64
-                and self.heads % 2 == 0 and L <= 128):
+                and self.heads % 2 == 0 and L <= 384):
             backend = jax.default_backend()
             if backend != "cpu" or os.environ.get(
                 "SEESAW_FUSED_ATTN_INTERPRET"

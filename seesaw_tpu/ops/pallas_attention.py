@@ -31,8 +31,10 @@ head_dim 64 = exactly half the 128-lane register width:
   (models/clip.py MultiHeadAttention; reference CLIP does the same).
 
 The kernel covers the non-causal tower (mask=None). Requirements:
-head_dim == 64, an even number of heads, L <= 128. `interpret=True` makes
-it testable on CPU.
+head_dim == 64, an even number of heads, L <= 384 (covers all three CLIP
+vision towers: ViT-B/32 seq 50, ViT-B/16 seq 197, ViT-L/14 seq 257; the
+block batch auto-shrinks for the long-seq towers to stay inside VMEM).
+`interpret=True` makes it testable on CPU.
 """
 from __future__ import annotations
 
@@ -148,7 +150,12 @@ def fused_pair_attention(q, k, v, *, block_b: int = 16,
 def _pallas_forward(q, k, v, block_b, interpret):
     B, L, W = q.shape
     assert W % 128 == 0, "needs an even number of 64-wide heads"
-    assert L <= 128, "small-sequence kernel (ViT-B/32 seq=50)"
+    assert L <= 384, "short-sequence kernel (ViT towers: seq 50/197/257)"
+    if L > 128:
+        # VMEM per image ~ 24*L^2 (three f32 (L,2L) intermediates) +
+        # ~1.8KB*L; cap the block so a double-buffered block stays well
+        # inside the 32MB limit (ViT-B/16 L=197, ViT-L/14 L=257)
+        block_b = min(block_b, 4)
     if B % block_b:  # pad batch to the block size; sliced off below
         pad = block_b - B % block_b
         zq = jnp.zeros((pad, L, W), q.dtype)

@@ -25,7 +25,10 @@ def einsum_attention(q, k, v, heads: int):
     return out.transpose(0, 2, 1, 3).reshape(B, L, W)
 
 
-@pytest.mark.parametrize("B,L,heads", [(3, 50, 12), (2, 77, 8), (5, 64, 2)])
+@pytest.mark.parametrize(
+    "B,L,heads",
+    [(3, 50, 12), (2, 77, 8), (5, 64, 2), (2, 197, 2), (1, 257, 2)],
+)
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_matches_einsum(B, L, heads, dtype):
     W = heads * 64
