@@ -81,6 +81,10 @@ class MultiHeadAttention(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     fused: bool = False
+    # causal=True promises the dense `mask` argument is exactly the
+    # triu(-inf) causal mask, letting the fused kernel rebuild it from
+    # iotas instead of consuming the tensor (einsum fallback still uses it)
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -98,7 +102,7 @@ class MultiHeadAttention(nn.Module):
         # split/merge transposes, 128-deep MXU contractions. Ablation shows
         # the einsum path below spends 58% of the ViT forward here for ~8%
         # of its FLOPs (PARITY.md round-4 item 10).
-        if (self.fused and mask is None and head_dim == 64
+        if (self.fused and (mask is None or self.causal) and head_dim == 64
                 and self.heads % 2 == 0 and L <= 384):
             backend = jax.default_backend()
             if backend != "cpu" or os.environ.get(
@@ -107,7 +111,8 @@ class MultiHeadAttention(nn.Module):
                 from ..ops.pallas_attention import fused_pair_attention
 
                 out = fused_pair_attention(
-                    q, k, v, interpret=(backend == "cpu")
+                    q, k, v, interpret=(backend == "cpu"),
+                    causal=self.causal and mask is not None,
                 )
                 return dense(name="out_proj")(out)
 
@@ -144,6 +149,7 @@ class ResidualBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     fused: bool = False
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -151,7 +157,7 @@ class ResidualBlock(nn.Module):
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm2")
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, fused=self.fused,
-            name="self_attn"
+            causal=self.causal, name="self_attn"
         )(ln1(x).astype(self.dtype), mask)
         x = x + MLP(self.width, dtype=self.dtype, name="mlp")(
             ln2(x).astype(self.dtype)
@@ -236,7 +242,8 @@ class TextTower(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1)
         for i in range(c.text_layers):
             x = ResidualBlock(
-                c.text_width, c.text_heads, dtype=c.dtype, name=f"layer_{i}"
+                c.text_width, c.text_heads, dtype=c.dtype,
+                fused=c.fused_attention, causal=True, name=f"layer_{i}"
             )(x, mask=causal)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x)
         if eot_positions is None:

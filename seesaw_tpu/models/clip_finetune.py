@@ -9,6 +9,7 @@ hyperparameter search replacing the ray.tune ASHA harness.
 """
 from __future__ import annotations
 
+import dataclasses
 import random
 from typing import Callable, Dict, List, Optional
 
@@ -76,7 +77,14 @@ class CLIPFineTuner:
     def __init__(self, embedding: ClipEmbedding, config: dict):
         self.embedding = embedding
         self.config = dict(config)
-        self.model = embedding.model
+        # train with the einsum attention: the fused kernel's custom VJP
+        # recomputes the attention forward in backward, which nets out
+        # slightly SLOWER for full fwd+bwd steps (measured 2034 einsum vs
+        # 1994 fused pairs/s, B=256 contrastive; /tmp probe r4). Inference
+        # (ingest, serving, to_embedding) keeps the fused path.
+        self.model = ClipModel(
+            dataclasses.replace(embedding.cfg, fused_attention=False)
+        )
         self.params = jax.tree.map(jnp.asarray, embedding.params)
         opt_config = self.config.get("opt_config") or {
             "text/projection": {"lr": self.config.get("lr", 5e-5),

@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # -inf-like that survives bf16/f32 masking arithmetic
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 causal: bool = False):
     bb, L, _ = q_ref.shape  # (bb, L, 128): bb images, one head-pair
 
     for i in range(bb):  # unrolled: bb is a small static block
@@ -75,6 +76,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
         col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
         seg_a = col < L
+        if causal:
+            # key position within its head's segment; query i attends to
+            # keys <= i (the text tower's triu(-inf) mask, iota-built here
+            # instead of shipping a dense mask tensor)
+            row = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 0)
+            keypos = jnp.where(seg_a, col, col - L)
+            s = jnp.where(keypos <= row, s, NEG)
         # segmented fp32 softmax (stable: per-segment max subtraction)
         m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
         m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
@@ -91,12 +99,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         o_ref[i] = o.astype(o_ref.dtype)
 
 
-def _ref_attention(q, k, v):
+def _ref_attention(q, k, v, causal=False):
     """The einsum formulation (clip.py MultiHeadAttention) for head_dim 64.
 
     Used ONLY to derive the backward pass: pallas_call has no automatic
     VJP, and fine-tuning (models/clip_finetune.py) differentiates through
-    the vision tower. Backward-by-einsum keeps grads numerically identical
+    both towers. Backward-by-einsum keeps grads numerically identical
     to the unfused path while the forward runs the kernel."""
     B, L, W = q.shape
     H = W // 64
@@ -106,48 +114,54 @@ def _ref_attention(q, k, v):
 
     qh, kh, vh = split(q), split(k), split(v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) / 8.0
+    if causal:
+        logits = logits + jnp.triu(
+            jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1
+        )
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
     return out.transpose(0, 2, 1, 3).reshape(B, L, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused(q, k, v, block_b, interpret):
-    return _pallas_forward(q, k, v, block_b, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused(q, k, v, block_b, interpret, causal):
+    return _pallas_forward(q, k, v, block_b, interpret, causal)
 
 
-def _fused_fwd(q, k, v, block_b, interpret):
-    return _pallas_forward(q, k, v, block_b, interpret), (q, k, v)
+def _fused_fwd(q, k, v, block_b, interpret, causal):
+    return _pallas_forward(q, k, v, block_b, interpret, causal), (q, k, v)
 
 
-def _fused_bwd(block_b, interpret, res, g):
+def _fused_bwd(block_b, interpret, causal, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(_ref_attention, q, k, v)
+    _, vjp = jax.vjp(lambda q, k, v: _ref_attention(q, k, v, causal), q, k, v)
     return vjp(g)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret", "causal"))
 def fused_pair_attention(q, k, v, *, block_b: int = 16,
-                         interpret: bool = False):
+                         interpret: bool = False, causal: bool = False):
     """softmax(q kᵀ / sqrt(64)) v per 64-wide head, fused on TPU.
 
     q, k, v: (B, L, width) in the natural projection layout (no head
-    split); width = heads * 64, heads even, L <= 128. Returns (B, L, width)
+    split); width = heads * 64, heads even, L <= 384. Returns (B, L, width)
     merged output, ready for the out-projection. Differentiable: the VJP
     recomputes through the einsum formulation (`_ref_attention`).
+    causal=True applies the text tower's triu(-inf) mask (built from iotas
+    inside the kernel, segment-aware).
 
     block_b=16: measured 8286 (einsum) -> 11661/11932/11994 img/s at
     block_b 8/16/32 on the full ViT-B/32 B=1024 forward (v5e chip,
     scripts/probe_fused_attention.py) — 16 is within noise of 32 at less
     VMEM and compile.
     """
-    return _fused(q, k, v, block_b, interpret)
+    return _fused(q, k, v, block_b, interpret, causal)
 
 
-def _pallas_forward(q, k, v, block_b, interpret):
+def _pallas_forward(q, k, v, block_b, interpret, causal=False):
     B, L, W = q.shape
     assert W % 128 == 0, "needs an even number of 64-wide heads"
     assert L <= 384, "short-sequence kernel (ViT towers: seq 50/197/257)"
@@ -164,7 +178,7 @@ def _pallas_forward(q, k, v, block_b, interpret):
 
     spec = pl.BlockSpec((block_b, L, 128), lambda i, j: (i, 0, j))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=1.0 / 8.0),
+        functools.partial(_attn_kernel, scale=1.0 / 8.0, causal=causal),
         grid=(Bp // block_b, W // 128),
         in_specs=[spec, spec, spec],
         out_specs=spec,

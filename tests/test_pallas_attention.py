@@ -9,7 +9,7 @@ import pytest
 from seesaw_tpu.ops.pallas_attention import fused_pair_attention
 
 
-def einsum_attention(q, k, v, heads: int):
+def einsum_attention(q, k, v, heads: int, causal: bool = False):
     """The XLA formulation the kernel replaces (clip.py:90-101)."""
     B, L, W = q.shape
     hd = W // heads
@@ -20,9 +20,77 @@ def einsum_attention(q, k, v, heads: int):
     qh, kh, vh = split(q), split(k), split(v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     logits = logits / np.sqrt(hd)
+    if causal:
+        logits = logits + jnp.triu(
+            jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1
+        )
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
     return out.transpose(0, 2, 1, 3).reshape(B, L, W)
+
+
+@pytest.mark.parametrize("B,L,heads", [(3, 77, 8), (2, 12, 2), (1, 197, 2)])
+def test_causal_matches_einsum(B, L, heads):
+    # the text tower's triu(-inf) mask, rebuilt from iotas in-kernel
+    W = heads * 64
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, L, W)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = einsum_attention(q, k, v, heads, causal=True)
+    got = fused_pair_attention(q, k, v, block_b=2, interpret=True, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=2e-6
+    )
+
+
+def test_causal_gradients_match_einsum():
+    rng = np.random.default_rng(8)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 12, 128)).astype(np.float32))
+        for _ in range(3)
+    )
+    cot = jnp.asarray(rng.normal(size=(2, 12, 128)).astype(np.float32))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(einsum_attention(*a, 2, causal=True) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(
+            fused_pair_attention(*a, block_b=2, interpret=True, causal=True)
+            * cot
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_text_tower_fused_wiring(monkeypatch):
+    # the causal fused path through the full text tower vs the einsum tower
+    import dataclasses
+
+    from seesaw_tpu.models.clip import ClipConfig, TextTower, init_params
+
+    monkeypatch.setenv("SEESAW_FUSED_ATTN_INTERPRET", "1")
+    base = ClipConfig(
+        embed_dim=32, image_size=32, patch_size=16, vision_width=48,
+        vision_layers=1, vision_heads=4, vocab_size=99, context_length=16,
+        text_width=128, text_layers=2, text_heads=2,
+    )
+    cfgs = [dataclasses.replace(base, fused_attention=f) for f in (False, True)]
+    params = init_params(cfgs[0], seed=0)["text"]
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(0, 99, size=(3, 16)).astype(np.int32))
+    ref, got = (
+        TextTower(c).apply({"params": params}, toks) for c in cfgs
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
 
 
 @pytest.mark.parametrize(
