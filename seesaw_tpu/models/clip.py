@@ -90,6 +90,11 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, mask=None):
         B, L, _ = x.shape
         head_dim = self.width // self.heads
+        if self.causal and mask is None:
+            # causal is authoritative: normalize so the einsum fallback and
+            # the fused kernel (which rebuilds the mask from iotas) can
+            # never diverge when a caller omits the dense tensor
+            mask = jnp.triu(jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1)
         dense = functools.partial(
             nn.Dense, self.width, dtype=self.dtype, param_dtype=jnp.float32
         )
@@ -110,9 +115,12 @@ class MultiHeadAttention(nn.Module):
             ):
                 from ..ops.pallas_attention import fused_pair_attention
 
+                # NOTE: backend + SEESAW_FUSED_ATTN_INTERPRET are read at
+                # TRACE time; a cached jit pins the choice made when first
+                # traced (toggling the env var mid-process won't retrace)
                 out = fused_pair_attention(
-                    q, k, v, interpret=(backend == "cpu"),
-                    causal=self.causal and mask is not None,
+                    q, k, v, heads=self.heads,
+                    interpret=(backend == "cpu"), causal=self.causal,
                 )
                 return dense(name="out_proj")(out)
 
@@ -120,7 +128,11 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(B, L, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        # fp32 softmax accumulation regardless of compute dtype
+        # fp32 softmax accumulation regardless of compute dtype.
+        # KEEP IN SYNC with ops/pallas_attention._ref_attention — the fused
+        # path's custom VJP differentiates through that copy of these
+        # semantics (tower-level grad differential guards the pairing:
+        # tests/test_pallas_attention.py test_tower_gradients_fused_vs_einsum)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         logits = logits / np.sqrt(head_dim)
         if mask is not None:

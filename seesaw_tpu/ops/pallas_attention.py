@@ -141,9 +141,12 @@ def _fused_bwd(block_b, interpret, causal, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret", "causal"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "causal", "heads")
+)
 def fused_pair_attention(q, k, v, *, block_b: int = 16,
-                         interpret: bool = False, causal: bool = False):
+                         interpret: bool = False, causal: bool = False,
+                         heads: int | None = None):
     """softmax(q kᵀ / sqrt(64)) v per 64-wide head, fused on TPU.
 
     q, k, v: (B, L, width) in the natural projection layout (no head
@@ -151,13 +154,21 @@ def fused_pair_attention(q, k, v, *, block_b: int = 16,
     merged output, ready for the out-projection. Differentiable: the VJP
     recomputes through the einsum formulation (`_ref_attention`).
     causal=True applies the text tower's triu(-inf) mask (built from iotas
-    inside the kernel, segment-aware).
+    inside the kernel, segment-aware). Pass `heads` to have the 64-wide
+    precondition CHECKED: the (B, L, W) layout alone cannot distinguish
+    H heads of head_dim 64 from H/2 heads of head_dim 128 — the kernel is
+    only correct for head_dim 64 (and scales by 1/8 accordingly).
 
     block_b=16: measured 8286 (einsum) -> 11661/11932/11994 img/s at
     block_b 8/16/32 on the full ViT-B/32 B=1024 forward (v5e chip,
     scripts/probe_fused_attention.py) — 16 is within noise of 32 at less
     VMEM and compile.
     """
+    if heads is not None:
+        assert heads * 64 == q.shape[-1], (
+            f"kernel requires head_dim 64: got heads={heads}, "
+            f"width={q.shape[-1]}"
+        )
     return _fused(q, k, v, block_b, interpret, causal)
 
 

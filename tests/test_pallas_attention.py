@@ -180,6 +180,60 @@ def test_gradients_match_einsum():
         )
 
 
+def test_long_seq_default_block():
+    # L>128 must auto-shrink the block batch (VMEM guard) — exercised here
+    # at the DEFAULT block_b the model path uses, including the B->pad path
+    rng = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 197, 128)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = einsum_attention(q, k, v, 2)
+    got = fused_pair_attention(q, k, v, interpret=True)  # default block_b=16
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=2e-6
+    )
+
+
+def test_heads_precondition_checked():
+    q = jnp.zeros((1, 8, 256), jnp.float32)
+    with pytest.raises(AssertionError, match="head_dim 64"):
+        fused_pair_attention(q, q, q, heads=2, interpret=True)
+
+
+def test_tower_gradients_fused_vs_einsum(monkeypatch):
+    # guards _ref_attention (the VJP's copy of the einsum semantics)
+    # against drift from clip.py's own einsum formulation: grads of the
+    # full vision tower must match between fused and unfused configs
+    import dataclasses
+
+    from seesaw_tpu.models.clip import ClipConfig, VisionTower, init_params
+
+    monkeypatch.setenv("SEESAW_FUSED_ATTN_INTERPRET", "1")
+    base = ClipConfig(
+        embed_dim=32, image_size=32, patch_size=16, vision_width=128,
+        vision_layers=2, vision_heads=2, vocab_size=99, context_length=12,
+        text_width=32, text_layers=1, text_heads=4,
+    )
+    cfgs = [dataclasses.replace(base, fused_attention=f) for f in (False, True)]
+    params = init_params(cfgs[0], seed=0)["vision"]
+    rng = np.random.default_rng(12)
+    px = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+    def loss(p, cfg):
+        return jnp.sum(VisionTower(cfg).apply({"params": p}, px) ** 2)
+
+    g_ref, g_fused = (
+        jax.grad(lambda p: loss(p, c))(params) for c in cfgs
+    )
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_fused = jax.tree.leaves(g_fused)
+    for a, b in zip(flat_fused, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
 def test_extreme_logits_stable():
     # large-magnitude q/k: the segmented-softmax max subtraction must keep
     # exp() in range exactly like jax.nn.softmax does
