@@ -129,9 +129,9 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         # fp32 softmax accumulation regardless of compute dtype.
-        # KEEP IN SYNC with ops/pallas_attention._ref_attention — the fused
-        # path's custom VJP differentiates through that copy of these
-        # semantics (tower-level grad differential guards the pairing:
+        # KEEP IN SYNC with ops/pallas_attention (forward AND backward
+        # kernels recompute these semantics; the tower-level grad
+        # differential guards the pairing:
         # tests/test_pallas_attention.py test_tower_gradients_fused_vs_einsum)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         logits = logits / np.sqrt(head_dim)

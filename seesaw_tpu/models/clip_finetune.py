@@ -9,7 +9,6 @@ hyperparameter search replacing the ray.tune ASHA harness.
 """
 from __future__ import annotations
 
-import dataclasses
 import random
 from typing import Callable, Dict, List, Optional
 
@@ -77,14 +76,13 @@ class CLIPFineTuner:
     def __init__(self, embedding: ClipEmbedding, config: dict):
         self.embedding = embedding
         self.config = dict(config)
-        # train with the einsum attention: the fused kernel's custom VJP
-        # recomputes the attention forward in backward, which nets out
-        # slightly SLOWER for full fwd+bwd steps (measured 2034 einsum vs
-        # 1994 fused pairs/s, B=256 contrastive; /tmp probe r4). Inference
-        # (ingest, serving, to_embedding) keeps the fused path.
-        self.model = ClipModel(
-            dataclasses.replace(embedding.cfg, fused_attention=False)
-        )
+        # train THROUGH the fused kernel: its pair-packed Pallas backward
+        # (ops/pallas_attention._attn_bwd_kernel) recomputes the softmax in
+        # VMEM instead of replaying the einsum forward — full contrastive
+        # fwd+bwd measured 2034 einsum vs 2518 fused pairs/s (+24%, B=256,
+        # scripts/probe_fused_attention_bwd.py; the earlier
+        # backward-by-einsum VJP netted out neutral at 1994)
+        self.model = ClipModel(embedding.cfg)
         self.params = jax.tree.map(jnp.asarray, embedding.params)
         opt_config = self.config.get("opt_config") or {
             "text/projection": {"lr": self.config.get("lr", 5e-5),
@@ -137,6 +135,9 @@ class CLIPFineTuner:
     def to_embedding(self) -> ClipEmbedding:
         return ClipEmbedding(
             variant=self.embedding.variant,
+            # cfg must ride along: the variant string alone reconstructs the
+            # DEFAULT config (vit-b32) for embeddings built with a custom cfg
+            cfg=self.embedding.cfg,
             params=jax.tree.map(np.asarray, self.params),
             tokenizer=self.embedding.tokenizer,
         )

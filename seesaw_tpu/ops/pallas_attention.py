@@ -99,28 +99,92 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[i] = o.astype(o_ref.dtype)
 
 
-def _ref_attention(q, k, v, causal=False):
-    """The einsum formulation (clip.py MultiHeadAttention) for head_dim 64.
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, causal: bool = False):
+    """Pair-packed attention backward: recompute the segmented softmax in
+    VMEM (flash-attention style — nothing but q/k/v/g is read from HBM),
+    then all three input gradients from four MXU contractions:
 
-    Used ONLY to derive the backward pass: pallas_call has no automatic
-    VJP, and fine-tuning (models/clip_finetune.py) differentiates through
-    both towers. Backward-by-einsum keeps grads numerically identical
-    to the unfused path while the forward runs the kernel."""
-    B, L, W = q.shape
-    H = W // 64
+      dp  = g · v2ᵀ        (L,128)×(128,2L) — full 128-deep contraction
+      ds  = p ∘ (dp − rowsum_seg(p ∘ dp)) · scale   (softmax backward,
+            segmented per head exactly like the forward softmax)
+      dq  = ds · k2        (L,2L)×(2L,128) — 2L-deep contraction
+      dk2 = dsᵀ · q,  dv2 = pᵀ · g   — (2L,L)×(L,128); head A's gradient
+            lands in rows 0:L lanes 0:64 and head B's in rows L:2L lanes
+            64:128 (the cross blocks are dsᵀA·qB-style garbage), so the
+            same lane-iota select that builds k2 collapses (2L,128)→(L,128)
+            pre-merged. No transposes anywhere — the "transposed" operands
+            are expressed as dot_general contracting dimension choices.
 
-    def split(t):
-        return t.reshape(B, L, H, 64).transpose(0, 2, 1, 3)
+    Causal rows need no special casing: masked logits give p = 0 there,
+    which zeroes both ds and the dv2 contribution identically.
+    """
+    bb, L, _ = q_ref.shape
 
-    qh, kh, vh = split(q), split(k), split(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) / 8.0
-    if causal:
-        logits = logits + jnp.triu(
-            jnp.full((L, L), -jnp.inf, dtype=jnp.float32), k=1
+    for i in range(bb):  # unrolled: bb is a small static block
+        q = q_ref[i]  # (L, 128) = two heads side by side
+        k = k_ref[i]
+        v = v_ref[i]
+        g = g_ref[i]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+        in_a = lane < 64
+        zero = jnp.zeros((), k.dtype)
+        k2 = jnp.concatenate(
+            [jnp.where(in_a, k, zero), jnp.where(in_a, zero, k)], axis=0
+        )  # (2L, 128): rows 0:L = [K_A|0], rows L:2L = [0|K_B]
+        v2 = jnp.concatenate(
+            [jnp.where(in_a, v, zero), jnp.where(in_a, zero, v)], axis=0
         )
-    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
-    return out.transpose(0, 2, 1, 3).reshape(B, L, W)
+
+        # --- recompute logits + segmented softmax (matches _attn_kernel) ---
+        s = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (L, 2L)
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
+        seg_a = col < L
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 0)
+            keypos = jnp.where(seg_a, col, col - L)
+            s = jnp.where(keypos <= row, s, NEG)
+        m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
+        m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
+        e = jnp.exp(s - jnp.where(seg_a, m_a, m_b))
+        d_a = jnp.sum(jnp.where(seg_a, e, 0.0), axis=1, keepdims=True)
+        d_b = jnp.sum(jnp.where(seg_a, 0.0, e), axis=1, keepdims=True)
+        p = e / jnp.where(seg_a, d_a, d_b)  # (L, 2L) f32
+
+        # --- softmax backward, segmented ---
+        dp = jax.lax.dot_general(
+            g, v2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (L, 2L) = dL/dp
+        pdp = p * dp
+        r_a = jnp.sum(jnp.where(seg_a, pdp, 0.0), axis=1, keepdims=True)
+        r_b = jnp.sum(jnp.where(seg_a, 0.0, pdp), axis=1, keepdims=True)
+        ds = (p * (dp - jnp.where(seg_a, r_a, r_b))) * scale  # d(raw logits)
+
+        dsc = ds.astype(q.dtype)
+        pc = p.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            dsc, k2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (L, 128)
+        dk2 = jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2L, 128): dsᵀ·q without a transpose
+        dv2 = jax.lax.dot_general(
+            pc, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2L, 128): pᵀ·g
+        dk = jnp.where(in_a, dk2[:L], dk2[L:])
+        dv = jnp.where(in_a, dv2[:L], dv2[L:])
+
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -134,8 +198,7 @@ def _fused_fwd(q, k, v, block_b, interpret, causal):
 
 def _fused_bwd(block_b, interpret, causal, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _ref_attention(q, k, v, causal), q, k, v)
-    return vjp(g)
+    return _pallas_backward(q, k, v, g, block_b, interpret, causal)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -152,7 +215,10 @@ def fused_pair_attention(q, k, v, *, block_b: int = 16,
     q, k, v: (B, L, width) in the natural projection layout (no head
     split); width = heads * 64, heads even, L <= 384. Returns (B, L, width)
     merged output, ready for the out-projection. Differentiable: the VJP
-    recomputes through the einsum formulation (`_ref_attention`).
+    runs a pair-packed Pallas backward (`_attn_bwd_kernel`) that recomputes
+    the segmented softmax in VMEM (flash-attention style) and yields
+    dq/dk/dv via the same 128-lane collapse trick — fine-tuning
+    (models/clip_finetune.py) trains through the kernel in both towers.
     causal=True applies the text tower's triu(-inf) mask (built from iotas
     inside the kernel, segment-aware). Pass `heads` to have the 64-wide
     precondition CHECKED: the (B, L, W) layout alone cannot distinguish
@@ -203,3 +269,33 @@ def _pallas_forward(q, k, v, block_b, interpret, causal=False):
         ),
     )(q, k, v)
     return out[:B]
+
+
+def _pallas_backward(q, k, v, g, block_b, interpret, causal=False):
+    B, L, W = q.shape
+    if L > 128:
+        # the backward holds ~5 (L,2L) f32 intermediates + 4 (2L,128)
+        # operands per image — roughly 2x the forward's footprint, so halve
+        # the long-seq block cap (fine-tune shapes are L=50/77 anyway)
+        block_b = min(block_b, 2)
+    if B % block_b:
+        pad = block_b - B % block_b
+        zq = jnp.zeros((pad, L, W), q.dtype)
+        q, k, v, g = (jnp.concatenate([t, zq], 0) for t in (q, k, v, g))
+    Bp = q.shape[0]
+
+    spec = pl.BlockSpec((block_b, L, 128), lambda i, j: (i, 0, j))
+    shape = jax.ShapeDtypeStruct((Bp, L, W), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=1.0 / 8.0, causal=causal),
+        grid=(Bp // block_b, W // 128),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+    )(q, k, v, g)
+    return dq[:B], dk[:B], dv[:B]

@@ -114,3 +114,39 @@ def test_search_checkpoint_resume(tmp_path):
     )
     assert len(calls) == n_first  # everything replayed from the checkpoint
     assert best2 == best1 and loss2 == loss1
+
+
+def test_to_embedding_preserves_custom_cfg(monkeypatch):
+    # a tuner built on a custom-cfg embedding (no named variant) must hand
+    # the cfg back out — the variant string alone reconstructs the DEFAULT
+    # vit-b32 config and encode_image_batch then fails on param shapes.
+    # Custom cfg here also engages the fused-attention gate (64-wide heads,
+    # interpret mode), driving the Pallas fwd+bwd through CLIPFineTuner.
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from seesaw_tpu.models.clip import VARIANTS
+
+    monkeypatch.setenv("SEESAW_FUSED_ATTN_INTERPRET", "1")
+    cfg = dataclasses.replace(
+        VARIANTS["test"], vision_width=128, vision_heads=2, text_width=128,
+        text_heads=2, embed_dim=32,
+    )
+    emb = ClipEmbedding(cfg=cfg)
+    ft = CLIPFineTuner(emb, {"opt_config": {"": {"lr": 1e-3}}, "warmup": 0})
+    assert ft.model.cfg.fused_attention
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(8, cfg.image_size, cfg.image_size, 3)).astype(
+        np.float32
+    )
+    toks = rng.integers(1, cfg.vocab_size, size=(8, cfg.context_length)).astype(
+        np.int32
+    )
+    ft.fit(px, toks, epochs=4, batch_size=8)
+    assert ft.losses[-1] < ft.losses[0]
+    out = ft.to_embedding()
+    assert out.cfg == emb.cfg
+    feats = out.encode_image_batch(jnp.asarray(px))
+    assert feats.shape == (8, cfg.embed_dim)
+    assert bool(jnp.isfinite(feats).all())

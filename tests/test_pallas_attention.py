@@ -202,9 +202,10 @@ def test_heads_precondition_checked():
 
 
 def test_tower_gradients_fused_vs_einsum(monkeypatch):
-    # guards _ref_attention (the VJP's copy of the einsum semantics)
-    # against drift from clip.py's own einsum formulation: grads of the
-    # full vision tower must match between fused and unfused configs
+    # guards the Pallas backward kernel (which recomputes the softmax
+    # semantics) against drift from clip.py's own einsum formulation:
+    # grads of the full vision tower must match between fused and unfused
+    # configs
     import dataclasses
 
     from seesaw_tpu.models.clip import ClipConfig, VisionTower, init_params
@@ -231,6 +232,63 @@ def test_tower_gradients_fused_vs_einsum(monkeypatch):
     for a, b in zip(flat_fused, flat_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_backward_bf16(causal):
+    # the Pallas backward in the training dtype: compare against einsum
+    # grads computed in bf16 too (same forward dtypes), f32 reference
+    # only sets the tolerance scale
+    rng = np.random.default_rng(14)
+    qf, kf, vf, cotf = (
+        rng.normal(size=(3, 50, 128)).astype(np.float32) for _ in range(4)
+    )
+    q, k, v, cot = (
+        jnp.asarray(t, jnp.bfloat16) for t in (qf, kf, vf, cotf)
+    )
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(
+            einsum_attention(*a, 2, causal=causal).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(
+            fused_pair_attention(
+                *a, block_b=2, interpret=True, causal=causal
+            ).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=0.15, rtol=0.1,
+        )
+
+
+def test_backward_long_seq_padding():
+    # L>128 exercises the backward's own block cap; B=3 with the default
+    # block exercises its pad+slice path (pad rows must not pollute grads)
+    rng = np.random.default_rng(15)
+    q, k, v, cot = (
+        jnp.asarray(rng.normal(size=(3, 197, 128)).astype(np.float32))
+        for _ in range(4)
+    )
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(einsum_attention(*a, 2) * cot), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fused_pair_attention(*a, interpret=True) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5
         )
 
 
