@@ -265,6 +265,53 @@ def bench_clip_embed():
     return B * ITERS / min(ts)
 
 
+def bench_finetune():
+    """Contrastive fine-tune step throughput (fwd+bwd through BOTH towers),
+    the DB-matched-training path (models/clip_finetune.py). Trains through
+    the fused pair-packed attention kernel incl. its Pallas BACKWARD
+    (segmented-softmax recompute in VMEM): 2034 einsum vs 2518 fused
+    pairs/s measured (scripts/probe_fused_attention_bwd.py). Same chained
+    methodology — params thread through the scan as the data dependency."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.models.clip import ClipEmbedding, ClipModel
+    from seesaw_tpu.models.clip_finetune import clip_contrastive_loss
+
+    emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
+    model = emb.model
+    params = jax.tree.map(jnp.asarray, emb.params)
+    B, ITERS = 256, 8
+
+    @jax.jit
+    def chained(p, key):
+        def body(carry, k):
+            px = jax.random.normal(k, (B, 224, 224, 3), dtype=jnp.float32)
+            toks = jax.random.randint(k, (B, 77), 0, 49408)
+
+            def loss_fn(pp):
+                img = model.apply({"params": pp}, px,
+                                  method=ClipModel.encode_image)
+                txt = model.apply({"params": pp}, toks,
+                                  method=ClipModel.encode_text)
+                return clip_contrastive_loss(img, txt, pp["logit_scale"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(carry)
+            new_p = jax.tree.map(lambda a, g: a - 1e-12 * g, carry, grads)
+            return new_p, loss
+
+        final_p, losses = jax.lax.scan(body, p, jax.random.split(key, ITERS))
+        return losses.sum() + jax.tree.leaves(final_p)[0].sum() * 0.0
+
+    float(chained(params, jax.random.PRNGKey(0)))  # compile + run
+    ts = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(chained(params, jax.random.PRNGKey(i + 1)))
+        ts.append(time.perf_counter() - t0)
+    return {"finetune_pairs_per_s": round(B * ITERS / min(ts), 1)}
+
+
 def bench_ingest(n_images: int = 240) -> dict:  # multiple of the 48-image group
     """End-to-end ingest: JPEG decode -> multiscale tiling -> CLIP encode
     (BASELINE.md target #1). Synthetic 640x480 JPEGs; real ViT-B/32 bf16."""
@@ -1213,9 +1260,9 @@ def _main():
     _stage("session", 180, lambda: bench_session_rounds(n_vectors),
            skip_env="SEESAW_BENCH_SKIP_SESSION")
 
-    # int8's matvec advantage does not carry to the (N,D)@(D,16) batch
-    # matmul (XLA's int8 path loses to bf16 there) — measure both;
-    # bf16 is the better concurrent-serving config
+    # per-ROW-scale int8 loses the (N,D)@(D,16) batch matmul to bf16 (the
+    # dequant chain de-fuses the frame-max tail); per-FRAME scales below
+    # win it — all three measured so the record shows the ordering
     _stage("multiq_int8", 100, lambda: bench_multi_query(n_vectors),
            skip_env="SEESAW_BENCH_SKIP_MULTIQ")
     _stage("multiq_bf16", 100,
@@ -1251,6 +1298,11 @@ def _main():
            skip_env="SEESAW_BENCH_SKIP_RECALL")
     _stage("recall_1M", 150, lambda: bench_int8_recall(trials=12),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
+
+    # DB-matched-training throughput (fwd+bwd through the fused attention
+    # backward); last so the headline stages never pay its compile
+    _stage("finetune", 150, bench_finetune,
+           skip_env="SEESAW_BENCH_SKIP_FINETUNE")
 
     # transfer-free ingest bound for an attached v5e-8 host: encode is the
     # binding resource (8 chips x measured ViT rate / tiles-per-image);
