@@ -30,7 +30,7 @@ Env overrides: SEESAW_BENCH_VECTORS (default 10_000_000),
 SEESAW_BENCH_BUDGET_S, SEESAW_BENCH_SKIP_CLIP=1 / SEESAW_BENCH_SKIP_INGEST=1
 / SEESAW_BENCH_SKIP_RECALL=1 / SEESAW_BENCH_SKIP_REFINE=1 /
 SEESAW_BENCH_SKIP_SESSION=1 / SEESAW_BENCH_SKIP_MULTIQ=1 /
-SEESAW_BENCH_SKIP_GRAPH=1,
+SEESAW_BENCH_SKIP_GRAPH=1 / SEESAW_BENCH_SKIP_FINETUNE=1,
 SEESAW_BENCH_NO_PALLAS=1, SEESAW_PROFILE_DIR=<dir> for a jax trace.
 """
 from __future__ import annotations
@@ -265,29 +265,28 @@ def bench_clip_embed():
     return B * ITERS / min(ts)
 
 
-def bench_finetune():
-    """Contrastive fine-tune step throughput (fwd+bwd through BOTH towers),
-    the DB-matched-training path (models/clip_finetune.py). Trains through
-    the fused pair-packed attention kernel incl. its Pallas BACKWARD
-    (segmented-softmax recompute in VMEM): 2034 einsum vs 2518 fused
-    pairs/s measured (scripts/probe_fused_attention_bwd.py). Same chained
-    methodology — params thread through the scan as the data dependency."""
+def finetune_pairs_per_s(model, params, cfg, *, B: int = 256,
+                         iters: int = 8, reps: int = 2,
+                         on_compiled=None) -> float:
+    """Chained contrastive train-step throughput for a ClipModel (fwd+bwd
+    through BOTH towers). Shared by the bench stage and the A/B probe
+    (scripts/probe_fused_attention_bwd.py) so the methodology cannot
+    drift: iters steps scanned in one jitted program with params threaded
+    through as the data dependency, fresh key per rep, float() barrier."""
     import jax
     import jax.numpy as jnp
 
-    from seesaw_tpu.models.clip import ClipEmbedding, ClipModel
+    from seesaw_tpu.models.clip import ClipModel
     from seesaw_tpu.models.clip_finetune import clip_contrastive_loss
 
-    emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
-    model = emb.model
-    params = jax.tree.map(jnp.asarray, emb.params)
-    B, ITERS = 256, 8
+    L, vocab = cfg.context_length, cfg.vocab_size
+    size = cfg.image_size
 
     @jax.jit
     def chained(p, key):
         def body(carry, k):
-            px = jax.random.normal(k, (B, 224, 224, 3), dtype=jnp.float32)
-            toks = jax.random.randint(k, (B, 77), 0, 49408)
+            px = jax.random.normal(k, (B, size, size, 3), dtype=jnp.float32)
+            toks = jax.random.randint(k, (B, L), 0, vocab)
 
             def loss_fn(pp):
                 img = model.apply({"params": pp}, px,
@@ -297,19 +296,40 @@ def bench_finetune():
                 return clip_contrastive_loss(img, txt, pp["logit_scale"])
 
             loss, grads = jax.value_and_grad(loss_fn)(carry)
+            # vanishing update: a real data dependency between steps
+            # without drifting the weights
             new_p = jax.tree.map(lambda a, g: a - 1e-12 * g, carry, grads)
             return new_p, loss
 
-        final_p, losses = jax.lax.scan(body, p, jax.random.split(key, ITERS))
+        final_p, losses = jax.lax.scan(body, p, jax.random.split(key, iters))
         return losses.sum() + jax.tree.leaves(final_p)[0].sum() * 0.0
 
     float(chained(params, jax.random.PRNGKey(0)))  # compile + run
+    if on_compiled:
+        on_compiled()
     ts = []
-    for i in range(2):
+    for i in range(reps):
         t0 = time.perf_counter()
         float(chained(params, jax.random.PRNGKey(i + 1)))
         ts.append(time.perf_counter() - t0)
-    return {"finetune_pairs_per_s": round(B * ITERS / min(ts), 1)}
+    return B * iters / min(ts)
+
+
+def bench_finetune():
+    """Contrastive fine-tune step throughput, the DB-matched-training path
+    (models/clip_finetune.py). Trains through the fused pair-packed
+    attention kernel incl. its Pallas BACKWARD (segmented-softmax recompute
+    in VMEM): 2034 einsum vs 2537 fused pairs/s measured
+    (scripts/probe_fused_attention_bwd.py holds the A/B)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.models.clip import ClipEmbedding
+
+    emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
+    params = jax.tree.map(jnp.asarray, emb.params)
+    rate = finetune_pairs_per_s(emb.model, params, emb.cfg)
+    return {"finetune_pairs_per_s": round(rate, 1)}
 
 
 def bench_ingest(n_images: int = 240) -> dict:  # multiple of the 48-image group
@@ -662,63 +682,6 @@ def bench_refine(d: int = 512, n_labeled: int = 512) -> dict:
             "refine_n_labeled": n_labeled}
 
 
-def bench_int8_recall(n_vectors: int = 1_000_000, d: int = 512,
-                      trials: int = 20) -> dict:
-    """On-chip shortlist-recall study: fraction of the exact f32 top-10
-    contained in the int8 top-50 shortlist, CLIP-like vectors — per-ROW
-    scales and per-FRAME scales (the batch-serving quantization) both."""
-    import jax
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    centers = rng.normal(size=(64, d)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    which = rng.integers(0, 64, size=n_vectors)
-    V = 0.6 * centers[which] + 0.3 * rng.normal(size=(n_vectors, d))
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    V = V.astype(np.float32)
-
-    row_max = np.abs(V).max(axis=1)
-    scales = (row_max / 127.0).astype(np.float32)
-    V8 = np.clip(np.round(V / scales[:, None]), -127, 127).astype(np.int8)
-    # per-FRAME scales (8-row groups, the batch-serving quantization):
-    # coarser than per-row — its recall ships alongside the speed claim
-    fmax_scale = row_max.reshape(-1, TILES).max(axis=1)
-    fscales = np.repeat((fmax_scale / 127.0).astype(np.float32), TILES)
-    V8f = np.clip(np.round(V / fscales[:, None]), -127, 127).astype(np.int8)
-
-    from seesaw_tpu.ops.frame_scoring import scoring_matvec
-
-    Vd = jnp.asarray(V)
-    V8d = jnp.asarray(V8)
-    sd = jnp.asarray(scales)
-    V8fd = jnp.asarray(V8f)
-    sfd = jnp.asarray(fscales)
-
-    @jax.jit
-    def tops(Vx, V8x, sx, V8fx, sfx, q):  # arrays as args: closing over
-        exact = jax.lax.top_k(scoring_matvec(Vx, q), TOPK)[1]  # would bake GBs
-        quant = jax.lax.top_k(scoring_matvec(V8x, q, sx), SHORTLIST)[1]
-        quant_f = jax.lax.top_k(scoring_matvec(V8fx, q, sfx), SHORTLIST)[1]
-        return exact, quant, quant_f
-
-    hits = hits_f = 0
-    for t in range(trials):
-        q = 0.6 * centers[t] + 0.3 * rng.normal(size=d)
-        exact, quant, quant_f = tops(
-            Vd, V8d, sd, V8fd, sfd,
-            jnp.asarray(q / np.linalg.norm(q), dtype=jnp.float32))
-        e = set(np.asarray(exact).tolist())
-        hits += len(e & set(np.asarray(quant).tolist()))
-        hits_f += len(e & set(np.asarray(quant_f).tolist()))
-    return {
-        "int8_shortlist_recall_1M": round(hits / (trials * TOPK), 4),
-        "int8_shortlist_recall_1M_framescale": round(
-            hits_f / (trials * TOPK), 4
-        ),
-    }
-
-
 def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
                                trials: int = 20,
                                scale: str = "row") -> dict:
@@ -733,14 +696,18 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
     scale='row' is the matvec serving quantization; scale='frame' (one
     scale per 8-row tile group) is the BATCH serving quantization
     (MultiscaleIndex int8_scale='frame') — its recall ships at headline
-    scale alongside the speed claim. Runs are separate stages so the two
-    5 GB int8 copies never coexist in HBM."""
+    scale alongside the speed claim. At 10M the two run as separate
+    stages so the two 5 GB int8 copies never coexist in HBM;
+    scale='both' shares ONE generated database (and its exact f32
+    scores) across both quantizations for sub-headline sizes."""
     import gc
 
     import jax
     import jax.numpy as jnp
 
     from seesaw_tpu.ops.frame_scoring import scoring_matvec
+
+    scales = ("row", "frame") if scale == "both" else (scale,)
 
     rng = np.random.default_rng(0)
     centers = rng.normal(size=(64, d)).astype(np.float32)
@@ -760,21 +727,30 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
         V = V / jnp.linalg.norm(V, axis=1, keepdims=True)
         exact = V @ qd.T  # (rows, Q) f32 ground truth
         row_max = jnp.abs(V).max(axis=1)
-        if scale == "frame":  # one scale per TILES-row frame group
-            fmax = row_max.reshape(-1, TILES).max(axis=1)
-            row_max = jnp.repeat(fmax, TILES)
-        sc = jnp.where(row_max > 0, row_max / 127.0, 1.0)
-        V8 = jnp.clip(jnp.round(V / sc[:, None]), -127, 127).astype(jnp.int8)
-        return V8, sc.astype(jnp.float32), exact.astype(jnp.float32)
+        out = [exact.astype(jnp.float32)]
+        for s in scales:
+            rm = row_max
+            if s == "frame":  # one scale per TILES-row frame group
+                fmax = row_max.reshape(-1, TILES).max(axis=1)
+                rm = jnp.repeat(fmax, TILES)
+            sc = jnp.where(rm > 0, rm / 127.0, 1.0)
+            V8 = jnp.clip(jnp.round(V / sc[:, None]), -127, 127).astype(
+                jnp.int8)
+            out += [V8, sc.astype(jnp.float32)]
+        return tuple(out)
 
-    v8s, scs, exacts = [], [], []
+    chunks = []
     for key in jax.random.split(jax.random.PRNGKey(7), n_chunks):
-        V8, sc, ex = gen_chunk(key, centers_d, qs_d)
-        jax.block_until_ready(V8)
-        v8s.append(V8); scs.append(sc); exacts.append(ex)
-    V8 = jnp.concatenate(v8s); del v8s
-    sc = jnp.concatenate(scs); del scs
-    exact_scores = jnp.concatenate(exacts); del exacts
+        parts = gen_chunk(key, centers_d, qs_d)
+        jax.block_until_ready(parts[1])
+        chunks.append(parts)
+    exact_scores = jnp.concatenate([c[0] for c in chunks])
+    quantized = {
+        s: (jnp.concatenate([c[1 + 2 * i] for c in chunks]),
+            jnp.concatenate([c[2 + 2 * i] for c in chunks]))
+        for i, s in enumerate(scales)
+    }
+    del chunks
     gc.collect()
 
     sweep = (50, 100, 400)
@@ -786,20 +762,23 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
         quant_ids = jax.lax.top_k(scoring_matvec(V8x, q, scx), kmax)[1]
         return exact_ids, quant_ids
 
-    hits = {k: 0 for k in sweep}
-    for t in range(trials):
-        e_ids, q_ids = tops(V8, sc, exact_scores, qs_d[t], t)
-        e = set(np.asarray(e_ids).tolist())
-        q_list = np.asarray(q_ids).tolist()
-        for k in sweep:
-            hits[k] += len(e & set(q_list[:k]))
-    tag = "" if scale == "row" else f"_{scale}scale"
-    out = {
-        f"int8_shortlist_recall_{n_vectors // 1_000_000}M_k{k}{tag}":
-            round(hits[k] / (trials * TOPK), 4)
-        for k in sweep
-    }
-    del V8, sc, exact_scores
+    out = {}
+    for s in scales:
+        V8, sc = quantized[s]
+        hits = {k: 0 for k in sweep}
+        for t in range(trials):
+            e_ids, q_ids = tops(V8, sc, exact_scores, qs_d[t], t)
+            e = set(np.asarray(e_ids).tolist())
+            q_list = np.asarray(q_ids).tolist()
+            for k in sweep:
+                hits[k] += len(e & set(q_list[:k]))
+        tag = "" if s == "row" else f"_{s}scale"
+        out.update({
+            f"int8_shortlist_recall_{n_vectors // 1_000_000}M_k{k}{tag}":
+                round(hits[k] / (trials * TOPK), 4)
+            for k in sweep
+        })
+    del quantized, exact_scores
     gc.collect()
     return out
 
@@ -1296,7 +1275,13 @@ def _main():
            lambda: bench_int8_recall_at_scale(n_vectors, trials=8,
                                               scale="frame"),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
-    _stage("recall_1M", 150, lambda: bench_int8_recall(trials=12),
+    # 1M recall through the same on-device chunked generator (the old
+    # host-side numpy generation + 3GB tunnel upload cost 403s of budget
+    # for the same answer and starved the stages behind it); scale='both'
+    # shares one generated database across the two quantizations
+    _stage("recall_1M", 90,
+           lambda: bench_int8_recall_at_scale(1_000_000, trials=12,
+                                              scale="both"),
            skip_env="SEESAW_BENCH_SKIP_RECALL")
 
     # DB-matched-training throughput (fwd+bwd through the fused attention
@@ -1344,7 +1329,9 @@ def _supervise() -> int:
     previously-killed TPU process — the child sits in a C-level wait where
     even its SIGTERM partial-emit handler cannot run. The supervisor spawns
     the bench as a child process, requires the "device contact ok" stderr
-    line within SEESAW_BENCH_CONTACT_S (default 240s), kills + retries on a
+    line within SEESAW_BENCH_CONTACT_S (default 120s — normal contact is
+    1-3s after the ~15s import; the wedge never recovers without a kill,
+    so waiting longer only burns driver budget), kills + retries on a
     pre-contact wedge (the tunnel usually un-wedges after the stuck client
     dies), enforces a post-contact stall timeout (SEESAW_BENCH_STALL_S,
     default 600s — longer than the worst cold compile), and ALWAYS forwards
@@ -1360,7 +1347,7 @@ def _supervise() -> int:
     import threading
 
     total_s = float(os.environ.get("SEESAW_BENCH_TOTAL_S", 1680))
-    first_contact_s = float(os.environ.get("SEESAW_BENCH_CONTACT_S", 240))
+    first_contact_s = float(os.environ.get("SEESAW_BENCH_CONTACT_S", 120))
     stall_s = float(os.environ.get("SEESAW_BENCH_STALL_S", 600))
     t0 = time.time()
     out_lines: list[str] = []

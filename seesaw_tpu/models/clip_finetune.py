@@ -138,6 +138,9 @@ class CLIPFineTuner:
             # cfg must ride along: the variant string alone reconstructs the
             # DEFAULT config (vit-b32) for embeddings built with a custom cfg
             cfg=self.embedding.cfg,
+            # dtype=None: the constructor's f32 dtype DEFAULT would override
+            # cfg.dtype (clip.py __init__), silently de-bf16ing the export
+            dtype=None,
             params=jax.tree.map(np.asarray, self.params),
             tokenizer=self.embedding.tokenizer,
         )
