@@ -56,20 +56,23 @@ def build_db(n_vectors: int, d: int = 512, tiles_per_frame: int = TILES,
     key = jax.random.PRNGKey(0)
     row_scale = None
     if dtype == "int8":
-        # chunked generation: full-size random bits would transiently need
-        # several x the final 5GB
+        # chunked generation with a DONATED in-place fill: materializing all
+        # chunks and concatenating holds 2x the final array (20.5GB at 20M
+        # rows — an OOM on a 16GB chip); donation keeps the peak at
+        # final + one chunk
         n_chunks = 16
         rows = n_vectors // n_chunks
+        import functools
 
-        @jax.jit
-        def gen_chunk(k):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fill_chunk(Vb, k, off):
             bits = jax.random.bits(k, (rows, d), dtype=jnp.uint8)
-            return jax.lax.bitcast_convert_type(bits, jnp.int8)
+            chunk = jax.lax.bitcast_convert_type(bits, jnp.int8)
+            return jax.lax.dynamic_update_slice(Vb, chunk, (off, 0))
 
-        keys = jax.random.split(key, n_chunks)
-        chunks = [gen_chunk(k) for k in keys]
-        V = jnp.concatenate(chunks)
-        del chunks
+        V = jnp.zeros((n_vectors, d), dtype=jnp.int8)
+        for i, k in enumerate(jax.random.split(key, n_chunks)):
+            V = fill_chunk(V, k, jnp.int32(i * rows))
         # per-row dequantization scales, as the real index stores them
         row_scale = jax.random.uniform(
             key, (n_vectors,), minval=0.5, maxval=1.0
@@ -1373,7 +1376,10 @@ def _supervise() -> int:
         except (ValueError, OSError):
             pass
 
-    while attempts < 3 and not stop["flag"] and remaining() > 300:
+    # a wedged attempt costs only ~150s (120s contact timeout + kill +
+    # cooldown), so the real bound is the wall budget, not the count —
+    # three consecutive wedges were observed (r4) with 1150s still unspent
+    while attempts < 8 and not stop["flag"] and remaining() > 300:
         attempts += 1
         env = dict(os.environ)
         env["SEESAW_BENCH_CHILD"] = "1"
@@ -1454,9 +1460,10 @@ def _supervise() -> int:
         if have_value or stop["flag"]:
             break
         if remaining() > 600:
-            _progress("supervisor: no headline value yet — cooling down 30s, "
-                      "then retrying")
-            time.sleep(30)
+            cool = min(30 * attempts, 120)  # persistent wedges: back off
+            _progress(f"supervisor: no headline value yet — cooling down "
+                      f"{cool}s, then retrying")
+            time.sleep(cool)
             continue
         break
 
