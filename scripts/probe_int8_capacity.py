@@ -24,15 +24,21 @@ def main():
     # larger attempt leaves device buffers pinned by the exception traceback
     # and poisons smaller retries in the same process
     n = int(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1 else 20_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "matvec"
     print("devices:", jax.devices(), flush=True)
     bench._enable_compile_cache()
     try:
-        out = bench.bench_rerank(n, dtype="int8")
-        print(f"[{n//1_000_000}M int8] device_ms={out['device_ms']:.3f} "
-              f"wall p50={out['p50_ms']:.1f} p90={out['p90_ms']:.1f} "
-              f"n={out['n_vectors']}", flush=True)
+        if mode == "batch":
+            # concurrency AT capacity: Q=16 sessions, per-frame int8 scales
+            out = bench.bench_multi_query(n, dtype="int8_frame")
+            print(f"[{n//1_000_000}M int8_frame batch] {out}", flush=True)
+        else:
+            out = bench.bench_rerank(n, dtype="int8")
+            print(f"[{n//1_000_000}M int8] device_ms={out['device_ms']:.3f} "
+                  f"wall p50={out['p50_ms']:.1f} p90={out['p90_ms']:.1f} "
+                  f"n={out['n_vectors']}", flush=True)
     except Exception as e:  # noqa: BLE001
-        print(f"[{n//1_000_000}M int8] FAILED: {e!r}", flush=True)
+        print(f"[{n//1_000_000}M {mode}] FAILED: {e!r}", flush=True)
 
 
 if __name__ == "__main__":
