@@ -1,0 +1,74 @@
+"""Hermetic (CPU, tiny sizes) coverage for the driver bench CLI (bench.py):
+the donated-fill database builder, the shared recall generator's 'both'
+mode, and the chained rerank/finetune measurement paths the driver runs on
+the real chip."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def test_build_db_int8_donated_fill():
+    # the int8 database is built by a donate_argnums dynamic_update_slice
+    # fill (concatenating chunks holds 2x the final array on device and
+    # OOMed the 20M capacity probe) — every chunk region must be filled,
+    # deterministically
+    import jax.numpy as jnp
+
+    n = 16 * 1024 * bench.TILES  # n_chunks=16 divides; 1024-frame padding
+    V, valid, boxes, zoom, row_scale, n_frames = bench.build_db(
+        n, d=32, dtype="int8"
+    )
+    assert V.dtype == jnp.int8 and V.shape == (n, 32)
+    assert n_frames * bench.TILES == n
+    rows = n // 16
+    arr = np.asarray(V)
+    for c in range(16):  # random bits: an all-zero chunk means it was missed
+        assert np.any(arr[c * rows:(c + 1) * rows] != 0), f"chunk {c} unfilled"
+    V2 = bench.build_db(n, d=32, dtype="int8")[0]
+    np.testing.assert_array_equal(arr, np.asarray(V2))
+    assert row_scale is not None and row_scale.shape == (n,)
+
+
+def test_recall_at_scale_both_equals_separate_runs():
+    # scale='both' shares one generated database across the two
+    # quantizations; it must reproduce the separate runs key-for-key
+    out_both = bench.bench_int8_recall_at_scale(65536, d=64, trials=3,
+                                                scale="both")
+    out_row = bench.bench_int8_recall_at_scale(65536, d=64, trials=3,
+                                               scale="row")
+    out_frame = bench.bench_int8_recall_at_scale(65536, d=64, trials=3,
+                                                 scale="frame")
+    assert out_both == {**out_row, **out_frame}
+    assert any(k.endswith("_framescale") for k in out_both)
+    assert any(not k.endswith("_framescale") for k in out_both)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_rerank_chain_smoke(dtype):
+    # the full rerank measurement path (build -> single query -> wall loop
+    # -> 32-query chain) at a tiny size; use_pallas=False (CPU)
+    out = bench.bench_rerank(16 * 1024 * bench.TILES, dtype=dtype,
+                             use_pallas=False)
+    assert out["device_ms"] > 0 and out["p50_ms"] > 0
+    assert out["n_vectors"] == 16 * 1024 * bench.TILES
+
+
+def test_finetune_harness_smoke():
+    # the shared fine-tune measurement harness (also used by
+    # scripts/probe_fused_attention_bwd.py) on the tiny CLIP variant
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.models.clip import ClipEmbedding
+
+    emb = ClipEmbedding(variant="test")
+    params = jax.tree.map(jnp.asarray, emb.params)
+    rate = bench.finetune_pairs_per_s(emb.model, params, emb.cfg,
+                                      B=4, iters=2, reps=1)
+    assert rate > 0
