@@ -268,20 +268,22 @@ def bench_clip_embed():
     return B * ITERS / min(ts)
 
 
-def finetune_pairs_per_s(model, params, cfg, *, B: int = 256,
+def finetune_pairs_per_s(model, params, *, B: int = 256,
                          iters: int = 8, reps: int = 2,
                          on_compiled=None) -> float:
     """Chained contrastive train-step throughput for a ClipModel (fwd+bwd
     through BOTH towers). Shared by the bench stage and the A/B probe
     (scripts/probe_fused_attention_bwd.py) so the methodology cannot
     drift: iters steps scanned in one jitted program with params threaded
-    through as the data dependency, fresh key per rep, float() barrier."""
+    through as the data dependency, fresh key per rep, float() barrier.
+    Input shapes come from model.cfg (the one source of truth)."""
     import jax
     import jax.numpy as jnp
 
     from seesaw_tpu.models.clip import ClipModel
     from seesaw_tpu.models.clip_finetune import clip_contrastive_loss
 
+    cfg = model.cfg
     L, vocab = cfg.context_length, cfg.vocab_size
     size = cfg.image_size
 
@@ -322,8 +324,9 @@ def bench_finetune():
     """Contrastive fine-tune step throughput, the DB-matched-training path
     (models/clip_finetune.py). Trains through the fused pair-packed
     attention kernel incl. its Pallas BACKWARD (segmented-softmax recompute
-    in VMEM): 2034 einsum vs 2537 fused pairs/s measured
-    (scripts/probe_fused_attention_bwd.py holds the A/B)."""
+    in VMEM): 2034 einsum vs ~2520-2540 fused pairs/s (probe A/B measured
+    2518, this stage 2537-2547 across runs —
+    scripts/probe_fused_attention_bwd.py holds the A/B)."""
     import jax
     import jax.numpy as jnp
 
@@ -331,7 +334,7 @@ def bench_finetune():
 
     emb = ClipEmbedding(variant="vit-b32", dtype=jnp.bfloat16)
     params = jax.tree.map(jnp.asarray, emb.params)
-    rate = finetune_pairs_per_s(emb.model, params, emb.cfg)
+    rate = finetune_pairs_per_s(emb.model, params)
     return {"finetune_pairs_per_s": round(rate, 1)}
 
 
@@ -760,19 +763,27 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
     kmax = max(sweep)
 
     @jax.jit
-    def tops(V8x, scx, exx, q, qi):
-        exact_ids = jax.lax.top_k(exx[:, qi], TOPK)[1]
-        quant_ids = jax.lax.top_k(scoring_matvec(V8x, q, scx), kmax)[1]
-        return exact_ids, quant_ids
+    def exact_top(exx, qi):
+        return jax.lax.top_k(exx[:, qi], TOPK)[1]
+
+    @jax.jit
+    def quant_top(V8x, scx, q):
+        return jax.lax.top_k(scoring_matvec(V8x, q, scx), kmax)[1]
+
+    # the exact ground-truth top-k depends only on the trial, not the
+    # quantization — compute once per trial, not once per (scale, trial)
+    exact_sets = [
+        set(np.asarray(exact_top(exact_scores, t)).tolist())
+        for t in range(trials)
+    ]
 
     out = {}
     for s in scales:
         V8, sc = quantized[s]
         hits = {k: 0 for k in sweep}
         for t in range(trials):
-            e_ids, q_ids = tops(V8, sc, exact_scores, qs_d[t], t)
-            e = set(np.asarray(e_ids).tolist())
-            q_list = np.asarray(q_ids).tolist()
+            q_list = np.asarray(quant_top(V8, sc, qs_d[t])).tolist()
+            e = exact_sets[t]
             for k in sweep:
                 hits[k] += len(e & set(q_list[:k]))
         tag = "" if s == "row" else f"_{s}scale"

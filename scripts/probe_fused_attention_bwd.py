@@ -36,7 +36,7 @@ def main():
         tag = "fused fwd+bwd" if fused else "einsum"
         try:
             rate = finetune_pairs_per_s(
-                ClipModel(cfg), params, cfg, reps=3,
+                ClipModel(cfg), params, reps=3,
                 on_compiled=lambda: print(f"[{tag}] compiled", flush=True),
             )
             print(f"[{tag}] pairs/s = {rate:.0f}", flush=True)

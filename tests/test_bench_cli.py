@@ -69,6 +69,6 @@ def test_finetune_harness_smoke():
 
     emb = ClipEmbedding(variant="test")
     params = jax.tree.map(jnp.asarray, emb.params)
-    rate = bench.finetune_pairs_per_s(emb.model, params, emb.cfg,
-                                      B=4, iters=2, reps=1)
+    rate = bench.finetune_pairs_per_s(emb.model, params, B=4, iters=2,
+                                      reps=1)
     assert rate > 0

@@ -129,11 +129,9 @@ def test_to_embedding_preserves_custom_cfg(monkeypatch):
     from seesaw_tpu.models.clip import VARIANTS
 
     monkeypatch.setenv("SEESAW_FUSED_ATTN_INTERPRET", "1")
-    import jax.numpy as _jnp
-
     cfg = dataclasses.replace(
         VARIANTS["test"], vision_width=128, vision_heads=2, text_width=128,
-        text_heads=2, embed_dim=32, dtype=_jnp.bfloat16,
+        text_heads=2, embed_dim=32, dtype=jnp.bfloat16,
     )
     # dtype=None: the constructor must take cfg.dtype (bf16) as-is; the
     # f32 default would silently rebuild the model in float32
