@@ -1068,6 +1068,45 @@ _EMITTED = False
 _T_START = time.time()
 
 
+_LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json"
+)
+
+
+def _save_last_good(record: dict) -> None:
+    """Persist a full-scale record so an outage-stricken later run can at
+    least point at the most recent real numbers (clearly labeled)."""
+    extras = record.get("extras", {})
+    full_scale = extras.get("n_vectors", 0) >= 9_000_000
+    env_skips = any(
+        k.startswith("skipped_") and v == "env" for k, v in extras.items()
+    )
+    if record.get("value") is None or not full_scale or env_skips:
+        return
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({"saved_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                       "record": record}, f)
+    except OSError:
+        pass
+
+
+def _attach_last_good(extras: dict) -> None:
+    """A record with value null self-documents: ship the most recent real
+    (full-scale, no-env-skip) record alongside, labeled as stale."""
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return
+    extras["last_good_record"] = prior
+    extras["last_good_note"] = (
+        "this run produced no fresh headline (tunnel outage/timeout); "
+        "last_good_record holds the most recent successful full-scale "
+        "record from this workspace, NOT a fresh measurement"
+    )
+
+
 def _emit(partial: bool = False):
     global _EMITTED
     if _EMITTED:
@@ -1081,6 +1120,7 @@ def _emit(partial: bool = False):
         extras["p50_rerank_wall_ms"] = round(_HEADLINE["p50_wall"], 3)
     extras["bench_total_s"] = round(time.time() - _T_START, 1)
     if device_ms is None:
+        _attach_last_good(extras)
         out = {
             "metric": "p50_rerank_device_ms_10M_vectors",
             "value": None,
@@ -1100,6 +1140,7 @@ def _emit(partial: bool = False):
             "vs_baseline": round(50.0 / device_ms, 3),
             "extras": extras,
         }
+        _save_last_good(out)
     print(json.dumps(out), flush=True)
 
 

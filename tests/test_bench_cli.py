@@ -72,3 +72,40 @@ def test_finetune_harness_smoke():
     rate = bench.finetune_pairs_per_s(emb.model, params, B=4, iters=2,
                                       reps=1)
     assert rate > 0
+
+
+def test_last_good_record_roundtrip(tmp_path, monkeypatch):
+    # a value-null record (outage/timeout) must carry the most recent
+    # full-scale record, clearly labeled; quick-mode and env-skip runs
+    # must never overwrite it
+    import copy
+    import json
+
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    rec = {"metric": "p50_rerank_device_ms_10M_vectors", "value": 11.6,
+           "unit": "ms", "vs_baseline": 4.3,
+           "extras": {"n_vectors": 9_994_240}}
+    bench._save_last_good(rec)
+    extras = {}
+    bench._attach_last_good(extras)
+    assert extras["last_good_record"]["record"]["value"] == 11.6
+    assert "NOT a fresh measurement" in extras["last_good_note"]
+
+    quick = copy.deepcopy(rec)
+    quick["extras"]["n_vectors"] = 2_000_000
+    quick["value"] = 3.3
+    bench._save_last_good(quick)
+    envskip = copy.deepcopy(rec)
+    envskip["extras"]["skipped_clip"] = "env"
+    envskip["value"] = 9.9
+    bench._save_last_good(envskip)
+    saved = json.load(open(bench._LAST_GOOD_PATH))
+    assert saved["record"]["value"] == 11.6  # guards held
+
+    # no file -> attach is a silent no-op
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "missing.json"))
+    extras2 = {}
+    bench._attach_last_good(extras2)
+    assert "last_good_record" not in extras2
