@@ -724,7 +724,9 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
     centers_d = jnp.asarray(centers)
 
     n_chunks = max(n_vectors // 1_000_000, 1)
-    rows = n_vectors // n_chunks
+    # keep chunk rows a multiple of TILES: the frame-scale quantization
+    # reshapes (rows,) -> (-1, TILES) per chunk
+    rows = max((n_vectors // n_chunks) // TILES, 1) * TILES
 
     @jax.jit
     def gen_chunk(key, cd, qd):
@@ -918,12 +920,7 @@ def _bench_propagation_windowed(n_tiles: int, K: int) -> dict:
         ),
         "propagation_windowed_coverage": round(layout.coverage, 4),
     }
-    del layout
-    import gc
-
-    gc.collect()
-    return out
-    del nbr, w, degree
+    del layout, nbr, w, degree
     import gc
 
     gc.collect()
@@ -1273,6 +1270,9 @@ def _main():
         out = {
             "p50_rerank_ms_int8": round(i8["p50_ms"], 3),
             "p50_device_ms_int8": round(i8["device_ms"], 3),
+            # also recorded here so _save_last_good's full-scale test holds
+            # when bf16 failed but int8 produced the headline
+            "n_vectors": i8["n_vectors"],
         }
         if _HEADLINE["device_ms"] is None or i8["device_ms"] < _HEADLINE["device_ms"]:
             if _HEADLINE["p50_wall"] is not None:

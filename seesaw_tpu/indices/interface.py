@@ -79,7 +79,13 @@ class AccessMethod:
             if isinstance(v, (list, tuple)):
                 return [canon(x) for x in v]
             if isinstance(v, dict):
-                return {str(k): canon(x) for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))}
+                # keys get the same type-aware treatment as values ({1: v}
+                # must not alias {"1": v}): a type-tagged string key
+                return {
+                    k if isinstance(k, str)
+                    else f"{type(k).__qualname__}:{k!r}": canon(x)
+                    for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+                }
             return f"{type(v).__module__}.{type(v).__qualname__}:{v!r}"
 
         key = json.dumps(

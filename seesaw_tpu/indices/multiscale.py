@@ -826,10 +826,15 @@ class MultiscaleIndex(AccessMethod):
             agg_method=agg_method, max_zoom=self._max_zoom,
             interpret=_pallas_interpret(),
         )
-        self._commit_exclusion(token, new_mask)
         res, params, mu, f, diverged = jax.device_get(
             (res, params, mu, f, diverged)
         )  # one transfer
+        if bool(diverged):
+            # match the host fit path (learners/logistic_regression.py): fail
+            # BEFORE publishing any round state — the exclusion mask is not
+            # committed and the caller's returned-set stays clean
+            raise ValueError("regression training diverged (nan/inf loss)")
+        self._commit_exclusion(token, new_mask)
         out = self._format_result(res)
         out["qvec"] = np.asarray(params[:-1], np.float32)
         out["fit"] = {
@@ -874,9 +879,12 @@ class MultiscaleIndex(AccessMethod):
             agg_method=agg_method, max_zoom=self._max_zoom,
             interpret=_pallas_interpret(),
         )
-        self._commit_exclusion(token, new_mask)
         res, coeff, f, diverged = jax.device_get((res, coeff, f, diverged))
-        assert not bool(diverged), "multi-reg fit diverged (nan/inf)"
+        if bool(diverged):
+            # match learners/multi_reg.py's host path: raise before any round
+            # state (exclusion mask, returned-set) is published
+            raise ValueError("multi-reg fit diverged (nan/inf)")
+        self._commit_exclusion(token, new_mask)
         out = self._format_result(res)
         out["qvec"] = np.asarray(coeff, np.float32)
         return out

@@ -253,6 +253,10 @@ def forward_weights(
     order = np.argsort(nbr, axis=1)
     nbr = np.take_along_axis(nbr, order, axis=1)
     w = np.take_along_axis(w, order, axis=1)
+    # setdiag(0) semantics: zero EVERY self entry, not just the prepended
+    # column — graphs padded with distance-0 self edges (factor_neighbors)
+    # would otherwise carry kfun(0)~1 self loops the reference zeroes
+    w[nbr == np.arange(N, dtype=np.int32)[:, None]] = 0.0
     return SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
 
 

@@ -68,9 +68,9 @@ class LabelPropagation:
         into `rank_by_scores`' device ranking tail, so a feedback round never
         round-trips N floats through the host (the reference's scipy loop is
         host-resident by construction, `label_propagation.py:30-79`). The
-        prior-bound sanitizer runs only on the host path — callers of the
-        device path get it whenever a host consumer eventually materializes
-        the scores."""
+        prior-bound sanitizer runs only on the host path; the ranker
+        (loops/knn_methods.py current_scores) re-applies it when a host
+        consumer materializes a device-resident result."""
         if reg_values is None:
             assert self.reg_lambda == 0
             reg_values = np.zeros(self.n, dtype=np.float32)

@@ -151,6 +151,15 @@ class BaseLabelPropagationRanker:
             # materialize a device-resident result once, then cache the host
             # copy for repeat host consumers (analysis, top_k)
             cs = np.asarray(cs)
+            if self.prior_scores is not None:
+                # the host path's prior-bound sanitizer
+                # (label_propagation.py fit_transform) — re-applied here since
+                # device_out returns before it runs
+                lo = min(0.0, float(self.prior_scores.min(initial=0.0)))
+                hi = max(1.0, float(self.prior_scores.max(initial=1.0)))
+                assert (cs >= lo - 1e-5).all() and (cs <= hi + 1e-5).all(), (
+                    "propagated scores must stay within prior bounds"
+                )
             self._current_scores = cs
         return cs
 

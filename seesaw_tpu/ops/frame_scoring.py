@@ -185,8 +185,9 @@ class DeferredLogistic(DeferredVector):
             setattr(self, k, kw[k])
 
     def materialize(self, index) -> np.ndarray:
-        # non-fusable index: run the model's ordinary fit_rows path
-        rows = np.asarray(self.prows)  # padded-layout; recover exact rows
+        # prows is the padded pow2 bucket (zeros past n_real) — the exact
+        # labeled-row list is not recoverable here, so there is no host
+        # fallback fit
         raise NotImplementedError(
             "DeferredLogistic is only built for fusable indexes "
             "(LogReg2.refine checks supports_deferred_query first)"
