@@ -30,10 +30,12 @@ head_dim 64 = exactly half the 128-lane register width:
   the reference pipeline's fp32-softmax-accumulation semantics
   (models/clip.py MultiHeadAttention; reference CLIP does the same).
 
-The kernel covers the non-causal tower (mask=None). Requirements:
-head_dim == 64, an even number of heads, L <= 384 (covers all three CLIP
-vision towers: ViT-B/32 seq 50, ViT-B/16 seq 197, ViT-L/14 seq 257; the
-block batch auto-shrinks for the long-seq towers to stay inside VMEM).
+The kernel covers BOTH tower types: non-causal (vision) and, with
+causal=True, the text tower's triu(-inf) mask rebuilt from iotas inside
+the kernel (segment-aware). Requirements: head_dim == 64, an even number
+of heads, L <= 384 (covers all three CLIP vision towers: ViT-B/32 seq 50,
+ViT-B/16 seq 197, ViT-L/14 seq 257, and text seq 77; the block batch
+auto-shrinks for the long-seq towers to stay inside VMEM).
 `interpret=True` makes it testable on CPU.
 """
 from __future__ import annotations
@@ -48,6 +50,44 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # -inf-like that survives bf16/f32 masking arithmetic
 
 
+def _pack_pair(x, in_a):
+    """Block-diagonalize one head-pair: two lane-masked copies + sublane
+    concat (no transposes). (L, 128) -> (2L, 128): rows 0:L = [X_A | 0],
+    rows L:2L = [0 | X_B]."""
+    zero = jnp.zeros((), x.dtype)
+    return jnp.concatenate(
+        [jnp.where(in_a, x, zero), jnp.where(in_a, zero, x)], axis=0
+    )
+
+
+def _pair_softmax(q, k2, *, scale: float, causal: bool, L: int):
+    """Both heads' logits in ONE 128-deep-contraction MXU op, then the
+    segmented fp32 softmax over the two heads' column ranges (stable:
+    per-segment max subtraction). Shared verbatim by the forward kernel and
+    the backward's recompute — any semantic change applies to both.
+    Returns (p_f32 (L, 2L), seg_a (L, 2L) bool)."""
+    s = jax.lax.dot_general(
+        q, k2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (L, 2L): cols 0:L head A, L:2L head B
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
+    seg_a = col < L
+    if causal:
+        # key position within its head's segment; query i attends to
+        # keys <= i (the text tower's triu(-inf) mask, iota-built here
+        # instead of shipping a dense mask tensor)
+        row = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 0)
+        keypos = jnp.where(seg_a, col, col - L)
+        s = jnp.where(keypos <= row, s, NEG)
+    m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
+    m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
+    e = jnp.exp(s - jnp.where(seg_a, m_a, m_b))
+    d_a = jnp.sum(jnp.where(seg_a, e, 0.0), axis=1, keepdims=True)
+    d_b = jnp.sum(jnp.where(seg_a, 0.0, e), axis=1, keepdims=True)
+    return e / jnp.where(seg_a, d_a, d_b), seg_a
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                  causal: bool = False):
     bb, L, _ = q_ref.shape  # (bb, L, 128): bb images, one head-pair
@@ -59,37 +99,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
         in_a = lane < 64
-        zero = jnp.zeros((), k.dtype)
-        # block-diagonal K/V: two lane-masked copies + sublane concat
-        k2 = jnp.concatenate(
-            [jnp.where(in_a, k, zero), jnp.where(in_a, zero, k)], axis=0
-        )  # (2L, 128): rows 0:L = [K_A|0], rows L:2L = [0|K_B]
-        v2 = jnp.concatenate(
-            [jnp.where(in_a, v, zero), jnp.where(in_a, zero, v)], axis=0
-        )
-
-        # both heads' logits in ONE 128-deep-contraction MXU op
-        s = jax.lax.dot_general(
-            q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (L, 2L): cols 0:L head A, L:2L head B
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
-        seg_a = col < L
-        if causal:
-            # key position within its head's segment; query i attends to
-            # keys <= i (the text tower's triu(-inf) mask, iota-built here
-            # instead of shipping a dense mask tensor)
-            row = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 0)
-            keypos = jnp.where(seg_a, col, col - L)
-            s = jnp.where(keypos <= row, s, NEG)
-        # segmented fp32 softmax (stable: per-segment max subtraction)
-        m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
-        m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
-        e = jnp.exp(s - jnp.where(seg_a, m_a, m_b))
-        d_a = jnp.sum(jnp.where(seg_a, e, 0.0), axis=1, keepdims=True)
-        d_b = jnp.sum(jnp.where(seg_a, 0.0, e), axis=1, keepdims=True)
-        p = (e / jnp.where(seg_a, d_a, d_b)).astype(v.dtype)
+        k2 = _pack_pair(k, in_a)
+        v2 = _pack_pair(v, in_a)
+        p, _ = _pair_softmax(q, k2, scale=scale, causal=causal, L=L)
+        p = p.astype(v.dtype)
 
         # AV with a 2L-deep contraction; output lands pre-merged
         o = jax.lax.dot_general(
@@ -129,31 +142,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
         in_a = lane < 64
-        zero = jnp.zeros((), k.dtype)
-        k2 = jnp.concatenate(
-            [jnp.where(in_a, k, zero), jnp.where(in_a, zero, k)], axis=0
-        )  # (2L, 128): rows 0:L = [K_A|0], rows L:2L = [0|K_B]
-        v2 = jnp.concatenate(
-            [jnp.where(in_a, v, zero), jnp.where(in_a, zero, v)], axis=0
-        )
-
-        # --- recompute logits + segmented softmax (matches _attn_kernel) ---
-        s = jax.lax.dot_general(
-            q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (L, 2L)
-        col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 1)
-        seg_a = col < L
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * L), 0)
-            keypos = jnp.where(seg_a, col, col - L)
-            s = jnp.where(keypos <= row, s, NEG)
-        m_a = jnp.max(jnp.where(seg_a, s, NEG), axis=1, keepdims=True)
-        m_b = jnp.max(jnp.where(seg_a, NEG, s), axis=1, keepdims=True)
-        e = jnp.exp(s - jnp.where(seg_a, m_a, m_b))
-        d_a = jnp.sum(jnp.where(seg_a, e, 0.0), axis=1, keepdims=True)
-        d_b = jnp.sum(jnp.where(seg_a, 0.0, e), axis=1, keepdims=True)
-        p = e / jnp.where(seg_a, d_a, d_b)  # (L, 2L) f32
+        k2 = _pack_pair(k, in_a)
+        v2 = _pack_pair(v, in_a)
+        # recompute logits + segmented softmax: the SAME traced helper as
+        # the forward kernel, so fwd/bwd cannot drift
+        p, seg_a = _pair_softmax(q, k2, scale=scale, causal=causal, L=L)
 
         # --- softmax backward, segmented ---
         dp = jax.lax.dot_general(
@@ -230,8 +223,10 @@ def fused_pair_attention(q, k, v, *, block_b: int = 16,
     scripts/probe_fused_attention.py) — 16 is within noise of 32 at less
     VMEM and compile.
     """
-    if heads is not None:
-        assert heads * 64 == q.shape[-1], (
+    if heads is not None and heads * 64 != q.shape[-1]:
+        # ValueError (not assert): under python -O a stripped check would
+        # let the kernel silently mis-scale and mis-pair wider heads
+        raise ValueError(
             f"kernel requires head_dim 64: got heads={heads}, "
             f"width={q.shape[-1]}"
         )
@@ -240,8 +235,12 @@ def fused_pair_attention(q, k, v, *, block_b: int = 16,
 
 def _pallas_forward(q, k, v, block_b, interpret, causal=False):
     B, L, W = q.shape
-    assert W % 128 == 0, "needs an even number of 64-wide heads"
-    assert L <= 384, "short-sequence kernel (ViT towers: seq 50/197/257)"
+    if W % 128 != 0:
+        raise ValueError("needs an even number of 64-wide heads")
+    if L > 384:
+        raise ValueError(
+            "short-sequence kernel (ViT towers: seq 50/197/257)"
+        )
     if L > 128:
         # VMEM per image ~ 24*L^2 (three f32 (L,2L) intermediates) +
         # ~1.8KB*L; cap the block so a double-buffered block stays well

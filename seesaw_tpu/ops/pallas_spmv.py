@@ -55,9 +55,13 @@ def _win_base_row(b: int | jnp.ndarray, B: int, W: int, R: int):
     return jnp.clip(base, lo, hi)
 
 
-@dataclass
+@dataclass(frozen=True)
 class WindowedSpmv:
-    """Build-time edge layout for `windowed_spmv` (numpy, graph-static)."""
+    """Build-time edge layout for `windowed_spmv` (numpy, graph-static).
+
+    Frozen: `device_arrays` caches the one-time upload, so in-place field
+    mutation (e.g. reweighting wslab between rounds) would silently serve
+    stale device data — rebuild the layout instead."""
 
     cidx: np.ndarray  # (NB, UROWS, EROWS, 128) int32 lane index in window row
     wslab: np.ndarray  # (NB, UROWS, EROWS, 128) float32, 0 = empty slot
@@ -201,6 +205,14 @@ def windowed_spmv(
     interpret: bool = False,
 ) -> jnp.ndarray:
     NB, UROWS, EROWS, _ = cidx.shape
+    if UROWS != W // 128:
+        # the builder clamps W on small graphs (W = min(W, N_pad)); a caller
+        # passing its REQUESTED W instead of layout.W would make every
+        # block's base-row clip negative and gather from wrong window rows
+        raise ValueError(
+            f"W={W} does not match the layout's window ({UROWS * 128}); "
+            "pass layout.W"
+        )
     N_pad = NB * B
     R = N_pad // 128
     f_pad = jnp.pad(f, (0, N_pad - n)) if N_pad != n else f

@@ -197,7 +197,7 @@ def test_long_seq_default_block():
 
 def test_heads_precondition_checked():
     q = jnp.zeros((1, 8, 256), jnp.float32)
-    with pytest.raises(AssertionError, match="head_dim 64"):
+    with pytest.raises(ValueError, match="head_dim 64"):
         fused_pair_attention(q, q, q, heads=2, interpret=True)
 
 
