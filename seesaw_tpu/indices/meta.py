@@ -15,6 +15,15 @@ from pathlib import Path
 import numpy as np
 
 
+def next_pow2(x: int, floor: int = 8) -> int:
+    """Tile-bound granularity shared by the single-chip and sharded padded
+    layouts (one definition so the two can never drift apart)."""
+    p = floor
+    while p < x:
+        p *= 2
+    return p
+
+
 @dataclass
 class VectorMeta:
     """Per-vector metadata, sorted by dbidx (frames contiguous).

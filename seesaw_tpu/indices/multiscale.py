@@ -30,14 +30,7 @@ from ..query_interface import InteractiveQuery
 from ..runtime.bitmap import BitMap, FrozenBitMap
 from ..ops import frame_scoring
 from .interface import AccessMethod
-from .meta import VectorMeta
-
-
-def _next_pow2(x: int) -> int:
-    p = 8
-    while p < x:
-        p *= 2
-    return p
+from .meta import VectorMeta, next_pow2 as _next_pow2
 
 
 @jax.jit
@@ -361,7 +354,12 @@ class MultiscaleIndex(AccessMethod):
         if mesh is not None and mesh.devices.size > 1:
             from ..parallel.sharded_index import ShardedFrameIndex
 
-            self._sharded = ShardedFrameIndex.build(self.vectors, meta, mesh)
+            # same storage options as single-chip; int8 always uses per-ROW
+            # scales on the mesh (the frame-scale int32-max trick is a
+            # single-chip batch-epilogue fusion, ops.frame_scoring)
+            self._sharded = ShardedFrameIndex.build(
+                self.vectors, meta, mesh, dtype=device_dtype
+            )
         if self._sharded is not None:
             # the big matrix lives sharded across the mesh; skip the
             # single-device copy (the metadata arrays below stay local for
@@ -586,12 +584,26 @@ class MultiscaleIndex(AccessMethod):
         # they just fall back to full rebuilds while interleaving.
         self._excl_lock = threading.Lock()
         self._excl_gen = 0
-        self._excl_dev = None  # jnp (F,) bool the device currently holds
+        self._excl_dev = None  # device mask the device currently holds
         self._excl_obj = None  # the BitMap object being tracked (strong ref)
         self._excl_prev = None  # its contents as of the last sync
+        # which layout _excl_dev is in ('flat' | 'sharded'): a mesh index
+        # serves query() sharded but rank_by_scores/deferred rounds flat —
+        # switching entry points falls back to a full rebuild rather than
+        # reusing a mask of the wrong shape
+        self._excl_layout = "flat"
 
     def _no_new_ids(self) -> np.ndarray:
         return np.full(self._EXCL_DELTA, -1, dtype=np.int32)
+
+    def _mask_to_device(self, mask: np.ndarray, sharded: bool):
+        """Host frame mask -> the device layout the query program expects:
+        (Fq,) flat for the single-device programs (incl. rank_by_scores /
+        deferred rounds on a mesh index), (S, Fs) P('data')-sharded for the
+        mesh query path."""
+        if sharded:
+            return self._sharded.shard_mask(mask)
+        return jnp.asarray(mask)
 
     def _dbidx_to_frame_ordinals(self, ids: np.ndarray) -> np.ndarray:
         fd = self.meta.frame_dbidx
@@ -599,19 +611,26 @@ class MultiscaleIndex(AccessMethod):
         safe = np.minimum(pos, fd.shape[0] - 1)
         return pos[(pos < fd.shape[0]) & (fd[safe] == ids)].astype(np.int32)
 
-    def _device_exclusion(self, exclude: Optional[BitMap]):
+    def _device_exclusion(self, exclude: Optional[BitMap], *,
+                          sharded: bool = False):
         """(device mask, padded new frame ordinals, commit token)."""
         no_new = self._no_new_ids()
+        layout = "sharded" if sharded else "flat"
         with self._excl_lock:
             self._excl_gen += 1
             gen = self._excl_gen
             if exclude is None or len(exclude) == 0:
-                if self._excl_dev is None or self._excl_obj is not None:
-                    self._excl_dev = jnp.asarray(self._base_excluded_mask)
+                if (self._excl_dev is None or self._excl_obj is not None
+                        or self._excl_layout != layout):
+                    self._excl_dev = self._mask_to_device(
+                        self._base_excluded_mask, sharded
+                    )
                     self._excl_obj = self._excl_prev = None
+                    self._excl_layout = layout
                 return self._excl_dev, jnp.asarray(no_new), None
 
-            if self._excl_obj is exclude and self._excl_prev is not None:
+            if (self._excl_obj is exclude and self._excl_prev is not None
+                    and self._excl_layout == layout):
                 added = exclude.difference(self._excl_prev)
                 removed = self._excl_prev.difference(exclude)
                 if len(removed) == 0 and len(added) <= self._EXCL_DELTA:
@@ -620,29 +639,33 @@ class MultiscaleIndex(AccessMethod):
                     )
                     out = no_new
                     out[: ords.shape[0]] = ords
-                    token = (gen, exclude, exclude.copy())
+                    token = (gen, exclude, exclude.copy(), layout)
                     return self._excl_dev, jnp.asarray(out), token
 
-            # first sighting of this exclusion set (or it shrank / jumped):
-            # one full host rebuild, then incremental from here on
-            mask = jnp.asarray(self._frame_exclusion_mask(exclude))
-            token = (gen, exclude, exclude.copy())
+            # first sighting of this exclusion set (or it shrank / jumped /
+            # changed layout): one full host rebuild, then incremental on
+            mask = self._mask_to_device(
+                self._frame_exclusion_mask(exclude), sharded
+            )
+            token = (gen, exclude, exclude.copy(), layout)
             # publish the rebuilt state immediately; the program's returned
             # mask is identical (no new ids ride along)
             self._excl_obj = exclude
             self._excl_prev = token[2]
             self._excl_dev = mask
+            self._excl_layout = layout
             return mask, jnp.asarray(no_new), None
 
     def _commit_exclusion(self, token, new_mask):
         if token is None:
             return
-        gen, exclude, prev_copy = token
+        gen, exclude, prev_copy, layout = token
         with self._excl_lock:
             if self._excl_gen == gen:  # no interleaved query since ours
                 self._excl_obj = exclude
                 self._excl_prev = prev_copy
                 self._excl_dev = new_mask
+                self._excl_layout = layout
 
     @property
     def supports_deferred_query(self) -> bool:
@@ -687,22 +710,28 @@ class MultiscaleIndex(AccessMethod):
                 )
 
         if self._sharded is not None:
-            from ..parallel.sharded_index import sharded_query_topk
+            from ..parallel.sharded_index import sharded_query_topk_incr
 
-            dbidxs, scores, act_boxes, act_scores = sharded_query_topk(
-                self._sharded,
-                np.asarray(vector, np.float32).reshape(-1),
-                # the base mask may carry a pallas-padded tail (use_pallas +
-                # mesh); the sharded index pads its own shards — slice to
-                # the real frame count
-                self._frame_exclusion_mask(exclude)[: self.meta.n_frames],
-                topk=topk_eff,
-                shortlist_size=shortlist_size,  # GLOBAL shortlist semantics
-                aug_larger=aug_larger,
-                aug_weight=aug_weight,
-                agg_method=agg_method,
-                qvec2=vector2,
+            # the (S, Fs) mask lives sharded on the mesh across clicks; only
+            # the delta frame ordinals ride in (same protocol as the
+            # single-chip path below)
+            mask, new_ids, token = self._device_exclusion(
+                exclude, sharded=True
             )
+            dbidxs, scores, act_boxes, act_scores, new_mask = (
+                sharded_query_topk_incr(
+                    self._sharded,
+                    np.asarray(vector, np.float32).reshape(-1),
+                    mask, new_ids,
+                    topk=topk_eff,
+                    shortlist_size=shortlist_size,  # GLOBAL shortlist
+                    aug_larger=aug_larger,
+                    aug_weight=aug_weight,
+                    agg_method=agg_method,
+                    qvec2=vector2,
+                )
+            )
+            self._commit_exclusion(token, new_mask)
             activations = [
                 {
                     "x1": float(b[0]), "y1": float(b[1]),

@@ -73,7 +73,11 @@ def augment_tile_scores(
         pandas idxmax-first convention).
       - aug_weight='cont_weighted': softmax over containment of i in j,
         weighted sum of joined scores.
-    agg_method='plain_score' bypasses augmentation entirely.
+    agg_method='plain_score' bypasses augmentation entirely; every OTHER
+    agg_method value (incl. 'avg_vector') runs the aug_weight augmentation —
+    exactly the reference's live path (`score_frame2`,
+    `multiscale_index.py:112-150`, branches only on plain_score; the
+    avg_vector distinction existed only in the legacy `augment_score2`).
     Invalid (padding) tiles produce NEG_INF.
     """
     if agg_method == "plain_score":
@@ -156,7 +160,13 @@ def scoring_matvec(
         f"row_scale is only meaningful for int8 vectors (got {vectors.dtype}); "
         "passing it with a float matrix would be silently ignored"
     )
-    return (vectors @ qvec.astype(vectors.dtype)).astype(jnp.float32)
+    # f32 accumulation (like scoring_matmat): bf16-rounding the scores here
+    # would let a solo query and a coalesced batch of the same query rank
+    # near-ties differently
+    return jax.lax.dot_general(
+        vectors, qvec.astype(vectors.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 class DeferredVector:
@@ -300,11 +310,24 @@ def _rank_frames(
     # -- stage 2: gather shortlisted frames' tiles (fixed-size blocks) -----
     rows = short_fids[:, None] * T + jnp.arange(T, dtype=jnp.int32)[None, :]
     tile_valid = valid[short_fids] & short_valid[:, None]
-    t_boxes = boxes[rows]  # (B, T, 4)
-    t_zoom = zoom[rows]
     t_scores = jnp.where(tile_valid, s_ft[short_fids], NEG_INF)
 
-    # -- stage 3: frame augmentation (vmapped over shortlist) --------------
+    return _augment_and_topk(
+        t_scores, boxes[rows], zoom[rows], tile_valid,
+        short_fids, short_valid,
+        topk=topk, shortlist_size=shortlist_size,
+        aug_larger=aug_larger, aug_weight=aug_weight,
+        agg_method=agg_method, max_zoom=max_zoom,
+    )
+
+
+def _augment_and_topk(
+    t_scores, t_boxes, t_zoom, tile_valid, short_fids, short_valid,
+    *, topk, shortlist_size, aug_larger, aug_weight, agg_method, max_zoom,
+) -> QueryResult:
+    """Shortlist -> QueryResult tail shared by every query formulation
+    (full-scan `_rank_frames`, Pallas/batch `rank_from_frame_max`): frame
+    augmentation (vmapped), per-frame top tile, final top-k."""
     aug = jax.vmap(
         lambda b, z, s, v: augment_tile_scores(
             b, z, s, v,
@@ -319,7 +342,6 @@ def _rank_frames(
     act_box = t_boxes[bidx, top_tile]
     act_score = aug[bidx, top_tile]
 
-    # -- stage 4: final top-k frames by augmented score --------------------
     frame_score = jnp.where(short_valid, frame_score, NEG_INF)
     final_scores, final_pos = jax.lax.top_k(frame_score, min(topk, shortlist_size))
     n_valid = (final_scores > NEG_INF).sum()
@@ -538,33 +560,13 @@ def rank_from_frame_max(
         t_scale = None
     t_scores = scoring_matvec(t_vecs, qvec, t_scale).reshape(shortlist_size, T)
     t_scores = jnp.where(tile_valid, t_scores, NEG_INF)
-    t_boxes = boxes[rows]
-    t_zoom = zoom[rows]
 
-    aug = jax.vmap(
-        lambda b, z, s, v: augment_tile_scores(
-            b, z, s, v, aug_larger=aug_larger, aug_weight=aug_weight,
-            agg_method=agg_method, max_zoom=max_zoom,
-        )
-    )(t_boxes, t_zoom, t_scores, tile_valid)
-
-    frame_score = jnp.max(aug, axis=1)
-    top_tile = jnp.argmax(aug, axis=1)
-    bidx = jnp.arange(aug.shape[0])
-    act_box = t_boxes[bidx, top_tile]
-    act_score = aug[bidx, top_tile]
-
-    frame_score = jnp.where(short_valid, frame_score, NEG_INF)
-    final_scores, final_pos = jax.lax.top_k(
-        frame_score, min(topk, shortlist_size)
-    )
-    n_valid = (final_scores > NEG_INF).sum()
-    return QueryResult(
-        frame_ids=jnp.where(final_scores > NEG_INF, short_fids[final_pos], -1),
-        frame_scores=final_scores,
-        act_boxes=act_box[final_pos],
-        act_scores=act_score[final_pos],
-        n_valid=n_valid,
+    return _augment_and_topk(
+        t_scores, boxes[rows], zoom[rows], tile_valid,
+        short_fids, short_valid,
+        topk=topk, shortlist_size=shortlist_size,
+        aug_larger=aug_larger, aug_weight=aug_weight,
+        agg_method=agg_method, max_zoom=max_zoom,
     )
 
 

@@ -24,15 +24,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..indices.meta import VectorMeta
+from ..indices.meta import VectorMeta, next_pow2 as _next_pow2
 from ..ops import frame_scoring
-
-
-def _next_pow2(x: int) -> int:
-    p = 8
-    while p < x:
-        p *= 2
-    return p
 
 
 @dataclass
@@ -49,6 +42,7 @@ class ShardedFrameIndex:
     n_frames_local: int  # Fs
     tile_bound: int
     max_zoom: int
+    row_scale: jax.Array | None = None  # (S, Fs*T) int8 per-row dequant
 
     @property
     def n_shards(self) -> int:
@@ -58,11 +52,31 @@ class ShardedFrameIndex:
     def n_frames(self) -> int:
         return self.frame_dbidx.shape[0]
 
+    def shard_mask(self, mask: np.ndarray) -> jax.Array:
+        """(n_frames,) host bool -> (S, Fs) device mask sharded over 'data'
+        (shard padding frames are permanently excluded)."""
+        S, Fs = self.n_shards, self.n_frames_local
+        out = np.ones(S * Fs, dtype=bool)
+        out[: self.n_frames] = mask[: self.n_frames]
+        return jax.device_put(
+            jnp.asarray(out.reshape(S, Fs)), NamedSharding(self.mesh, P("data"))
+        )
+
     @staticmethod
     def build(
-        vectors: np.ndarray, meta: VectorMeta, mesh: Mesh, dtype=np.float32
+        vectors: np.ndarray, meta: VectorMeta, mesh: Mesh,
+        dtype: str = "float32",
     ) -> "ShardedFrameIndex":
-        S = mesh.devices.size
+        """dtype: 'float32' | 'bfloat16' | 'int8' — the same storage options
+        as the single-chip index; int8 quantizes each PADDED row by its own
+        absmax (MultiscaleIndex int8_scale='row' semantics) and carries the
+        (S, Fs*T) dequant scales sharded next to the blocks."""
+        if mesh.devices.size != mesh.shape.get("data", 0):
+            raise ValueError(
+                "ShardedFrameIndex requires a 1-D mesh with axis 'data' "
+                f"(got axes {dict(mesh.shape)})"
+            )
+        S = mesh.shape["data"]
         F = meta.n_frames
         Fs = -(-F // S)
         T = _next_pow2(max(meta.max_tiles_per_frame, 1))
@@ -70,10 +84,25 @@ class ShardedFrameIndex:
         rows, valid = meta.padded_rows(T)  # (F, T)
         flat_rows = rows.reshape(-1)
         flat_valid = valid.reshape(-1)
-        V_pad = np.ascontiguousarray(vectors[flat_rows], dtype=dtype)
+        V_pad = np.ascontiguousarray(vectors[flat_rows], dtype=np.float32)
         V_pad[~flat_valid] = 0
         boxes_pad = meta.boxes[flat_rows]
         zoom_pad = meta.zoom_level[flat_rows]
+
+        row_scale_pad = None
+        if dtype == "int8":
+            row_max = np.abs(V_pad).max(axis=1)
+            scales = np.where(row_max > 0, row_max / 127.0, 1.0).astype(
+                np.float32
+            )
+            V_pad = np.clip(
+                np.round(V_pad / scales[:, None]), -127, 127
+            ).astype(np.int8)
+            row_scale_pad = scales
+        elif dtype == "bfloat16":
+            V_pad = V_pad.astype(jnp.bfloat16)  # ml_dtypes-backed np dtype
+        elif dtype != "float32":
+            raise ValueError(f"unknown sharded storage dtype {dtype!r}")
 
         def shard_blocks(arr_ft, fill=0):
             """(F*T, ...) -> (S, Fs*T, ...) padded with fill."""
@@ -103,6 +132,10 @@ class ShardedFrameIndex:
             n_frames_local=Fs,
             tile_bound=T,
             max_zoom=max(meta.max_zoom_level, 1),
+            row_scale=(
+                put(shard_blocks(row_scale_pad, fill=1.0))
+                if row_scale_pad is not None else None
+            ),
         )
 
 
@@ -114,7 +147,8 @@ class ShardedFrameIndex:
     ),
 )
 def _sharded_query(
-    V, valid, boxes, zoom, frame_offset, qvec, qvec2, excluded,
+    V, valid, boxes, zoom, frame_offset, qvec, qvec2, excluded, new_ids,
+    row_scale,
     *,
     mesh: Mesh,
     shortlist_size: int,
@@ -127,7 +161,7 @@ def _sharded_query(
     Fs = valid.shape[1]
     topk_local = min(topk, Fs)
     shortlist_local = min(shortlist_size, Fs)
-    S = len(mesh.devices)
+    S = mesh.shape["data"]
     # the GLOBAL raw-score shortlist size: the single-device program (and the
     # reference, multiscale_index.py:291-352) shortlists the top
     # `shortlist_size` frames by raw tile score over the WHOLE database
@@ -139,13 +173,21 @@ def _sharded_query(
     # final top-k that the reference's protocol never rescores).
     k_global = min(shortlist_size, S * shortlist_local)
 
-    def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
-        scores = frame_scoring.scoring_matvec(V[0], qvec)
+    def per_shard(V, valid, boxes, zoom, frame_offset, excluded, *rs):
+        rs = rs[0][0] if rs else None  # (Fs*T,) int8 dequant scales
+        # device-persistent incremental exclusion (same protocol as the
+        # single-chip query_program_incr): new GLOBAL frame ordinals map to
+        # this shard's local slots (-1 padding / out-of-shard -> scratch)
+        local = new_ids - frame_offset[0, 0]
+        local = jnp.where((new_ids >= 0) & (local >= 0) & (local < Fs),
+                          local, -1)
+        exc = frame_scoring.apply_new_exclusions(excluded[0], local)
+        scores = frame_scoring.scoring_matvec(V[0], qvec, rs)
         if qvec2 is not None:
-            scores = scores - frame_scoring.scoring_matvec(V[0], qvec2)
+            scores = scores - frame_scoring.scoring_matvec(V[0], qvec2, rs)
         s_ft = jnp.where(valid[0], scores.reshape(Fs, -1), -jnp.inf)
         fmax = jnp.max(s_ft, axis=1)
-        fmax = jnp.where(excluded[0], -jnp.inf, fmax)
+        fmax = jnp.where(exc, -jnp.inf, fmax)
 
         # global shortlist cutoff: the k_global-th best (raw frame score,
         # global id) pair under top_k's ordering (score desc, id asc). Ties
@@ -169,7 +211,7 @@ def _sharded_query(
             jnp.arange(Fs, dtype=jnp.int32) + frame_offset[0, 0]
         )
         keep = (fmax > cut_s) | ((fmax == cut_s) & (gid_local <= cut_id))
-        excl_eff = excluded[0] | ~keep
+        excl_eff = exc | ~keep
 
         res = frame_scoring.rank_frames_from_scores(
             scores, valid[0], boxes[0], zoom[0], excl_eff,
@@ -184,17 +226,20 @@ def _sharded_query(
         gfids = jnp.where(ok, res.frame_ids + frame_offset[0, 0], -1)
         return (
             gfids[None], res.frame_scores[None],
-            res.act_boxes[None], res.act_scores[None],
+            res.act_boxes[None], res.act_scores[None], exc[None],
         )
 
     spec = P("data")
-    gfids, scores, act_boxes, act_scores = shard_map(
+    args = (V, valid, boxes, zoom, frame_offset, excluded)
+    if row_scale is not None:
+        args = args + (row_scale,)
+    gfids, scores, act_boxes, act_scores, new_mask = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec),
+        in_specs=(spec,) * len(args),
         out_specs=spec,
         check_rep=False,
-    )(V, valid, boxes, zoom, frame_offset, excluded)
+    )(*args)
 
     # merge (S, k) per-shard candidates — replicated tiny arrays
     flat_scores = scores.reshape(-1)
@@ -206,6 +251,7 @@ def _sharded_query(
         act_boxes.reshape(-1, 4)[pos],
         act_scores.reshape(-1)[pos],
         keep.sum(),
+        new_mask,
     )
 
 
@@ -217,7 +263,7 @@ def _sharded_query(
     ),
 )
 def _sharded_query_batch(
-    V, valid, boxes, zoom, frame_offset, qvecs, excluded,
+    V, valid, boxes, zoom, frame_offset, qvecs, excluded, row_scale,
     *,
     mesh: Mesh,
     shortlist_size: int,
@@ -238,11 +284,12 @@ def _sharded_query_batch(
     Fs = valid.shape[1]
     topk_local = min(topk, Fs)
     shortlist_local = min(shortlist_size, Fs)
-    S = len(mesh.devices)
+    S = mesh.shape["data"]
     k_global = min(shortlist_size, S * shortlist_local)
 
-    def per_shard(V, valid, boxes, zoom, frame_offset, excluded):
-        scores_nq = frame_scoring.scoring_matmat(V[0], qvecs)  # (Fs*T, Q)
+    def per_shard(V, valid, boxes, zoom, frame_offset, excluded, *rs):
+        rs = rs[0][0] if rs else None  # (Fs*T,) int8 dequant scales
+        scores_nq = frame_scoring.scoring_matmat(V[0], qvecs, rs)  # (Fs*T, Q)
         T = valid.shape[2]
         s_qft = jnp.where(
             valid[0][None], scores_nq.T.reshape(qvecs.shape[0], Fs, T), -jnp.inf
@@ -286,13 +333,16 @@ def _sharded_query_batch(
         )
 
     spec = P("data")
+    args = (V, valid, boxes, zoom, frame_offset, excluded)
+    if row_scale is not None:
+        args = args + (row_scale,)
     gfids, scores, act_boxes, act_scores = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec),
+        in_specs=(spec,) * len(args),
         out_specs=spec,
         check_rep=False,
-    )(V, valid, boxes, zoom, frame_offset, excluded)
+    )(*args)
 
     # (S, Q, k) -> per-query merge over the S*k candidates
     Q = qvecs.shape[0]
@@ -345,7 +395,7 @@ def sharded_query_topk_batch(
 
     gfids, scores, boxes, act_scores, n_valid = _sharded_query_batch(
         idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
-        jnp.asarray(qvecs), exc_dev,
+        jnp.asarray(qvecs), exc_dev, idx.row_scale,
         mesh=idx.mesh,
         shortlist_size=shortlist_size,
         topk=topk,
@@ -370,10 +420,11 @@ def sharded_query_topk_batch(
     return out
 
 
-def sharded_query_topk(
+def sharded_query_topk_incr(
     idx: ShardedFrameIndex,
     qvec: np.ndarray,
-    excluded_global: np.ndarray,  # (F_total,) bool
+    excluded_dev: jax.Array,  # (S, Fs) bool, P('data')-sharded, persistent
+    new_ids: jnp.ndarray,  # (M,) int32 GLOBAL frame ordinals, -1 padded
     *,
     topk: int,
     shortlist_size: int | None = None,
@@ -382,27 +433,22 @@ def sharded_query_topk(
     agg_method: str = "avg_score",
     qvec2: np.ndarray | None = None,  # subtracted (discount) query
 ):
-    """Query the sharded index. Returns (dbidxs, frame_scores, act_boxes,
-    act_scores) truncated to valid rows."""
+    """`sharded_query_topk` with the device-persistent incremental exclusion
+    protocol: the (S, Fs) mask stays resident across clicks and only the
+    handful of newly-excluded frame ordinals ride in — the sharded
+    counterpart of the single-chip `query_program_incr` (at 10M frames the
+    per-click host mask rebuild + upload this replaces costs more than the
+    scan itself through a dev tunnel). Returns (dbidxs, frame_scores,
+    act_boxes, act_scores, new_mask)."""
     if shortlist_size is None:
         shortlist_size = topk
 
-    S = idx.n_shards
-    Fs = idx.n_frames_local
-    F = idx.n_frames
-    exc = np.ones(S * Fs, dtype=bool)
-    exc[:F] = excluded_global
-    exc = exc.reshape(S, Fs)
-
-    sharding = NamedSharding(idx.mesh, P("data"))
-    exc_dev = jax.device_put(jnp.asarray(exc), sharding)
-
-    gfids, scores, boxes, act_scores, n_valid = _sharded_query(
+    gfids, scores, boxes, act_scores, n_valid, new_mask = _sharded_query(
         idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
         jnp.asarray(np.asarray(qvec, np.float32).reshape(-1)),
         (jnp.asarray(np.asarray(qvec2, np.float32).reshape(-1))
          if qvec2 is not None else None),
-        exc_dev,
+        excluded_dev, new_ids, idx.row_scale,
         mesh=idx.mesh,
         shortlist_size=shortlist_size,
         topk=topk,
@@ -418,4 +464,30 @@ def sharded_query_topk(
         np.asarray(scores)[:n],
         np.asarray(boxes)[:n],
         np.asarray(act_scores)[:n],
+        new_mask,
     )
+
+
+def sharded_query_topk(
+    idx: ShardedFrameIndex,
+    qvec: np.ndarray,
+    excluded_global: np.ndarray,  # (F_total,) bool
+    *,
+    topk: int,
+    shortlist_size: int | None = None,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    qvec2: np.ndarray | None = None,  # subtracted (discount) query
+):
+    """Query the sharded index from a host exclusion mask (one-shot callers;
+    the serving path uses `sharded_query_topk_incr`). Returns (dbidxs,
+    frame_scores, act_boxes, act_scores) truncated to valid rows."""
+    out = sharded_query_topk_incr(
+        idx, qvec, idx.shard_mask(np.asarray(excluded_global)),
+        jnp.full(1, -1, jnp.int32),
+        topk=topk, shortlist_size=shortlist_size,
+        aug_larger=aug_larger, aug_weight=aug_weight,
+        agg_method=agg_method, qvec2=qvec2,
+    )
+    return out[:4]
