@@ -33,6 +33,21 @@ from .interface import AccessMethod
 from .meta import VectorMeta, next_pow2 as _next_pow2
 
 
+class _ExclEntry:
+    """Per-session device-persistent exclusion state: `dev` is exactly
+    `prev`'s exclusions in `layout` ('flat' | 'sharded'); `obj` keeps the
+    session's BitMap alive so its id() cannot be reused while cached."""
+
+    __slots__ = ("obj", "prev", "dev", "gen", "layout")
+
+    def __init__(self, obj, prev, dev, layout):
+        self.obj = obj
+        self.prev = prev
+        self.dev = dev
+        self.gen = 0
+        self.layout = layout
+
+
 @jax.jit
 def _group_sums(V, prows, valid, row_scale):
     """(k, B) padded row gather -> (k, D) masked f32 sums (int8 dequant)."""
@@ -576,22 +591,21 @@ class MultiscaleIndex(AccessMethod):
     # multiscale_index.py:314-352).
     def _init_exclusion_state(self):
         import threading
+        from collections import OrderedDict
 
-        # (obj, prev, dev) must stay mutually CONSISTENT: dev is exactly
-        # prev's exclusions. All writes go through _commit_exclusion under
-        # the lock with a generation check, so concurrent sessions sharing
-        # one index can never publish a mask for another session's set —
-        # they just fall back to full rebuilds while interleaving.
+        # PER-SESSION device-mask cache: one entry per exclusion BitMap
+        # object (a session's `returned` set), so concurrent sessions
+        # sharing one index each keep their own device-resident mask and
+        # interleaved clicks stay incremental (a single shared slot would
+        # force a full host rebuild + upload on every alternation). Each
+        # entry's (prev, dev) must stay mutually consistent: dev is exactly
+        # prev's exclusions; all writes go through _commit_exclusion under
+        # the lock with a per-entry generation check. LRU-capped: an entry
+        # holds a (F,)-bool device mask (~1.25 MB at 10M vectors) plus a
+        # strong ref to the session's BitMap (keeps id() stable).
         self._excl_lock = threading.Lock()
-        self._excl_gen = 0
-        self._excl_dev = None  # device mask the device currently holds
-        self._excl_obj = None  # the BitMap object being tracked (strong ref)
-        self._excl_prev = None  # its contents as of the last sync
-        # which layout _excl_dev is in ('flat' | 'sharded'): a mesh index
-        # serves query() sharded but rank_by_scores/deferred rounds flat —
-        # switching entry points falls back to a full rebuild rather than
-        # reusing a mask of the wrong shape
-        self._excl_layout = "flat"
+        self._excl_entries = OrderedDict()  # id(BitMap) -> _ExclEntry
+        self._excl_base = {}  # layout -> device mask for exclude=None
 
     def _no_new_ids(self) -> np.ndarray:
         return np.full(self._EXCL_DELTA, -1, dtype=np.int32)
@@ -611,61 +625,65 @@ class MultiscaleIndex(AccessMethod):
         safe = np.minimum(pos, fd.shape[0] - 1)
         return pos[(pos < fd.shape[0]) & (fd[safe] == ids)].astype(np.int32)
 
+    _EXCL_CACHE = 32  # max concurrent sessions with device-resident masks
+
     def _device_exclusion(self, exclude: Optional[BitMap], *,
                           sharded: bool = False):
         """(device mask, padded new frame ordinals, commit token)."""
         no_new = self._no_new_ids()
         layout = "sharded" if sharded else "flat"
         with self._excl_lock:
-            self._excl_gen += 1
-            gen = self._excl_gen
             if exclude is None or len(exclude) == 0:
-                if (self._excl_dev is None or self._excl_obj is not None
-                        or self._excl_layout != layout):
-                    self._excl_dev = self._mask_to_device(
+                base = self._excl_base.get(layout)
+                if base is None:
+                    base = self._mask_to_device(
                         self._base_excluded_mask, sharded
                     )
-                    self._excl_obj = self._excl_prev = None
-                    self._excl_layout = layout
-                return self._excl_dev, jnp.asarray(no_new), None
+                    self._excl_base[layout] = base
+                return base, jnp.asarray(no_new), None
 
-            if (self._excl_obj is exclude and self._excl_prev is not None
-                    and self._excl_layout == layout):
-                added = exclude.difference(self._excl_prev)
-                removed = self._excl_prev.difference(exclude)
+            key = id(exclude)
+            e = self._excl_entries.get(key)
+            if (e is not None and e.obj is exclude and e.layout == layout
+                    and e.prev is not None):
+                added = exclude.difference(e.prev)
+                removed = e.prev.difference(exclude)
                 if len(removed) == 0 and len(added) <= self._EXCL_DELTA:
                     ords = self._dbidx_to_frame_ordinals(
                         np.asarray(added.to_array(), dtype=np.int64)
                     )
                     out = no_new
                     out[: ords.shape[0]] = ords
-                    token = (gen, exclude, exclude.copy(), layout)
-                    return self._excl_dev, jnp.asarray(out), token
+                    e.gen += 1
+                    self._excl_entries.move_to_end(key)
+                    token = (key, e.gen, exclude, exclude.copy(), layout)
+                    return e.dev, jnp.asarray(out), token
 
             # first sighting of this exclusion set (or it shrank / jumped /
             # changed layout): one full host rebuild, then incremental on
             mask = self._mask_to_device(
                 self._frame_exclusion_mask(exclude), sharded
             )
-            token = (gen, exclude, exclude.copy(), layout)
-            # publish the rebuilt state immediately; the program's returned
+            # publish the rebuilt entry immediately; the program's returned
             # mask is identical (no new ids ride along)
-            self._excl_obj = exclude
-            self._excl_prev = token[2]
-            self._excl_dev = mask
-            self._excl_layout = layout
+            e = _ExclEntry(exclude, exclude.copy(), mask, layout)
+            self._excl_entries[key] = e
+            self._excl_entries.move_to_end(key)
+            while len(self._excl_entries) > self._EXCL_CACHE:
+                self._excl_entries.popitem(last=False)  # evict LRU session
             return mask, jnp.asarray(no_new), None
 
     def _commit_exclusion(self, token, new_mask):
         if token is None:
             return
-        gen, exclude, prev_copy, layout = token
+        key, gen, exclude, prev_copy, layout = token
         with self._excl_lock:
-            if self._excl_gen == gen:  # no interleaved query since ours
-                self._excl_obj = exclude
-                self._excl_prev = prev_copy
-                self._excl_dev = new_mask
-                self._excl_layout = layout
+            e = self._excl_entries.get(key)
+            # per-entry generation: only the latest handout for THIS session
+            # may publish (an interleaved same-session handout supersedes)
+            if e is not None and e.obj is exclude and e.gen == gen:
+                e.prev = prev_copy
+                e.dev = new_mask
 
     @property
     def supports_deferred_query(self) -> bool:

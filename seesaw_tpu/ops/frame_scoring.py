@@ -624,6 +624,55 @@ def query_program_batch_framescale(
     )(qvecs, fmax)
 
 
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def query_program_batch_incr(
+    vectors, valid, boxes, zoom, qvecs,
+    excluded,  # (Q, F) bool — per-session device-persistent masks
+    new_ids,  # (Q, M) int32 per-session new frame ordinals, -1 padded
+    row_scale=None,
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> tuple[QueryResult, jnp.ndarray]:
+    """query_program_batch with each session's incremental exclusion update
+    fused into the same dispatch (the batched counterpart of
+    query_program_incr); returns (results, updated (Q, F) masks) — each row
+    commits back to its session's device-persistent entry."""
+    excluded = jax.vmap(apply_new_exclusions)(excluded, new_ids)
+    res = query_program_batch(
+        vectors, valid, boxes, zoom, qvecs, excluded, row_scale,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+    )
+    return res, excluded
+
+
+@functools.partial(jax.jit, static_argnames=_RANK_STATICS)
+def query_program_batch_framescale_incr(
+    vectors, valid, boxes, zoom, qvecs, excluded, new_ids, frame_scale,
+    *,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+    max_zoom: int = 8,
+) -> tuple[QueryResult, jnp.ndarray]:
+    """Frame-scale int8 batch path with fused per-session exclusion updates
+    (see query_program_batch_incr)."""
+    excluded = jax.vmap(apply_new_exclusions)(excluded, new_ids)
+    res = query_program_batch_framescale(
+        vectors, valid, boxes, zoom, qvecs, excluded, frame_scale,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+    )
+    return res, excluded
+
+
 @jax.jit
 def score_frames_max(
     vectors: jnp.ndarray, valid: jnp.ndarray, qvec: jnp.ndarray,

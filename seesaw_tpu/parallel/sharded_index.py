@@ -263,7 +263,7 @@ def _sharded_query(
     ),
 )
 def _sharded_query_batch(
-    V, valid, boxes, zoom, frame_offset, qvecs, excluded, row_scale,
+    V, valid, boxes, zoom, frame_offset, qvecs, excluded, new_ids, row_scale,
     *,
     mesh: Mesh,
     shortlist_size: int,
@@ -289,13 +289,19 @@ def _sharded_query_batch(
 
     def per_shard(V, valid, boxes, zoom, frame_offset, excluded, *rs):
         rs = rs[0][0] if rs else None  # (Fs*T,) int8 dequant scales
+        # per-session incremental exclusion: each query's new GLOBAL frame
+        # ordinals map to this shard's local slots
+        local = new_ids - frame_offset[0, 0]  # (Q, M)
+        local = jnp.where((new_ids >= 0) & (local >= 0) & (local < Fs),
+                          local, -1)
+        exc = jax.vmap(frame_scoring.apply_new_exclusions)(excluded[0], local)
         scores_nq = frame_scoring.scoring_matmat(V[0], qvecs, rs)  # (Fs*T, Q)
         T = valid.shape[2]
         s_qft = jnp.where(
             valid[0][None], scores_nq.T.reshape(qvecs.shape[0], Fs, T), -jnp.inf
         )
         fmax = jnp.max(s_qft, axis=2)  # (Q, Fs)
-        fmax = jnp.where(excluded[0], -jnp.inf, fmax)
+        fmax = jnp.where(exc, -jnp.inf, fmax)
 
         # per-query global shortlist cutoff with top_k's exact tie order
         loc_scores, loc_idx = jax.lax.top_k(fmax, shortlist_local)  # (Q, k)
@@ -312,7 +318,7 @@ def _sharded_query_batch(
         keep = (fmax > cut_s[:, None]) | (
             (fmax == cut_s[:, None]) & (gid_local[None, :] <= cut_id[:, None])
         )
-        excl_eff = excluded[0] | ~keep  # (Q, Fs)
+        excl_eff = exc | ~keep  # (Q, Fs)
 
         res = jax.vmap(
             lambda sc, ex: frame_scoring.rank_frames_from_scores(
@@ -329,14 +335,14 @@ def _sharded_query_batch(
         gfids = jnp.where(ok, res.frame_ids + frame_offset[0, 0], -1)
         return (
             gfids[None], res.frame_scores[None],
-            res.act_boxes[None], res.act_scores[None],
+            res.act_boxes[None], res.act_scores[None], exc[None],
         )
 
     spec = P("data")
     args = (V, valid, boxes, zoom, frame_offset, excluded)
     if row_scale is not None:
         args = args + (row_scale,)
-    gfids, scores, act_boxes, act_scores = shard_map(
+    gfids, scores, act_boxes, act_scores, new_mask = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(spec,) * len(args),
@@ -360,6 +366,7 @@ def _sharded_query_batch(
         flat_boxes[qi, pos],
         flat_act[qi, pos],
         keep.sum(axis=1),
+        new_mask,
     )
 
 
@@ -374,12 +381,11 @@ def sharded_query_topk_batch(
     aug_weight: str = "level_max",
     agg_method: str = "avg_score",
 ):
-    """Batched multi-query entry for the sharded index (request coalescing
-    at 10M+ scale, web/coalesce.py). Returns a list of per-query
-    (dbidxs, frame_scores, act_boxes, act_scores) tuples, each equal to the
-    solo `sharded_query_topk` result."""
-    if shortlist_size is None:
-        shortlist_size = topk
+    """Batched multi-query entry for the sharded index from host masks
+    (one-shot callers; the coalescer uses `sharded_query_topk_batch_incr`).
+    Returns a list of per-query (dbidxs, frame_scores, act_boxes,
+    act_scores) tuples, each equal to the solo `sharded_query_topk`
+    result."""
     qvecs = np.asarray(qvecs, np.float32)
     Q = qvecs.shape[0]
 
@@ -393,16 +399,50 @@ def sharded_query_topk_batch(
     sharding = NamedSharding(idx.mesh, P("data"))
     exc_dev = jax.device_put(jnp.asarray(exc), sharding)
 
-    gfids, scores, boxes, act_scores, n_valid = _sharded_query_batch(
-        idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
-        jnp.asarray(qvecs), exc_dev, idx.row_scale,
-        mesh=idx.mesh,
-        shortlist_size=shortlist_size,
-        topk=topk,
-        aug_larger=aug_larger,
-        aug_weight=aug_weight,
+    out, _ = sharded_query_topk_batch_incr(
+        idx, qvecs, exc_dev,
+        jnp.full((Q, 1), -1, jnp.int32),
+        topk=topk, shortlist_size=shortlist_size,
+        aug_larger=aug_larger, aug_weight=aug_weight,
         agg_method=agg_method,
-        max_zoom=idx.max_zoom,
+    )
+    return out
+
+
+def sharded_query_topk_batch_incr(
+    idx: ShardedFrameIndex,
+    qvecs: np.ndarray,  # (Q, D)
+    excluded_dev: jax.Array,  # (S, Q, Fs) bool, P('data')-sharded
+    new_ids: jnp.ndarray,  # (Q, M) int32 GLOBAL frame ordinals, -1 padded
+    *,
+    topk: int,
+    shortlist_size: int | None = None,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+):
+    """Coalesced multi-query with per-session device-persistent masks: each
+    query's (S, Fs) mask rides in stacked on axis 1 and only its per-click
+    delta ordinals upload. Returns (per-query result tuples, (S, Q, Fs)
+    updated masks — commit row [:, q, :] back to session q's entry)."""
+    if shortlist_size is None:
+        shortlist_size = topk
+    qvecs = np.asarray(qvecs, np.float32)
+    Q = qvecs.shape[0]
+
+    gfids, scores, boxes, act_scores, n_valid, new_mask = (
+        _sharded_query_batch(
+            idx.V, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
+            jnp.asarray(qvecs), excluded_dev, jnp.asarray(new_ids),
+            idx.row_scale,
+            mesh=idx.mesh,
+            shortlist_size=shortlist_size,
+            topk=topk,
+            aug_larger=aug_larger,
+            aug_weight=aug_weight,
+            agg_method=agg_method,
+            max_zoom=idx.max_zoom,
+        )
     )
     gfids = np.asarray(gfids)
     scores = np.asarray(scores)
@@ -417,7 +457,7 @@ def sharded_query_topk_batch(
             idx.frame_dbidx[fids], scores[q, :n], boxes[q, :n],
             act_scores[q, :n],
         ))
-    return out
+    return out, new_mask
 
 
 def sharded_query_topk_incr(

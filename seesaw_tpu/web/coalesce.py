@@ -144,22 +144,32 @@ class QueryCoalescer:
         qs = np.stack([
             np.asarray(r.vector, np.float32).reshape(-1) for r in chunk
         ])
-        masks = np.stack([
-            idx._frame_exclusion_mask(r.exclude) for r in chunk
-        ])
-        if getattr(idx, "_sharded", None) is not None:
+        sharded = getattr(idx, "_sharded", None) is not None
+        # per-session device-persistent masks: each request's exclusion
+        # entry stays resident across clicks; only the per-click delta
+        # ordinals ride in (the stacked host-mask rebuild this replaces
+        # costs Q x F bools of host->device traffic per dispatch)
+        excl = [
+            idx._device_exclusion(r.exclude, sharded=sharded) for r in chunk
+        ]
+        new_ids = jnp.stack([ni for _, ni, _ in excl])  # (Q, M)
+        if sharded:
             # mesh-sharded index: Q concurrent re-ranks in one sharded
             # dispatch — the (N_local, D) @ (D, Q) per-shard matmul keeps
             # coalescing's amortization AT scale (VERDICT r3 weak #8)
-            from ..parallel.sharded_index import sharded_query_topk_batch
+            from ..parallel.sharded_index import sharded_query_topk_batch_incr
 
-            results = sharded_query_topk_batch(
-                idx._sharded, qs, masks[:, : idx.meta.n_frames],
+            masks = jnp.stack([m for m, _, _ in excl], axis=1)  # (S, Q, Fs)
+            results, new_masks = sharded_query_topk_batch_incr(
+                idx._sharded, qs, masks, new_ids,
                 topk=topk_eff, shortlist_size=shortlist_size,
                 aug_larger=aug_larger, aug_weight=aug_weight,
                 agg_method=agg_method,
             )
-            for r, (dbidxs, scores, act_boxes, act_scores) in zip(chunk, results):
+            for i, (r, (dbidxs, scores, act_boxes, act_scores)) in enumerate(
+                zip(chunk, results)
+            ):
+                idx._commit_exclusion(excl[i][2], new_masks[:, i, :])
                 activations = [
                     {
                         "x1": float(b[0]), "y1": float(b[1]),
@@ -173,20 +183,21 @@ class QueryCoalescer:
                     "activations": activations,
                 }
             return
+        masks = jnp.stack([m for m, _, _ in excl])  # (Q, F) device stack
         if getattr(idx, "_frame_scale", None) is not None:
             # int8 with per-frame scales: tile max runs in int32 before
             # dequant — the fastest batch scan (frame_scoring docstring)
-            res = frame_scoring.query_program_batch_framescale(
+            res, new_masks = frame_scoring.query_program_batch_framescale_incr(
                 idx._V, idx._valid, idx._boxes, idx._zoom,
-                jnp.asarray(qs), jnp.asarray(masks), idx._frame_scale,
+                jnp.asarray(qs), masks, new_ids, idx._frame_scale,
                 shortlist_size=shortlist_size, topk=topk_eff,
                 aug_larger=aug_larger, aug_weight=aug_weight,
                 agg_method=agg_method, max_zoom=idx._max_zoom,
             )
         else:
-            res = frame_scoring.query_program_batch(
+            res, new_masks = frame_scoring.query_program_batch_incr(
                 idx._V, idx._valid, idx._boxes, idx._zoom,
-                jnp.asarray(qs), jnp.asarray(masks), idx._row_scale,
+                jnp.asarray(qs), masks, new_ids, idx._row_scale,
                 shortlist_size=shortlist_size, topk=topk_eff,
                 aug_larger=aug_larger, aug_weight=aug_weight,
                 agg_method=agg_method, max_zoom=idx._max_zoom,
@@ -195,6 +206,7 @@ class QueryCoalescer:
 
         res = jax.device_get(res)
         for i, r in enumerate(chunk):
+            idx._commit_exclusion(excl[i][2], new_masks[i])
             r.result = idx._format_result(QueryResult(
                 frame_ids=res.frame_ids[i],
                 frame_scores=res.frame_scores[i],

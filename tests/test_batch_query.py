@@ -262,3 +262,66 @@ def test_sessions_share_one_index_and_coalesce(tmp_path):
     index_cache.invalidate_prefix(str(tmp_path))
     idx_after = gdm.get_dataset("shared").load_index("multiscale", options={})
     assert idx_before is not idx_after
+
+
+@pytest.mark.parametrize("device_dtype", ["float32", "int8"])
+def test_coalesced_rounds_stay_incremental(monkeypatch, device_dtype):
+    """Coalesced clicks keep each session's device mask resident: after the
+    first sighting of each session's BitMap, later coalesced rounds ship
+    only delta ordinals (no full host mask rebuilds), and results stay
+    equal to a control index queried with fresh masks every round."""
+    from seesaw_tpu.web.coalesce import QueryCoalescer
+
+    V, meta = _db(seed=11)
+    idx = MultiscaleIndex(vectors=V, meta=meta, device_dtype=device_dtype,
+                          int8_scale="frame")
+    ctrl = MultiscaleIndex(vectors=V, meta=meta, device_dtype=device_dtype,
+                           int8_scale="frame")
+    co = QueryCoalescer(idx, window_ms=15.0, max_batch=8)
+
+    rng = np.random.default_rng(12)
+    n_sessions = 4
+    qs = rng.normal(size=(n_sessions, V.shape[1])).astype(np.float32)
+    excludes = [BitMap() for _ in range(n_sessions)]
+
+    rebuilds = {"n": 0}
+    orig = MultiscaleIndex._frame_exclusion_mask
+
+    def counting(self, exclude):
+        if self is idx:
+            rebuilds["n"] += 1
+        return orig(self, exclude)
+
+    monkeypatch.setattr(MultiscaleIndex, "_frame_exclusion_mask", counting)
+
+    for r in range(4):
+        results = [None] * n_sessions
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = co.query(vector=qs[i], topk=3,
+                                      shortlist_size=15,
+                                      exclude=excludes[i])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_sessions)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for i in range(n_sessions):
+            want = ctrl.query(vector=qs[i], topk=3, shortlist_size=15,
+                              exclude=BitMap(excludes[i].to_array()))
+            assert list(results[i]["dbidxs"]) == list(want["dbidxs"])
+            for db in results[i]["dbidxs"]:
+                assert db not in excludes[i]  # no repeats within a session
+                excludes[i].add(int(db))
+    # round 1 ships empty sets (no rebuild); each session rebuilds once on
+    # its first NON-EMPTY sighting (round 2), everything after is delta-only
+    assert rebuilds["n"] == n_sessions, (
+        f"expected {n_sessions} rebuilds, saw {rebuilds['n']}"
+    )

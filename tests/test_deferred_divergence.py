@@ -79,16 +79,16 @@ def test_diverged_fused_fit_leaves_state_clean(kind):
     else:
         dv = _poisoned_multireg(idx, rows, ys, tvec, d)
 
-    obj_before, prev_before = idx._excl_obj, idx._excl_prev
-    prev_copy = None if prev_before is None else prev_before.copy()
+    entry = idx._excl_entries[id(excl)]
+    prev_before = entry.prev
+    prev_copy = prev_before.copy()
     with pytest.raises(ValueError, match="diverged"):
         idx.query(vector=dv, topk=6, shortlist_size=20, exclude=excl)
 
     # no state was published by the failed round
-    assert idx._excl_obj is obj_before
-    assert idx._excl_prev is prev_before
-    if prev_copy is not None:
-        assert idx._excl_prev == prev_copy
+    entry_after = idx._excl_entries[id(excl)]
+    assert entry_after is entry and entry_after.prev is prev_before
+    assert entry_after.prev == prev_copy
 
     # the next normal round matches an index that never saw the failure
     got = idx.query(vector=tvec, topk=6, shortlist_size=20, exclude=excl)

@@ -240,3 +240,65 @@ def test_fit_rows_device_matches_host_fit():
             err_msg=f"dtype={dtype}",
         )
         np.testing.assert_allclose(m_dev.mu_, m_host.mu_, atol=atol)
+
+
+def test_interleaved_sessions_stay_incremental(monkeypatch):
+    """Two sessions alternating solo clicks on ONE shared index must each
+    keep their device mask incremental: after the first sighting of each
+    session's BitMap, no further full host mask rebuilds happen (the old
+    single-slot cache rebuilt on EVERY alternation)."""
+    idx, V, meta = _make_index(seed=7)
+    rng = np.random.default_rng(8)
+    qa = rng.normal(size=V.shape[1]).astype(np.float32)
+    qb = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    rebuilds = {"n": 0}
+    orig = MultiscaleIndex._frame_exclusion_mask
+
+    def counting(self, exclude):
+        rebuilds["n"] += 1
+        return orig(self, exclude)
+
+    monkeypatch.setattr(MultiscaleIndex, "_frame_exclusion_mask", counting)
+
+    excl_a, excl_b = BitMap(), BitMap()
+    seen_a, seen_b = set(), set()
+    for r in range(5):
+        ra = idx.query(vector=qa, topk=2, shortlist_size=10, exclude=excl_a)
+        for db in ra["dbidxs"]:
+            assert db not in seen_a
+            seen_a.add(int(db)); excl_a.add(int(db))
+        rb = idx.query(vector=qb, topk=2, shortlist_size=10, exclude=excl_b)
+        for db in rb["dbidxs"]:
+            assert db not in seen_b
+            seen_b.add(int(db)); excl_b.add(int(db))
+    # one full rebuild per session (first non-empty sighting), none after
+    assert rebuilds["n"] == 2, f"expected 2 rebuilds, saw {rebuilds['n']}"
+    assert len(seen_a) == 10 and len(seen_b) == 10
+
+
+def test_exclusion_cache_eviction_is_correct():
+    """More concurrent sessions than the LRU cap: evicted sessions rebuild
+    on return but stay CORRECT (no repeats, equal to a fresh-index query)."""
+    idx, V, meta = _make_index(seed=9)
+    ctrl, _, _ = _make_index(seed=9)
+    rng = np.random.default_rng(10)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+
+    old_cap = MultiscaleIndex._EXCL_CACHE
+    MultiscaleIndex._EXCL_CACHE = 2
+    try:
+        excls = [BitMap() for _ in range(4)]  # 4 sessions, cap 2
+        for r in range(3):
+            for s, excl in enumerate(excls):
+                got = idx.query(vector=q, topk=2, shortlist_size=10,
+                                exclude=excl)
+                want = ctrl.query(vector=q, topk=2, shortlist_size=10,
+                                  exclude=BitMap(excl.to_array()))
+                assert list(got["dbidxs"]) == list(want["dbidxs"])
+                for db in got["dbidxs"]:
+                    assert db not in excl
+                    excl.add(int(db))
+        assert len(idx._excl_entries) <= 2
+    finally:
+        MultiscaleIndex._EXCL_CACHE = old_cap
