@@ -23,6 +23,7 @@ from ..utils.transactional import transactional_folder
 from .tiling import generate_multiscale_tiling
 
 _SENTINEL = object()
+_STAGE_ERROR = object()  # (_STAGE_ERROR, exc): a stage died; consumer raises
 
 _u8_to_clip = None  # jitted lazily (jax import cost)
 
@@ -124,15 +125,21 @@ def run_multiscale_extraction(
                 im, tile_size=tile_size, factor=factor, min_tile_size=min_tile_size
             )
             return (int(dbidx), ts)
-        except PIL.UnidentifiedImageError:
-            print(f"warning: cannot decode image for dbidx={dbidx}; skipping")
+        except Exception as e:  # unreadable/missing/truncated image: skip
+            print(f"warning: cannot decode image for dbidx={dbidx} ({e!r}); skipping")
             return None
 
     def producer():
-        with ThreadPoolExecutor(n_decode_threads) as pool:
-            for res in pool.map(decode_one, dbidxs):
-                work_q.put(res)
-        work_q.put(_SENTINEL)
+        # ANY exit enqueues a terminal item: a producer dying without one
+        # would leave the consumer blocked on work_q.get() forever
+        try:
+            with ThreadPoolExecutor(n_decode_threads) as pool:
+                for res in pool.map(decode_one, dbidxs):
+                    work_q.put(res)
+        except BaseException as e:  # noqa: BLE001 — surfaced by the consumer
+            work_q.put((_STAGE_ERROR, e))
+        else:
+            work_q.put(_SENTINEL)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -171,6 +178,8 @@ def run_multiscale_extraction(
             break
         if item is None:
             continue
+        if isinstance(item, tuple) and item[0] is _STAGE_ERROR:
+            raise RuntimeError("ingest decode stage failed") from item[1]
         dbidx, ts = item
         n_tiles = ts.tiles.shape[0]
         buf_tiles.append(ts.tiles)
@@ -181,6 +190,10 @@ def run_multiscale_extraction(
         flush()
     flush(final=True)
 
+    if not all_vecs:
+        raise RuntimeError(
+            "extraction produced zero vectors: no image decoded successfully"
+        )
     vectors = np.concatenate(all_vecs)
     dbidx = np.concatenate(all_dbidx)
     zoom = np.concatenate(all_zoom)
@@ -223,17 +236,23 @@ def _run_device_tiling_extraction(
             return i, None
 
     def producer():
-        if jpeg_only:
-            it = decode_pool(paths, n_threads=n_decode_threads)
+        # ANY exit enqueues a terminal item (a dead producer would leave
+        # the uploader blocked on work_q.get() forever)
+        try:
+            if jpeg_only:
+                it = decode_pool(paths, n_threads=n_decode_threads)
+            else:
+                pool = ThreadPoolExecutor(n_decode_threads)
+                it = pool.map(decode_pil, range(len(paths)))
+            for i, img in it:
+                if img is None:
+                    print(f"warning: cannot decode image for dbidx={dbidxs[i]}; skipping")
+                    continue
+                work_q.put((int(dbidxs[i]), img))
+        except BaseException as e:  # noqa: BLE001 — forwarded to the main thread
+            work_q.put((_STAGE_ERROR, e))
         else:
-            pool = ThreadPoolExecutor(n_decode_threads)
-            it = pool.map(decode_pil, range(len(paths)))
-        for i, img in it:
-            if img is None:
-                print(f"warning: cannot decode image for dbidx={dbidxs[i]}; skipping")
-                continue
-            work_q.put((int(dbidxs[i]), img))
-        work_q.put(_SENTINEL)
+            work_q.put(_SENTINEL)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -281,8 +300,14 @@ def _run_device_tiling_extraction(
     # wait behind the ViT
     tiles_q: "queue.Queue" = queue.Queue(maxsize=2)
 
+    # decoded images waiting for a full same-resolution group are capped:
+    # heterogeneous-resolution datasets would otherwise buffer nearly every
+    # decoded frame (several MB each) until end-of-stream
+    max_buffered_bytes = 1 << 30
+
     def uploader():
         groups: dict = {}  # (h, w) -> (plan, [dbidx...], [img...])
+        buffered = 0
 
         def emit_group(plan, g_dbidx, g_imgs):
             B = len(g_imgs)
@@ -295,6 +320,12 @@ def _run_device_tiling_extraction(
                 for d, img in zip(g_dbidx, g_imgs):
                     tiles_q.put((build_tiler(plan)(jnp.asarray(img)), [(d, plan)]))
 
+        def pop_and_emit(key):
+            nonlocal buffered
+            plan, g_dbidx, g_imgs = groups.pop(key)
+            buffered -= sum(im.nbytes for im in g_imgs)
+            emit_group(plan, g_dbidx, g_imgs)
+
         try:
             while True:
                 item = work_q.get()
@@ -302,19 +333,26 @@ def _run_device_tiling_extraction(
                     break
                 if item is None:
                     continue
+                if isinstance(item, tuple) and item[0] is _STAGE_ERROR:
+                    tiles_q.put(item)  # forward the decode-stage failure
+                    return
                 dbidx, img = item
                 h, w = img.shape[:2]
                 plan = make_plan(h, w, tile_size, factor, min_tile_size)
                 g = groups.setdefault((h, w), (plan, [], []))
                 g[1].append(dbidx)
                 g[2].append(img)
+                buffered += img.nbytes
                 if len(g[1]) >= img_batch:
-                    emit_group(*groups.pop((h, w)))
-            for g in groups.values():
-                emit_group(*g)
+                    pop_and_emit((h, w))
+                while buffered > max_buffered_bytes and groups:
+                    # flush the fullest partial group (per-image dispatches)
+                    pop_and_emit(max(groups, key=lambda k: len(groups[k][1])))
+            for key in list(groups):
+                pop_and_emit(key)
             tiles_q.put(_SENTINEL)
         except BaseException as e:  # surface upload errors to the main thread
-            tiles_q.put(("__error__", e))
+            tiles_q.put((_STAGE_ERROR, e))
 
     threading.Thread(target=uploader, daemon=True).start()
 
@@ -322,8 +360,8 @@ def _run_device_tiling_extraction(
         item = tiles_q.get()
         if item is _SENTINEL:
             break
-        if isinstance(item, tuple) and item[0] == "__error__":
-            raise item[1]
+        if isinstance(item, tuple) and item[0] is _STAGE_ERROR:
+            raise RuntimeError("ingest decode/upload stage failed") from item[1]
         tiles_d, metas = item
         buf_tiles.append(tiles_d)
         for dbidx, plan in metas:
@@ -336,6 +374,10 @@ def _run_device_tiling_extraction(
     flush(final=True)
     materialize()
 
+    if not all_vecs:
+        raise RuntimeError(
+            "extraction produced zero vectors: no image decoded successfully"
+        )
     vectors = np.concatenate(all_vecs)
     norms = np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-6)
     vectors = vectors / norms
@@ -390,6 +432,10 @@ def create_multiscale_index(
         }
         (Path(tmp) / "info.json").write_text(json.dumps(info, indent=2))
 
+    # invalidate AFTER the commit too: a load in flight during the (long)
+    # extraction finishes against the old folder and would re-memoize the
+    # stale object past the pre-rebuild invalidation above
+    index_cache.invalidate_prefix(str(index_path))
     idx = ds.load_index(index_name, options={})
     if build_knn_graph:
         from ..knn_graph import KNNGraph
@@ -435,4 +481,5 @@ def create_coarse_index(ds: SeesawDataset, index_name: str, *, from_index: str,
             "dataset": str(ds.path),
         }
         (Path(tmp) / "info.json").write_text(json.dumps(info, indent=2))
+    index_cache.invalidate_prefix(str(out_path))  # see create_multiscale_index
     return ds.load_index(index_name, options={})

@@ -21,11 +21,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
+
 from ..basic_types import SessionParams, SessionState
 from ..configs import get_session_params_from_yaml
 from .common import (
     AppState,
-    EndSession,
     ResetReq,
     SessionInfoReq,
     SessionReq,
@@ -58,9 +59,6 @@ def get_image_reference_data(dataset, *, annotation_category, idxbatch):
     ]
 
 
-import numpy as np  # noqa: E402
-
-
 class SeesawServer:
     def __init__(self, root_dir: str, save_path: str,
                  config_path: Optional[str] = None,
@@ -68,7 +66,15 @@ class SeesawServer:
         self.manager = SessionManager(root_dir, save_path)
         self.root_dir = root_dir
         self.config_path = config_path
-        self.serve_files_root = serve_files_root or "/"
+        # static file serving is CONTAINED to these roots — never '/': the
+        # data root plus each dataset's image dir (create_dataset symlinks
+        # images/ to the user's source directory, so the resolved image
+        # root usually lies OUTSIDE the data root). An explicit
+        # serve_files_root overrides the list entirely.
+        self._serve_root_override = (
+            os.path.realpath(serve_files_root) if serve_files_root else None
+        )
+        self._serve_roots_cache: list = []
         # /explore state: the fitted Visualizer is mutated per request (query
         # overlay), so all of _explore runs under a lock; the cache is bounded
         # since each entry holds a full frame-vector copy
@@ -76,6 +82,25 @@ class SeesawServer:
         self._explore_cache_max = 4
         self._explore_lock = threading.Lock()
         self.log_requests = bool(os.environ.get("SEESAW_WEB_LOG"))
+
+    @property
+    def serve_files_root(self) -> str:
+        """The primary serve root (override or data root)."""
+        return self._serve_root_override or os.path.realpath(self.root_dir)
+
+    def serve_roots(self, refresh: bool = False) -> list:
+        if self._serve_root_override:
+            return [self._serve_root_override]
+        if refresh or not self._serve_roots_cache:
+            roots = [os.path.realpath(self.root_dir)]
+            data = Path(self.root_dir) / "data"
+            if data.is_dir():
+                for d in data.iterdir():
+                    img = d / "images"
+                    if img.is_dir():
+                        roots.append(os.path.realpath(str(img)))
+            self._serve_roots_cache = roots
+        return self._serve_roots_cache
 
     # ------------------------------------------------------------------ #
     def handle(self, method: str, path: str, query: dict, body: Optional[dict],
@@ -163,7 +188,7 @@ class SeesawServer:
                         return 400, {"detail": f"unknown path {p}"}, None
                     idxs.append(path2dbidx[p])
 
-            from ..basic_types import IndexSpec, SessionParams, SessionState
+            from ..basic_types import IndexSpec
 
             params = SessionParams(
                 annotation_category=category,
@@ -235,7 +260,10 @@ class SeesawServer:
         if path == "/session_end":
             if session_id is not None and self.manager.session_exists(session_id):
                 h = self.manager.get_session(session_id)
-                h.call("save")
+                # the final round's labels ride in the posted AppState —
+                # save() folds them in via update_state (the reference saves
+                # the posted body too, seesaw_app.py:304-311)
+                h.call("save", SessionReq(**body) if body else None)
                 self.manager.end_session(session_id)
                 return 200, {"token": session_id}, None
             if body:
@@ -286,7 +314,15 @@ class SeesawServer:
         k = int(query.get("clusters", 12))
         qstr = query.get("q")
 
-        cache_key = (dataset, index, k)
+        # the index's info.json mtime keys the cache so a rebuilt index
+        # (ingest.pipeline rewrites the folder transactionally) invalidates
+        # the fitted map instead of serving stale dbidxs forever
+        info = Path(self.root_dir) / "data" / dataset / "indices" / index / "info.json"
+        try:
+            stamp = info.stat().st_mtime_ns
+        except OSError:
+            stamp = 0
+        cache_key = (dataset, index, k, stamp)
         html = self._explore_cache.get(cache_key)
         if html is None:
             from ..dataset import GlobalDataManager
@@ -401,12 +437,25 @@ def _make_http_server(app: SeesawServer, host: str, port: int) -> ThreadingHTTPS
                 self.end_headers()
                 self.wfile.write(data)
                 return
-            # static file serving for dataset images
-            fpath = os.path.normpath(
-                os.path.join(app.serve_files_root, parsed.path.lstrip("/"))
+            # static file serving for dataset images: the url path IS the
+            # absolute file path (dataset.get_urls), CONTAINED to the serve
+            # roots (commonpath, not a string prefix: '/root/../x' traversal
+            # and '/rootX' siblings must both fail)
+            fpath = os.path.normpath(os.path.join("/", parsed.path))
+
+            def contained_in(roots):
+                for root in roots:
+                    try:
+                        if os.path.commonpath([fpath, root]) == root:
+                            return True
+                    except ValueError:
+                        pass
+                return False
+
+            contained = contained_in(app.serve_roots()) or contained_in(
+                app.serve_roots(refresh=True)  # datasets created after boot
             )
-            root = os.path.normpath(app.serve_files_root)
-            if fpath.startswith(root) and os.path.isfile(fpath):
+            if contained and os.path.isfile(fpath):
                 ctype = mimetypes.guess_type(fpath)[0] or "application/octet-stream"
                 with open(fpath, "rb") as f:
                     data = f.read()

@@ -120,21 +120,40 @@ class WebSession:
 
 
 class SessionManager:
+    # matches the session cookie's Max-Age: a session no client can still
+    # address is reaped server-side too (each live Session pins host state
+    # plus a device-resident exclusion mask — cookie-less probes hitting
+    # /user_session would otherwise grow the map without bound)
+    SESSION_TTL_S = 7200.0
+
     def __init__(self, root_dir: str, save_path: str):
         self.root_dir = root_dir
         self.save_path = save_path
         self.sessions: Dict[str, WebSession] = {}
+        self._last_access: Dict[str, float] = {}
         self._lock = threading.Lock()
 
     def ready(self) -> bool:
         return True
+
+    def _reap_expired_locked(self):
+        now = time.time()
+        dead = [
+            sid for sid, t in self._last_access.items()
+            if now - t > self.SESSION_TTL_S
+        ]
+        for sid in dead:
+            self.sessions.pop(sid, None)
+            self._last_access.pop(sid, None)
 
     def _new_session(self, task_list) -> str:
         session_id = generate_id()
         worker = Worker(session_id=session_id, task_list=task_list) if task_list else None
         ws = WebSession(self.root_dir, self.save_path, session_id, worker)
         with self._lock:
+            self._reap_expired_locked()
             self.sessions[session_id] = ws
+            self._last_access[session_id] = time.time()
         return session_id
 
     def new_worker(self, mode: str) -> str:
@@ -149,6 +168,10 @@ class SessionManager:
     def end_session(self, session_id: str):
         with self._lock:
             self.sessions.pop(session_id, None)
+            self._last_access.pop(session_id, None)
 
     def get_session(self, session_id: str) -> Optional[WebSession]:
-        return self.sessions.get(session_id)
+        ws = self.sessions.get(session_id)
+        if ws is not None:
+            self._last_access[session_id] = time.time()
+        return ws

@@ -280,3 +280,60 @@ def test_concurrent_next_over_shared_coalescing_index(tmp_path):
     assert not errors
     assert all(len(s) == 9 for s in seen)
     assert sessions[0].index._coalescer.stats["dispatches"] >= 0  # no deadlock
+
+
+def test_static_serving_contained_to_root(server):
+    """Image files under the data root serve; anything outside (or reached
+    via traversal) is refused — the url path IS the absolute file path."""
+    base, app = server
+    # a real file under the data root serves (synth registers image paths
+    # without writing files, so write one)
+    from pathlib import Path
+
+    from seesaw_tpu.dataset import GlobalDataManager
+
+    gdm = GlobalDataManager(app.root_dir)
+    ds = gdm.get_dataset("synth")
+    fpath = Path(ds.file_path(int(ds.dbidxs[0])))
+    fpath.parent.mkdir(parents=True, exist_ok=True)
+    fpath.write_bytes(b"fakejpegbytes")
+    url = ds.get_urls([ds.dbidxs[0]])[0]
+    with urllib.request.urlopen(base + urllib.parse.quote(url)) as resp:
+        assert resp.status == 200 and resp.read() == b"fakejpegbytes"
+
+    # absolute path outside the root is refused
+    for bad in ("/etc/passwd",
+                urllib.parse.quote(str(app.serve_files_root)) + "/../../etc/passwd"):
+        try:
+            with urllib.request.urlopen(base + bad) as resp:
+                body = json.loads(resp.read())
+                assert "detail" in body, f"served {bad}!"  # fell through to 404 API
+        except urllib.error.HTTPError as e:
+            assert e.code in (404, 400)
+
+
+def test_session_end_saves_final_labels(server, tmp_path):
+    """The final round's labels posted with /session_end land in the saved
+    summary (the old handler dropped the body: silent data loss)."""
+    base, app = server
+    c = Client(base)
+    c.post("/user_session?mode=plain&dataset=synth&index=multiscale")
+    state = c.post(f"/text?key={urllib.parse.quote(QSTR)}")
+    # label the last batch client-side, then end the session with the body
+    for im in state["session"]["gdata"][-1]:
+        im["boxes"] = [dict(x1=0.0, y1=0.0, x2=50.0, y2=50.0,
+                            marked_accepted=True)]
+    sid = c.cookie
+    out = c.post("/session_end", body={"client_data": state})
+    assert out["token"] == sid
+    # the save wrote the labels
+    import glob
+
+    paths = glob.glob(f"{app.manager.save_path}/session_{sid}/**/summary.json",
+                      recursive=True)
+    assert paths, "no summary written"
+    saved = json.loads(open(paths[-1]).read())
+    gdata = saved["session"]["gdata"]
+    assert any(
+        im["boxes"] for batch in gdata for im in batch if im["boxes"]
+    ), "final labels were dropped from the saved session"
