@@ -163,9 +163,12 @@ int jp_submit(void* p, int64_t id, const char* path) {
   {
     std::lock_guard<std::mutex> g(pool->mu);
     if (pool->stopping) return -1;
+    // increment BEFORE the job becomes visible: a worker could otherwise
+    // decode + get polled (fetch_sub) before this thread's fetch_add,
+    // letting jp_pending() transiently report 0/-1 with work in flight
+    pool->pending.fetch_add(1);
     pool->jobs.push_back(Job{id, std::string(path)});
   }
-  pool->pending.fetch_add(1);
   pool->cv_work.notify_one();
   return 0;
 }

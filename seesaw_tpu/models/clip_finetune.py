@@ -110,9 +110,24 @@ class CLIPFineTuner:
 
         self._train_step = train_step
 
+        @jax.jit
+        def eval_step(params, pixels, tokens):
+            img = model.apply({"params": params}, pixels,
+                              method=ClipModel.encode_image)
+            txt = model.apply({"params": params}, tokens,
+                              method=ClipModel.encode_text)
+            return clip_contrastive_loss(img, txt, params["logit_scale"])
+
+        self._eval_step = eval_step
+
     def fit(self, pixels: np.ndarray, tokens: np.ndarray, *, epochs: int = 1,
             batch_size: int = 32, seed: int = 0):
         n = pixels.shape[0]
+        if n == 0:
+            raise ValueError("fit called with zero pairs")
+        # small datasets still train: the old drop-remainder loop silently
+        # performed ZERO steps whenever n < batch_size
+        batch_size = min(batch_size, n)
         rng = np.random.default_rng(seed)
         for _ in range(epochs):
             order = rng.permutation(n)
@@ -126,11 +141,11 @@ class CLIPFineTuner:
         return self
 
     def eval_loss(self, pixels: np.ndarray, tokens: np.ndarray) -> float:
-        img = self.model.apply({"params": self.params}, jnp.asarray(pixels),
-                               method=ClipModel.encode_image)
-        txt = self.model.apply({"params": self.params}, jnp.asarray(tokens),
-                               method=ClipModel.encode_text)
-        return float(clip_contrastive_loss(img, txt, self.params["logit_scale"]))
+        # one jitted dispatch, params as ARGUMENTS (an eager tower forward
+        # dispatches hundreds of ops through a high-latency link)
+        return float(self._eval_step(
+            self.params, jnp.asarray(pixels), jnp.asarray(tokens)
+        ))
 
     def to_embedding(self) -> ClipEmbedding:
         return ClipEmbedding(
@@ -202,6 +217,7 @@ def successive_halving_search(
             state_path.write_text(json.dumps({"history": history}))
 
     survivors = trials
+    scored = []
     for rung in rungs:
         scored = []
         for cfg in survivors:
@@ -217,7 +233,7 @@ def successive_halving_search(
         scored.sort(key=lambda t: t[0])
         keep = max(1, len(scored) // eta)
         survivors = [cfg for _, cfg in scored[:keep]]
-    best_loss, best_cfg = min(
-        ((h["loss"], h["config"]) for h in history), key=lambda t: t[0]
-    )
+    # best = the FINAL rung's winner: a min over all history would mix
+    # budgets and could crown a barely-trained eliminated trial on noise
+    best_loss, best_cfg = scored[0]
     return best_cfg, best_loss, history

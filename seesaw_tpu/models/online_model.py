@@ -81,20 +81,41 @@ class OnlineModel:
         out = pre @ self.text_projection
         return (out / np.linalg.norm(out, axis=1, keepdims=True))[0]
 
+    _preproj_jit: dict = {}  # per-architecture traced fns, shared by sessions
+
     def _encode_preprojection(self, strings: List[str]) -> np.ndarray:
         """Pooled text features before the projection, cached per string
-        (the frozen part of the tower — reference `compute_up_to`)."""
+        (the frozen part of the tower — reference `compute_up_to`). ONE
+        jitted dispatch with params as arguments (eager tower applies cost
+        hundreds of per-op round-trips through a high-latency link); token
+        batches pad to pow2 buckets to bound retraces."""
         missing = [s for s in strings if s not in self._preproj_cache]
         if missing:
-            toks = np.stack([self.embedding.tokenizer.encode(s) for s in missing])
             model = self.embedding.model
-            out = np.asarray(
-                model.apply(
-                    {"params": self.embedding.params},
-                    jnp.asarray(toks),
+            toks = np.stack([self.embedding.tokenizer.encode(s) for s in missing])
+            cfg = getattr(self.embedding, "cfg", None)
+            if cfg is None:  # test stubs / non-flax embeddings: eager apply
+                out = np.asarray(model.apply(
+                    {"params": self.embedding.params}, jnp.asarray(toks),
                     method=ClipModel.encode_text_preproj,
-                )
-            )
+                ))
+            else:
+                key = str(cfg)
+                fn = OnlineModel._preproj_jit.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda p, tok: model.apply(
+                            {"params": p}, tok,
+                            method=ClipModel.encode_text_preproj,
+                        )
+                    )
+                    OnlineModel._preproj_jit[key] = fn
+                B = 1 << max(int(np.ceil(np.log2(len(missing)))), 0)
+                toks_p = np.zeros((B,) + toks.shape[1:], toks.dtype)
+                toks_p[: len(missing)] = toks
+                out = np.asarray(
+                    fn(self.embedding.params, jnp.asarray(toks_p))
+                )[: len(missing)]
             for s, v in zip(missing, out):
                 self._preproj_cache[s] = v
         return np.stack([self._preproj_cache[s] for s in strings])
@@ -137,7 +158,10 @@ class OnlineModel:
         self._target_string = target_string
         self.reset()
 
-        has_desc = np.array([a != "" and a is not None for a in annotations])
+        has_desc = np.array(
+            [a != "" and a is not None for a in annotations], dtype=bool
+        )  # explicit dtype: an empty comprehension would yield float64,
+        # which is invalid as a boolean index
         desc_vecs = imagevecs[has_desc]
         desc_strs = list(np.asarray(annotations, dtype=object)[has_desc])
 

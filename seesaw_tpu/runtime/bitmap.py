@@ -20,17 +20,19 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libroaring_tpu.so"
 _build_lock = threading.Lock()
 _lib = None
+_lib_failed = False  # memoized: never re-run a failing compile per BitMap()
 
 
 def _load_native():
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
         return _lib
     with _build_lock:
-        if _lib is not None:
+        if _lib is not None or _lib_failed:
             return _lib
         src = _NATIVE_DIR / "roaring.cpp"
         if not src.exists():
+            _lib_failed = True
             return None
         if (not _LIB_PATH.exists()) or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
             try:
@@ -40,8 +42,13 @@ def _load_native():
                     capture_output=True,
                 )
             except (subprocess.CalledProcessError, FileNotFoundError):
+                _lib_failed = True
                 return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _lib_failed = True
+            return None
         P, U32, U64 = ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64
         PU32 = ctypes.POINTER(ctypes.c_uint32)
         PU8 = ctypes.POINTER(ctypes.c_uint8)
@@ -115,12 +122,17 @@ class BitMap:
             self._set.add(int(v))
 
     def remove(self, v: int):
+        # pyroaring parity: remove raises on a missing element, discard is
+        # the silent variant
+        if int(v) not in self:
+            raise KeyError(v)
+        self.discard(v)
+
+    def discard(self, v: int):
         if self._ptr:
             _lib.rb_remove(ctypes.c_void_p(self._ptr), ctypes.c_uint32(int(v)))
         else:
             self._set.discard(int(v))
-
-    discard = remove
 
     def update(self, values):
         if self._ptr:
@@ -229,8 +241,10 @@ class BitMap:
             return bool(_lib.rb_equals(ctypes.c_void_p(self._ptr), ctypes.c_void_p(other._ptr)))
         return np.array_equal(self.to_array(), other.to_array())
 
-    def __hash__(self):
-        return hash(self.to_array().tobytes())
+    # defining __eq__ sets __hash__ to None: the mutable BitMap is
+    # unhashable (pyroaring parity — a dict entry keyed by mutating content
+    # would silently become unreachable); FrozenBitMap hashes below
+    __hash__ = None
 
     def __repr__(self):
         vals = self.to_array()
@@ -246,3 +260,6 @@ class FrozenBitMap(BitMap):
         raise TypeError("FrozenBitMap is immutable")
 
     add = remove = discard = update = clear = _frozen
+
+    def __hash__(self):
+        return hash(self.to_array().tobytes())

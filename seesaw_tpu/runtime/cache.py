@@ -102,11 +102,20 @@ class FsCache:
         self.scratch = Path(scratch_dir)
         self.scratch.mkdir(parents=True, exist_ok=True)
 
+    # a lock file older than this is from a killed copier — break it
+    STALE_LOCK_S = 600.0
+
     def get(self, path: str) -> str:
+        import hashlib
+
         src = Path(path).resolve()
-        dst = self.scratch / src.name
-        lock = self.scratch / (src.name + ".lock")
-        done = self.scratch / (src.name + ".done")
+        # key on the FULL source path, not the basename: /a/vectors.npz and
+        # /b/vectors.npz must not serve each other's bytes
+        tag = hashlib.sha1(str(src).encode()).hexdigest()[:12]
+        name = f"{tag}_{src.name}"
+        dst = self.scratch / name
+        lock = self.scratch / (name + ".lock")
+        done = self.scratch / (name + ".done")
         if done.exists():
             return str(dst)
         # single-host: a simple O_EXCL lock file suffices
@@ -120,6 +129,12 @@ class FsCache:
                     return str(dst)
                 import time
 
+                try:  # a process killed mid-copy leaves the lock forever
+                    if time.time() - lock.stat().st_mtime > self.STALE_LOCK_S:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    pass
                 time.sleep(0.05)
         try:
             if src.is_dir():

@@ -79,17 +79,23 @@ class NativeJpegPool:
         self._buf = np.empty(max_w * max_h * 3, dtype=np.uint8)
         self._closed = False
 
+    def _live_pool(self):
+        if self._pool is None:  # closed: a NULL pointer would segfault in C++
+            raise RuntimeError("jpeg pool is closed")
+        return self._pool
+
     def submit(self, job_id: int, path: str):
-        rc = self._lib.jp_submit(self._pool, job_id, str(path).encode())
+        rc = self._lib.jp_submit(self._live_pool(), job_id, str(path).encode())
         if rc != 0:
             raise RuntimeError("submit after close")
 
     def pending(self) -> int:
-        return int(self._lib.jp_pending(self._pool))
+        return int(self._lib.jp_pending(self._live_pool()))
 
     def poll(self) -> Optional[Tuple[int, Optional[np.ndarray]]]:
         """One completed (id, HxWx3 array) or (id, None) for a failed decode;
         None when nothing is ready yet."""
+        self._live_pool()
         jid = ctypes.c_int64()
         w = ctypes.c_int()
         h = ctypes.c_int()
@@ -128,10 +134,17 @@ def decode_pool(paths: Iterable[str], n_threads: int = 8,
 
         pool = NativeJpegPool(n_threads=n_threads)
         try:
-            for i, p in enumerate(paths):
-                pool.submit(i, p)
+            # bounded submission window: submitting everything up front lets
+            # the C++ workers decode far ahead of a slow consumer and buffer
+            # the whole dataset's RGB frames in the results deque (multi-GB
+            # at 100k+ images); keep at most `window` jobs in flight
+            window = max(4 * n_threads, 8)
+            next_i = 0
             done = 0
             while done < len(paths):
+                while next_i < len(paths) and (next_i - done) < window:
+                    pool.submit(next_i, paths[next_i])
+                    next_i += 1
                 out = pool.poll()
                 if out is None:
                     time.sleep(0.0005)
