@@ -548,8 +548,23 @@ class MultiscaleIndex(AccessMethod):
         return vec / np.linalg.norm(vec)
 
     def score(self, vec: np.ndarray) -> np.ndarray:
-        """Per-vector scores in the exact (unpadded) layout."""
-        return self.vectors @ np.asarray(vec, np.float32).reshape(-1)
+        """Per-vector scores in the exact (unpadded) layout
+        (reference `multiscale_index.py:284`)."""
+        q = np.asarray(vec, np.float32).reshape(-1)
+        if self.vectors is None:
+            # device-built index (from_device_arrays): no host vector mirror.
+            # Requires uniform tiling, where the frame-major padded layout IS
+            # the exact layout (every row real, e.g. ingest.device_tiling).
+            assert self._V is not None and self.meta.n_vectors == int(
+                self._V.shape[0]
+            ), "device score() needs uniform tiling (padded layout == exact)"
+            rs = self._row_scale
+            if rs is None and self._frame_scale is not None:
+                rs = jnp.repeat(self._frame_scale, self._tile_bound)
+            return np.asarray(
+                frame_scoring.score_vectors(self._V, jnp.asarray(q), rs)
+            )
+        return self.vectors @ q
 
     def score_frames(self, vec: np.ndarray) -> np.ndarray:
         """Max tile score per frame, on device."""
@@ -953,10 +968,6 @@ class MultiscaleIndex(AccessMethod):
             shortlist_size = max(topk * 5, shortlist_size or 0)
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
-        assert self._pad_rows is not None, (
-            "rank_by_scores needs the host padding plan (not available on "
-            "from_device_arrays indexes)"
-        )
         mask, new_ids, token = self._device_exclusion(exclude)
 
         if isinstance(scores, jax.Array):
@@ -965,7 +976,17 @@ class MultiscaleIndex(AccessMethod):
             s = scores.astype(jnp.float32)
         else:
             s = jnp.asarray(np.asarray(scores, np.float32))
-        s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
+        if self._pad_rows is None:
+            # device-built index (from_device_arrays): uniform tiling means
+            # the exact layout already IS the frame-major padded layout, so
+            # no host gather plan is needed — mask invalid rows and go
+            assert self.meta.n_vectors == int(s.shape[0]), (
+                "rank_by_scores on a device-built index needs uniform "
+                "tiling (padded layout == exact layout)"
+            )
+            s_pad = jnp.where(self._valid.reshape(-1), s, -jnp.inf)
+        else:
+            s_pad = jnp.where(self._pad_valid_flat, s[self._pad_rows], -jnp.inf)
         res, new_mask = frame_scoring.rank_frames_from_scores_incr(
             s_pad, self._valid, self._boxes, self._zoom,
             mask, new_ids,

@@ -59,6 +59,17 @@ def test_rerank_chain_smoke(dtype):
     assert out["n_vectors"] == 16 * 1024 * bench.TILES
 
 
+def test_graph_session_smoke():
+    # the KnnProp2 serving-round stage end-to-end at tiny size: device-built
+    # index (from_device_arrays, no host vector mirror), device score(),
+    # rank_by_scores without a host padding plan, ranker propagation, and
+    # the no-repeat contract across rounds — both plain and windowed-SpMV
+    out = bench.bench_graph_session(n_tiles=1024 * bench.TILES, rounds=3)
+    assert out["p50_session_round_ms_knnprop2_1M"] > 0
+    assert out["p50_session_round_ms_knnprop2_1M_windowed"] > 0
+    assert out["knnprop2_rounds_measured"] == 2
+
+
 def test_finetune_harness_smoke():
     # the shared fine-tune measurement harness (also used by
     # scripts/probe_fused_attention_bwd.py) on the tiny CLIP variant

@@ -62,6 +62,29 @@ def test_windowed_spmv_matches_dense(n, K, B, W, cap):
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.parametrize("n,K,B,W,cap", [
+    (2000, 6, 256, 512, 4),   # N not a multiple of B; padding rows
+    (1500, 8, 128, 256, 8),
+    (600, 4, 128, 128, 2),    # tight cap: over-cap edges overflow
+])
+def test_device_layout_builder_equals_host(n, K, B, W, cap):
+    """build_windowed_layout_device is the accelerator twin of the numpy
+    builder (used at serving scale where ~35 host passes over (N,K) arrays
+    cost minutes): every field must match the host oracle exactly."""
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_device
+
+    nbr, w = _graph(n, K, spread=W // 4)
+    host = build_windowed_layout(nbr, w, B=B, W=W, cap=cap)
+    dev = build_windowed_layout_device(nbr, w, B=B, W=W, cap=cap)
+    assert (dev.n, dev.B, dev.W, dev.cap) == (host.n, host.B, host.W, host.cap)
+    assert dev.coverage == pytest.approx(host.coverage, abs=1e-9)
+    np.testing.assert_array_equal(np.asarray(dev.cidx), host.cidx)
+    np.testing.assert_array_equal(np.asarray(dev.wslab), host.wslab)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_src), host.ovf_src)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_nbr), host.ovf_nbr)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_w), host.ovf_w)
+
+
 def test_all_overflow_degenerate():
     """A graph with zero window locality still computes correctly (pure
     fallback path)."""
