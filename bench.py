@@ -1006,7 +1006,9 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
 
     def drive(ranker, label):
         qvec = rng.normal(size=d).astype(np.float32)
-        ranker.set_base_scores(idx.score(qvec / np.linalg.norm(qvec)))
+        # device scores flip the ranker into device mode: labels/prior stay
+        # device-persistent and each round ships only the clicked ordinals
+        ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
         _progress(f"  base scores set{label or ' (plain)'}; driving rounds "
                   "(round 0 pays the chain compile)")
         returned = BitMap()

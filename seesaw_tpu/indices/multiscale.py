@@ -547,9 +547,13 @@ class MultiscaleIndex(AccessMethod):
         vec = np.asarray(vec, dtype=np.float32).reshape(-1)
         return vec / np.linalg.norm(vec)
 
-    def score(self, vec: np.ndarray) -> np.ndarray:
-        """Per-vector scores in the exact (unpadded) layout
-        (reference `multiscale_index.py:284`)."""
+    def score_device(self, vec: np.ndarray):
+        """`score` WITHOUT forcing the (N,) result through the host: on a
+        device-built index (from_device_arrays) returns a device array that
+        downstream device consumers (KnnProp2 propagation priors,
+        rank_by_scores) use in place — a feedback session's scores then
+        never round-trip N floats per query. Host-built indexes return the
+        host scores unchanged (the differential-tested reference path)."""
         q = np.asarray(vec, np.float32).reshape(-1)
         if self.vectors is None:
             # device-built index (from_device_arrays): no host vector mirror.
@@ -561,10 +565,13 @@ class MultiscaleIndex(AccessMethod):
             rs = self._row_scale
             if rs is None and self._frame_scale is not None:
                 rs = jnp.repeat(self._frame_scale, self._tile_bound)
-            return np.asarray(
-                frame_scoring.score_vectors(self._V, jnp.asarray(q), rs)
-            )
+            return frame_scoring.score_vectors(self._V, jnp.asarray(q), rs)
         return self.vectors @ q
+
+    def score(self, vec: np.ndarray) -> np.ndarray:
+        """Per-vector scores in the exact (unpadded) layout
+        (reference `multiscale_index.py:284`)."""
+        return np.asarray(self.score_device(vec))
 
     def score_frames(self, vec: np.ndarray) -> np.ndarray:
         """Max tile score per frame, on device."""

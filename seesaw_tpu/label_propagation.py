@@ -54,6 +54,50 @@ class LabelPropagation:
         self._w = jnp.asarray(weights.w)
         self._deg = jnp.asarray(weights.degree)
 
+    def fit_transform_device(
+        self,
+        *,
+        labels: "jnp.ndarray",  # (N,) f32, meaningful where labeled
+        is_labeled: "jnp.ndarray",  # (N,) bool
+        reg_values: "jnp.ndarray",  # (N,) f32 prior
+        start: "jnp.ndarray",  # (N,) f32 warm start
+    ) -> "jnp.ndarray":
+        """`fit_transform` with ALL state already device-resident: no host
+        array assembly, no (N,) uploads, device scores out. The serving path
+        (loops/knn_methods device mode) keeps labels/is_labeled persistent on
+        device and scatter-updates the few clicked entries per feedback
+        round, so a round's propagation ships only delta ordinals — the
+        reference's scipy loop re-reads full host arrays every round
+        (`label_propagation.py:44-66`). Bounds sanitation is the caller's
+        job (loops/knn_methods.py current_scores applies it on first host
+        materialization). Not supported for mesh-sharded propagation (that
+        path assembles host shards)."""
+        assert self.mesh is None, "device-state propagation is single-device"
+        if self.windowed_layout is not None:
+            from .ops.propagation import propagate_windowed
+
+            res = propagate_windowed(
+                self.windowed_layout, self._deg, reg_values, labels,
+                is_labeled, start,
+                reg_lambda=float(self.reg_lambda),
+                max_iter=self.max_iter, epsilon=self.epsilon,
+                dispatch_iters=self.dispatch_iters,
+            )
+        else:
+            res = propagate(
+                self._nbr, self._w, self._deg, reg_values, labels,
+                is_labeled, start,
+                reg_lambda=float(self.reg_lambda),
+                max_iter=self.max_iter, epsilon=self.epsilon,
+                dispatch_iters=self.dispatch_iters,
+            )
+        if self.verbose and not bool(res.converged):
+            print(
+                f"warning: propagation did not converge after "
+                f"{int(res.n_iter)} iters"
+            )
+        return res.scores
+
     def fit_transform(
         self,
         *,

@@ -97,8 +97,12 @@ class KnnProp2(LoopBase):
 
     def set_text_vec(self, tvec):
         super().set_text_vec(tvec)
-        scores = self.index.score(tvec)
-        self.state.knn_model.set_base_scores(scores)
+        # device-built serving indexes return DEVICE scores here, which
+        # flips the ranker into device mode (device-persistent labels +
+        # device prior, loops/knn_methods.py); host-built indexes return
+        # host scores and keep the differential-tested reference path
+        score = getattr(self.index, "score_device", self.index.score)
+        self.state.knn_model.set_base_scores(score(tvec))
 
     def next_batch(self):
         p = self.params

@@ -13,6 +13,7 @@ knn_methods.py:8-199`) over the fixed-degree graph:
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -21,18 +22,55 @@ from ..knn_graph import KNNGraph, SymmetricWeights, rbf_kernel, symmetrize_weigh
 from ..label_propagation import LabelPropagation
 
 
+def _xp(x):
+    """numpy for host arrays, jax.numpy for device arrays — the calibration
+    helpers run wherever the scores already live (device scores at serving
+    scale never round-trip through the host)."""
+    import jax
+
+    if isinstance(x, jax.Array):
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
+
 def sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    xp = _xp(x)
+    return 1.0 / (1.0 + xp.exp(-x))
 
 
-def normalize_scores(scores: np.ndarray, epsilon: float) -> np.ndarray:
-    """Affine-map scores into (epsilon, 1-epsilon); all-equal maps to 0.5."""
+def normalize_scores(scores, epsilon: float):
+    """Affine-map scores into (epsilon, 1-epsilon); all-equal maps to 0.5.
+    Reference `research/knn_methods.py` (f32 throughout); accepts host or
+    device arrays (device input syncs once per query on the gap check)."""
     assert epsilon < 0.5
-    gap = scores.max() - scores.min()
-    if gap == 0:
-        return np.full_like(scores, 0.5)
-    x = (scores - scores.min()) / gap
+    xp = _xp(scores)
+    lo = scores.min()
+    gap = scores.max() - lo
+    if float(gap) == 0:
+        return xp.full_like(scores, 0.5)
+    x = (scores - lo) / gap
     return x * (1 - 2 * epsilon) + epsilon
+
+
+@functools.lru_cache(maxsize=1)
+def _scatter_labels_fn():
+    import jax
+
+    # donated: the round's scatter updates the persistent (N,) label state
+    # in place instead of copying it
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def f(labels, is_labeled, ids, vals):
+        labels = labels.at[ids].set(vals, mode="drop")
+        is_labeled = is_labeled.at[ids].set(True, mode="drop")
+        return labels, is_labeled
+
+    return f
+
+
+def _scatter_labels(labels, is_labeled, ids, vals):
+    return _scatter_labels_fn()(labels, is_labeled, ids, vals)
 
 
 class SimpleKNNRanker:
@@ -117,6 +155,15 @@ class BaseLabelPropagationRanker:
         self.labels = np.zeros(nvecs)
         self.prior_scores = None
         self._current_scores = None
+        # device mode (engaged when set_base_scores receives a device array,
+        # i.e. a device-built serving index): labels/is_labeled live
+        # device-PERSISTENT and each feedback round scatters only the round's
+        # clicked ordinals — the host mirrors above stay authoritative for
+        # top_k/analysis. Mirrors the index's device-persistent exclusion
+        # masks (indices/multiscale._device_exclusion).
+        self._labels_dev = None
+        self._is_labeled_dev = None
+        self._pending: list = []  # (idx, label) staged since last flush
 
     def set_base_scores(self, init_scores: np.ndarray):
         assert init_scores.shape[0] == self.nvecs
@@ -140,10 +187,38 @@ class BaseLabelPropagationRanker:
             assert np.isclose(label, 0) or np.isclose(label, 1)
             self.labels[idx] = label
             self.is_labeled[idx] = 1
+            self._pending.append((idx, label))
         num_neg = (self.labels[self.is_labeled > 0] == 0).sum()
         if num_neg > 0:
             self._current_scores = self._propagate(self.prior_scores)
         # no negatives: scores unchanged (labels still clamp via current_scores)
+
+    def _device_label_state(self):
+        """Device-persistent (labels, is_labeled): the first call in device
+        mode uploads the full host mirrors once; afterwards each call flushes
+        the clicks staged since the last propagation as ONE padded scatter
+        (padded to 64-multiples so the scatter program is compiled once)."""
+        import jax.numpy as jnp
+
+        if self._labels_dev is None:
+            self._labels_dev = jnp.asarray(self.labels, dtype=jnp.float32)
+            self._is_labeled_dev = jnp.asarray(self.is_labeled > 0)
+            self._pending.clear()
+            return self._labels_dev, self._is_labeled_dev
+        if self._pending:
+            P = -(-len(self._pending) // 64) * 64
+            # out-of-range padding ids are dropped by the scatter
+            ids = np.full(P, self.nvecs, dtype=np.int32)
+            vals = np.zeros(P, dtype=np.float32)
+            for j, (i, v) in enumerate(self._pending):
+                ids[j] = i
+                vals[j] = v
+            self._labels_dev, self._is_labeled_dev = _scatter_labels(
+                self._labels_dev, self._is_labeled_dev,
+                jnp.asarray(ids), jnp.asarray(vals),
+            )
+            self._pending.clear()
+        return self._labels_dev, self._is_labeled_dev
 
     def current_scores(self) -> np.ndarray:
         cs = self._current_scores
@@ -155,8 +230,14 @@ class BaseLabelPropagationRanker:
                 # the host path's prior-bound sanitizer
                 # (label_propagation.py fit_transform) — re-applied here since
                 # device_out returns before it runs
-                lo = min(0.0, float(self.prior_scores.min(initial=0.0)))
-                hi = max(1.0, float(self.prior_scores.max(initial=1.0)))
+                pr = self.prior_scores
+                if isinstance(pr, np.ndarray):
+                    pr_lo = float(pr.min(initial=0.0))
+                    pr_hi = float(pr.max(initial=1.0))
+                else:  # device-resident prior (device mode)
+                    pr_lo, pr_hi = map(float, (pr.min(), pr.max()))
+                lo = min(0.0, pr_lo)
+                hi = max(1.0, pr_hi)
                 assert (cs >= lo - 1e-5).all() and (cs <= hi + 1e-5).all(), (
                     "propagated scores must stay within prior bounds"
                 )
@@ -195,7 +276,22 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
             verbose=verbose, windowed_layout=windowed_layout,
         )
 
-    def _propagate(self, scores: np.ndarray) -> np.ndarray:
+    def _propagate(self, scores):
+        import jax
+
+        if isinstance(self.prior_scores, jax.Array) and self.lp.mesh is None:
+            # device mode (device-built serving index): the prior is already
+            # device-resident, labels/is_labeled are device-persistent and
+            # this round's clicks arrive as one small scatter — no (N,)
+            # host->device uploads per feedback round
+            import jax.numpy as jnp
+
+            labels_dev, is_labeled_dev = self._device_label_state()
+            return self.lp.fit_transform_device(
+                labels=labels_dev, is_labeled=is_labeled_dev,
+                reg_values=self.prior_scores,
+                start=jnp.asarray(scores, dtype=jnp.float32),
+            )
         ids = np.nonzero(self.is_labeled.reshape(-1))[0]
         labels = self.labels.reshape(-1)[ids]
         return self.lp.fit_transform(

@@ -65,7 +65,13 @@ def _propagate_segment(
         done = jnp.max((new_f - f) ** 2) < epsilon
         return (new_f, f, i + 1, done)
 
-    return jax.lax.while_loop(cond, body, (f0, f_prev0, i0, done0))
+    f, f_prev, i, done = jax.lax.while_loop(
+        cond, body, (f0, f_prev0, i0, done0)
+    )
+    # the converged-result select happens INSIDE the dispatch (the reference
+    # returns the pre-step iterate on convergence); a host-side jnp.where
+    # would cost one extra dispatch round-trip per serving round
+    return f, f_prev, i, done, jnp.where(done, f_prev, f)
 
 
 def propagate(
@@ -93,20 +99,22 @@ def propagate(
     f0 = jnp.where(is_labeled, labels, start)
     state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
     c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
+    start_i = 0
     while True:
-        f, f_prev, i, done = _propagate_segment(
+        f, f_prev, i, done, sel = _propagate_segment(
             nbr, w, degree, prior, labels, is_labeled,
-            *state, jnp.asarray(int(state[2]) + c),
+            *state, jnp.asarray(start_i + c),
             reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
         )
         state = (f, f_prev, i, done)
-        if bool(done) or int(i) >= max_iter:
+        # ONE host fetch per segment (i and done travel together)
+        i_h, done_h = jax.device_get((i, done))
+        start_i = int(i_h)
+        if bool(done_h) or start_i >= max_iter:
             break
-    f, f_prev, n, done = state
     # converged -> the reference returns the value from BEFORE the last step
-    return PropagationResult(
-        scores=jnp.where(done, f_prev, f), n_iter=n, converged=done
-    )
+    # (`sel` was chosen inside the final segment's dispatch)
+    return PropagationResult(scores=sel, n_iter=i, converged=done)
 
 
 @functools.partial(
@@ -149,7 +157,10 @@ def _propagate_segment_windowed(
         done = jnp.max((new_f - f) ** 2) < epsilon
         return (new_f, f, i + 1, done)
 
-    return jax.lax.while_loop(cond, body, (f0, f_prev0, i0, done0))
+    f, f_prev, i, done = jax.lax.while_loop(
+        cond, body, (f0, f_prev0, i0, done0)
+    )
+    return f, f_prev, i, done, jnp.where(done, f_prev, f)
 
 
 def propagate_windowed(
@@ -181,18 +192,18 @@ def propagate_windowed(
     f0 = jnp.where(is_labeled, labels, start)
     state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
     c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
+    start_i = 0
     while True:
-        f, f_prev, i, done = _propagate_segment_windowed(
+        f, f_prev, i, done, sel = _propagate_segment_windowed(
             cidx, wslab, *ovf, degree, prior, labels, is_labeled,
-            *state, jnp.asarray(int(state[2]) + c),
+            *state, jnp.asarray(start_i + c),
             reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
             n=layout.n, B=layout.B, W=layout.W, cap=layout.cap,
             interpret=interpret,
         )
         state = (f, f_prev, i, done)
-        if bool(done) or int(i) >= max_iter:
+        i_h, done_h = jax.device_get((i, done))
+        start_i = int(i_h)
+        if bool(done_h) or start_i >= max_iter:
             break
-    f, f_prev, n_it, done = state
-    return PropagationResult(
-        scores=jnp.where(done, f_prev, f), n_iter=n_it, converged=done
-    )
+    return PropagationResult(scores=sel, n_iter=i, converged=done)

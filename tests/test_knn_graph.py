@@ -12,6 +12,7 @@ from seesaw_tpu.loops.knn_methods import (
     LabelPropagationRanker2,
     SimpleKNNRanker,
     normalize_scores,
+    sigmoid,
 )
 
 
@@ -259,3 +260,65 @@ def test_propagate_chunked_bitwise_equal():
                 np.asarray(got.scores), np.asarray(ref.scores),
                 err_msg=f"eps={eps} chunk={c}",
             )
+
+
+def test_label_prop_ranker_device_mode_matches_host():
+    """Device mode (set_base_scores receives a DEVICE array, as a
+    device-built serving index produces) must match the host path exactly:
+    device-persistent labels + per-round delta scatters + a device-resident
+    prior replace the reference's full host-array assembly per round
+    (`label_propagation.py:44-66`), so scores must agree to f32 tolerance
+    across rounds, including staged-then-flushed clicks and re-labeling."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(60, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=4)
+    sym = symmetrize_weights(g, rbf_kernel(0.4))
+    opts = dict(
+        normalize_scores=True, normalize_epsilon=0.1,
+        sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+        prior_weight=1.0,
+    )
+    host = LabelPropagationRanker2(weights=sym, **opts)
+    dev = LabelPropagationRanker2(weights=sym, **opts)
+    base = rng.normal(size=60).astype(np.float32)
+    host.set_base_scores(base)
+    dev.set_base_scores(jnp.asarray(base))
+    rounds = [
+        ([7], [1.0]),             # positives only: staged, no propagation
+        ([12, 3], [0.0, 1.0]),    # first flush: full device upload
+        ([30, 31], [0.0, 0.0]),   # delta scatter
+        ([12], [1.0]),            # re-label flips 12; no negatives remain
+        ([40, 2, 5], [0.0, 1.0, 0.0]),  # delta scatter after stale round
+    ]
+    for ids, labs in rounds:
+        host.update(ids, labs)
+        dev.update(ids, labs)
+        np.testing.assert_allclose(
+            dev.current_scores(), host.current_scores(), atol=2e-5,
+            err_msg=f"round with ids={ids}",
+        )
+    assert dev._labels_dev is not None, "device mode never engaged"
+    assert not dev._pending, "clicks left unflushed"
+    # the device label state agrees with the host mirrors
+    np.testing.assert_array_equal(
+        np.asarray(dev._labels_dev), dev.labels.astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(dev._is_labeled_dev), dev.is_labeled > 0)
+    # host path stayed host-resident (differential-tested reference path)
+    assert host._labels_dev is None
+
+
+def test_normalize_scores_device_matches_host():
+    import jax.numpy as jnp
+
+    s = np.array([1.0, 3.0, 5.0], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(normalize_scores(jnp.asarray(s), 0.1)),
+        normalize_scores(s, 0.1), atol=1e-7)
+    const = normalize_scores(jnp.ones(4), 0.1)
+    assert (np.asarray(const) == 0.5).all()
+    np.testing.assert_allclose(
+        np.asarray(sigmoid(jnp.asarray(s))), sigmoid(s), atol=1e-7)
