@@ -79,9 +79,18 @@ def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
         # often sibling tiles of the same/adjacent frames); the layout's
         # coverage field quantifies it, and out-of-window edges fall back
         # to the exact XLA gather, so results stay correct regardless.
-        from ..ops.pallas_spmv import build_windowed_layout
+        if weights.nvecs >= 100_000:
+            # serving scale: the layout itself is built ON the accelerator
+            # (the host build is ~35 passes over (N,K) arrays — minutes at
+            # 1M x 32 on a small host; the device twin is oracle-tested
+            # field-for-field equal)
+            from ..ops.pallas_spmv import build_windowed_layout_device
 
-        layout = build_windowed_layout(weights.nbr, weights.w)
+            layout = build_windowed_layout_device(weights.nbr, weights.w)
+        else:
+            from ..ops.pallas_spmv import build_windowed_layout
+
+            layout = build_windowed_layout(weights.nbr, weights.w)
     return LabelPropagationRanker2(weights=weights, windowed_layout=layout,
                                    **kwargs)
 
