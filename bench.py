@@ -828,7 +828,10 @@ def _window_local_graph(n_tiles: int, K: int):
     nbr = jnp.where(jax.random.uniform(k3, (n_tiles, K)) < 0.97, local, rand)
     w = jax.random.uniform(k4, (n_tiles, K), minval=0.1, maxval=1.0)
     weights = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
-    layout = build_windowed_layout_device(nbr, w, B=1024, W=2048, cap=8)
+    # (512, 1408, 12) from the on-chip sweep (scripts/probe_spmv_cap_sweep
+    # .py): coverage ceiling 0.970 at the old default's slab bytes,
+    # 26.3 -> 19.3 ms/iter at 1M x K=32
+    layout = build_windowed_layout_device(nbr, w, B=512, W=1408, cap=12)
     _GRAPH_CACHE[ckey] = (weights, layout)
     return weights, layout
 

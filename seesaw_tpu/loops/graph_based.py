@@ -79,18 +79,16 @@ def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
         # often sibling tiles of the same/adjacent frames); the layout's
         # coverage field quantifies it, and out-of-window edges fall back
         # to the exact XLA gather, so results stay correct regardless.
-        if weights.nvecs >= 100_000:
-            # serving scale: the layout itself is built ON the accelerator
-            # (the host build is ~35 passes over (N,K) arrays — minutes at
-            # 1M x 32 on a small host; the device twin is oracle-tested
-            # field-for-field equal)
-            from ..ops.pallas_spmv import build_windowed_layout_device
+        # serving scale builds the layout ON the accelerator (the host
+        # build is ~35 passes over (N,K) arrays — minutes at 1M x 32 on a
+        # small host; the device twin is oracle-tested field-for-field
+        # equal); _auto escalates the window once when the graph's
+        # post-ordering bandwidth exceeds the swept default
+        from ..ops.pallas_spmv import build_windowed_layout_auto
 
-            layout = build_windowed_layout_device(weights.nbr, weights.w)
-        else:
-            from ..ops.pallas_spmv import build_windowed_layout
-
-            layout = build_windowed_layout(weights.nbr, weights.w)
+        layout = build_windowed_layout_auto(
+            weights.nbr, weights.w, device=weights.nvecs >= 100_000
+        )
     return LabelPropagationRanker2(weights=weights, windowed_layout=layout,
                                    **kwargs)
 

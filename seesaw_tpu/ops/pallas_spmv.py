@@ -94,13 +94,24 @@ class WindowedSpmv:
         return dev
 
 
+# Defaults from the on-chip sweep at 1M x K=32 on the post-RCM regime
+# (97% local edges, scripts/probe_spmv_cap_sweep.py): (512, 1408, 12) hits
+# the graph's coverage ceiling 0.970 at the SAME slab bytes as the old
+# (1024, 2048, 8) default (1.1GB) and runs 19.3 vs 26.3 ms/iter — the
+# decomposition probe (probe_spmv_overflow.py) showed slab slots are
+# near-free while every overflow edge costs ~10-15ns, so trading window
+# width for per-row capacity (which eliminates Poisson cap collisions at
+# ~5 local edges per window row) is strictly better at fixed bytes.
+_DEFAULT_B, _DEFAULT_W, _DEFAULT_CAP = 512, 1408, 12
+
+
 def build_windowed_layout(
     nbr: np.ndarray,  # (N, K) int32, -1 padding
     w: np.ndarray,  # (N, K) float32
     *,
-    B: int = 1024,
-    W: int = 1024,
-    cap: int = 8,
+    B: int = _DEFAULT_B,
+    W: int = _DEFAULT_W,
+    cap: int = _DEFAULT_CAP,
 ) -> WindowedSpmv:
     assert B % 128 == 0 and W % 128 == 0 and (B * cap) % 128 == 0
     N, K = nbr.shape
@@ -258,9 +269,9 @@ def build_windowed_layout_device(
     nbr,  # (N, K) int32, -1 padding — host numpy or device array
     w,  # (N, K) float32
     *,
-    B: int = 1024,
-    W: int = 1024,
-    cap: int = 8,
+    B: int = _DEFAULT_B,
+    W: int = _DEFAULT_W,
+    cap: int = _DEFAULT_CAP,
 ) -> WindowedSpmv:
     """`build_windowed_layout` computed ON the accelerator; the returned
     layout's slab/overflow fields are device arrays (`device_arrays()` then
@@ -359,6 +370,34 @@ def windowed_spmv(
     g = ovf_w * f[jnp.clip(ovf_nbr, 0, n - 1)]
     wf = wf + jnp.zeros(n, jnp.float32).at[ovf_src].add(g)
     return wf
+
+
+def build_windowed_layout_auto(
+    nbr,
+    w,
+    *,
+    device: bool = True,
+    coverage_target: float = 0.95,
+) -> WindowedSpmv:
+    """Build at the swept defaults, then escalate to a 2x-wider window when
+    the graph's locality bandwidth exceeds it (coverage below target).
+
+    Serving graphs come pre-ordered (multiscale tile order / rcm_order) but
+    their post-ordering bandwidth varies by dataset; the overflow probe
+    showed each out-of-window edge costs ~10-15ns/iter while slab slots are
+    near-free, so one rebuild (~ms on device, one extra trace per shape) is
+    repaid within a single propagation round whenever it converts >~2% of
+    edges. The wider layout is kept even if still under target — windowed
+    beats the plain XLA gather at any coverage above ~0.1 (298 ms/iter
+    baseline at 1M x 32 vs ~140 ms at coverage 0.73)."""
+    build = build_windowed_layout_device if device else build_windowed_layout
+    layout = build(nbr, w)
+    if layout.coverage < coverage_target:
+        wide = build(nbr, w, B=_DEFAULT_B, W=2 * _DEFAULT_W + 128,
+                     cap=_DEFAULT_CAP)
+        if wide.coverage > layout.coverage:
+            return wide
+    return layout
 
 
 def rcm_order(nbr: np.ndarray) -> np.ndarray:

@@ -252,3 +252,43 @@ def test_knnprop2_session_windowed_option(tmp_path):
         return seen
 
     assert run(True) == run(False)
+
+
+def test_auto_builder_escalates_window():
+    """build_windowed_layout_auto keeps the swept default for window-local
+    graphs and rebuilds 2x wider when coverage misses the target; the wide
+    layout must stay numerically exact (overflow carries what the window
+    misses)."""
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+
+    rng = np.random.default_rng(11)
+    n, K = 4096, 8
+
+    # tight local graph: default window suffices, no escalation
+    base = np.arange(n)[:, None]
+    nbr_tight = np.clip(base + rng.integers(-100, 101, size=(n, K)), 0, n - 1)
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    tight = build_windowed_layout_auto(nbr_tight.astype(np.int32), w,
+                                       device=False)
+    assert tight.W == 1408 and tight.coverage > 0.95
+
+    # wide-bandwidth graph: spread beyond the default window triggers the
+    # one-step escalation and coverage recovers
+    nbr_wide = np.clip(base + rng.integers(-1300, 1301, size=(n, K)),
+                       0, n - 1)
+    wide = build_windowed_layout_auto(nbr_wide.astype(np.int32), w,
+                                      device=False)
+    assert wide.W > 1408, wide.W
+    assert wide.coverage > 0.9, wide.coverage
+
+    f = rng.uniform(size=n).astype(np.float32)
+    got = np.asarray(windowed_spmv(
+        jnp.asarray(f), jnp.asarray(wide.cidx), jnp.asarray(wide.wslab),
+        jnp.asarray(wide.ovf_src), jnp.asarray(wide.ovf_nbr),
+        jnp.asarray(wide.ovf_w),
+        n=wide.n, B=wide.B, W=wide.W, cap=wide.cap, interpret=True,
+    ))
+    np.testing.assert_allclose(
+        got, _dense_spmv(nbr_wide.astype(np.int32), w, f),
+        rtol=2e-6, atol=2e-6,
+    )
