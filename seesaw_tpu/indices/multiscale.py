@@ -336,6 +336,16 @@ class MultiscaleIndex(AccessMethod):
         self.meta = meta
         self.vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         assert self.vectors.shape[0] == meta.n_vectors
+        # mutually exclusive serving configs: the Pallas kernel pads the
+        # frame axis to its 1024-block granularity, but the sharded path's
+        # exclusion plumbing expects exactly n_frames-length masks — mixing
+        # them would misalign frames (ADVICE r3)
+        if use_pallas and mesh is not None and mesh.devices.size > 1:
+            raise ValueError(
+                "use_pallas and mesh are mutually exclusive: the sharded "
+                "path runs its own per-shard program (parallel."
+                "sharded_index); drop use_pallas for mesh-sharded indexes"
+            )
 
         self.excluded = excluded if excluded is not None else BitMap()
         self.all_indices = FrozenBitMap(

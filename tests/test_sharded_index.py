@@ -237,6 +237,27 @@ def test_coalescer_batches_sharded_index():
         )
 
 
+def test_use_pallas_rejected_on_mesh():
+    """use_pallas pads the frame axis to the kernel's 1024 block, but the
+    sharded path's exclusion masks are n_frames-long — the constructor must
+    refuse the combination instead of misaligning frames (ADVICE r3)."""
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.parallel import make_mesh as mk
+
+    rng = np.random.default_rng(5)
+    n_frames, tiles, d = 16, 2, 8
+    dbidx = np.repeat(np.arange(n_frames), tiles)
+    zoom = np.tile([1, 2], n_frames)
+    xy = rng.uniform(0, 100, size=(n_frames * tiles, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + 60], axis=1)
+    meta, order = VectorMeta.from_arrays(dbidx, zoom, boxes)
+    V = rng.normal(size=(n_frames * tiles, d)).astype(np.float32)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MultiscaleIndex(vectors=V[order], meta=meta, mesh=mk(8),
+                        use_pallas=True)
+
+
 def test_session_over_sharded_index(tmp_path):
     """End-to-end session with the index row-sharded over the 8-device mesh
     (index_options={'sharded': True}): same results as the single-device
