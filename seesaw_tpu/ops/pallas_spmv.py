@@ -392,9 +392,13 @@ def build_windowed_layout_auto(
     baseline at 1M x 32 vs ~140 ms at coverage 0.73)."""
     build = build_windowed_layout_device if device else build_windowed_layout
     layout = build(nbr, w)
-    if layout.coverage < coverage_target:
-        wide = build(nbr, w, B=_DEFAULT_B, W=2 * _DEFAULT_W + 128,
-                     cap=_DEFAULT_CAP)
+    W_wide = 2 * _DEFAULT_W + 128
+    # layout.W < requested default means the builder clamped W to the whole
+    # padded array (small graph) — a "wider" rebuild would clamp to the same
+    # W and produce an identical layout; any coverage deficit there is cap
+    # collisions, which more window width cannot fix
+    if layout.coverage < coverage_target and layout.W == _DEFAULT_W:
+        wide = build(nbr, w, B=_DEFAULT_B, W=W_wide, cap=_DEFAULT_CAP)
         if wide.coverage > layout.coverage:
             return wide
     return layout

@@ -292,3 +292,31 @@ def test_auto_builder_escalates_window():
         got, _dense_spmv(nbr_wide.astype(np.int32), w, f),
         rtol=2e-6, atol=2e-6,
     )
+
+
+def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
+    """When the graph is smaller than the default window, W clamps to N_pad
+    and the whole array already IS the window — any coverage deficit is cap
+    collisions, so the auto builder must not pay for a second identical
+    build."""
+    import seesaw_tpu.ops.pallas_spmv as mod
+
+    rng = np.random.default_rng(3)
+    n, K = 512, 64  # K >> cap concentrates many edges per (vertex, row)
+    # hub graph: everyone points into the first 128 vertices -> one window
+    # row per vertex holds up to 64 edges, far over cap=12
+    nbr = rng.integers(0, 128, size=(n, K)).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+
+    calls = []
+    real_build = mod.build_windowed_layout
+
+    def counting_build(nbr, w, **kw):
+        calls.append(kw)
+        return real_build(nbr, w, **kw)
+
+    monkeypatch.setattr(mod, "build_windowed_layout", counting_build)
+    layout = mod.build_windowed_layout_auto(nbr, w, device=False)
+    assert layout.W == layout.n_pad < 1408  # clamped: whole array windowed
+    assert layout.coverage < 0.95  # deficit is cap collisions by design
+    assert len(calls) == 1, f"no-op wide rebuild was not skipped: {calls}"
