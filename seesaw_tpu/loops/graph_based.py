@@ -83,7 +83,10 @@ def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
         # build is ~35 passes over (N,K) arrays — minutes at 1M x 32 on a
         # small host; the device twin is oracle-tested field-for-field
         # equal); _auto escalates the window once when the graph's
-        # post-ordering bandwidth exceeds the swept default
+        # post-ordering bandwidth exceeds the swept default, RCM-relabels
+        # internally when the input order has no locality at all, and
+        # returns None (= the exact XLA path) when even that leaves
+        # coverage below the windowed/XLA breakeven (~0.55)
         from ..ops.pallas_spmv import build_windowed_layout_auto
 
         layout = build_windowed_layout_auto(

@@ -73,10 +73,29 @@ class WindowedSpmv:
     W: int
     cap: int
     coverage: float  # fraction of edges served by the kernel
+    # optional vertex relabeling baked into the layout (order[new] = old id):
+    # slabs/overflow are expressed in the RELABELED space; propagate_windowed
+    # permutes its (N,) inputs in and the scores back out, so callers see
+    # original-order semantics. None = identity (the common serving case).
+    order: "np.ndarray | None" = None
 
     @property
     def n_pad(self) -> int:
         return self.cidx.shape[0] * self.B
+
+    def order_arrays(self):
+        """Device-resident (order, inv) int32 pair for the baked-in
+        relabeling (cached like `device_arrays`); None when identity."""
+        if self.order is None:
+            return None
+        dev = getattr(self, "_order_arrays", None)
+        if dev is None:
+            order = np.asarray(self.order, dtype=np.int32)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(self.n, dtype=np.int32)
+            dev = (jnp.asarray(order), jnp.asarray(inv))
+            object.__setattr__(self, "_order_arrays", dev)
+        return dev
 
     def device_arrays(self):
         """Device-resident (cidx, wslab, ovf_src, ovf_nbr, ovf_w), uploaded
@@ -378,29 +397,61 @@ def build_windowed_layout_auto(
     *,
     device: bool = True,
     coverage_target: float = 0.95,
-) -> WindowedSpmv:
+    relabel: bool = True,
+    relabel_threshold: float = 0.85,
+    min_coverage: float | None = 0.55,
+) -> "WindowedSpmv | None":
     """Build at the swept defaults, then escalate to a 2x-wider window when
-    the graph's locality bandwidth exceeds it (coverage below target).
+    the graph's locality bandwidth exceeds it (coverage below target), and
+    finally fall back to an RCM relabeling when even the wide window leaves
+    coverage under `relabel_threshold` (an arbitrary-order ingest graph).
 
-    Serving graphs come pre-ordered (multiscale tile order / rcm_order) but
-    their post-ordering bandwidth varies by dataset; the overflow probe
-    showed each out-of-window edge costs ~10-15ns/iter while slab slots are
+    Serving graphs come pre-ordered (multiscale tile order) but their
+    post-ordering bandwidth varies by dataset; the overflow probe showed
+    each out-of-window edge costs ~10-15ns/iter while slab slots are
     near-free, so one rebuild (~ms on device, one extra trace per shape) is
     repaid within a single propagation round whenever it converts >~2% of
-    edges. The wider layout is kept even if still under target — windowed
-    beats the plain XLA gather at any coverage above ~0.1 (298 ms/iter
-    baseline at 1M x 32 vs ~140 ms at coverage 0.73)."""
+    edges. The wider layout is kept even if still under target, as long as
+    coverage clears `min_coverage`: each overflow edge costs a gather AND a
+    scatter-add (~18ns) vs ~9ns/edge in the plain XLA step, so windowed
+    LOSES below ~0.55 coverage (probe_real_graph_rcm: a shuffled-order real
+    1M x 32 kNN graph has coverage 0.0013 and runs 709 ms/iter vs the 287
+    XLA baseline). Below the floor this returns None = use the XLA path.
+
+    The RCM fallback (`rcm_order` baked into the layout via the `order`
+    field; one-time host cost at build) keeps the relabeling INTERNAL:
+    `propagate_windowed` permutes its inputs/outputs, so callers keep
+    original-id semantics. It is kept only when it buys >5% coverage."""
     build = build_windowed_layout_device if device else build_windowed_layout
-    layout = build(nbr, w)
     W_wide = 2 * _DEFAULT_W + 128
-    # layout.W < requested default means the builder clamped W to the whole
-    # padded array (small graph) — a "wider" rebuild would clamp to the same
-    # W and produce an identical layout; any coverage deficit there is cap
-    # collisions, which more window width cannot fix
-    if layout.coverage < coverage_target and layout.W == _DEFAULT_W:
-        wide = build(nbr, w, B=_DEFAULT_B, W=W_wide, cap=_DEFAULT_CAP)
-        if wide.coverage > layout.coverage:
-            return wide
+
+    def _auto(nbr_, w_):
+        layout = build(nbr_, w_)
+        # layout.W < requested default means the builder clamped W to the
+        # whole padded array (small graph) — a "wider" rebuild would clamp to
+        # the same W and produce an identical layout; any coverage deficit
+        # there is cap collisions, which more window width cannot fix
+        if layout.coverage < coverage_target and layout.W == _DEFAULT_W:
+            wide = build(nbr_, w_, B=_DEFAULT_B, W=W_wide, cap=_DEFAULT_CAP)
+            if wide.coverage > layout.coverage:
+                return wide
+        return layout
+
+    layout = _auto(nbr, w)
+    # relabeling only moves edges INTO the window; when the window already
+    # spans the whole (clamped) array the deficit is cap collisions, which
+    # no vertex order can fix
+    if relabel and layout.coverage < relabel_threshold and layout.W < layout.n_pad:
+        import dataclasses
+
+        nbr_h = np.asarray(nbr)
+        order = rcm_order(nbr_h)
+        nbr_r, w_r, _ = apply_order(nbr_h, np.asarray(w), order)
+        relabeled = _auto(nbr_r, w_r)
+        if relabeled.coverage > layout.coverage + 0.05:
+            layout = dataclasses.replace(relabeled, order=order)
+    if min_coverage is not None and layout.coverage < min_coverage:
+        return None
     return layout
 
 

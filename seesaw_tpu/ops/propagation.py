@@ -178,10 +178,12 @@ def propagate_windowed(
     interpret: bool | None = None,
 ) -> PropagationResult:
     """`propagate` with the windowed-SpMV Pallas step (ops.pallas_spmv):
-    287 -> 28.5 ms/iter at 1M x K=32 on chip for window-local graphs (use
-    `rcm_order` to relabel first; `layout.coverage` reports the fraction the
-    kernel serves). Numerics match the XLA step up to f32 summation order —
-    use the default path where bit-parity with the reference matters."""
+    287 -> 28.5 ms/iter at 1M x K=32 on chip for window-local graphs
+    (`layout.coverage` reports the fraction the kernel serves; layouts from
+    `build_windowed_layout_auto` bake in an RCM relabeling when the input
+    order lacks locality). Numerics match the XLA step up to f32 summation
+    order — use the default path where bit-parity with the reference
+    matters."""
     if interpret is None:
         # Mosaic only compiles for real TPU backends; CPU (tests / virtual
         # meshes) runs the kernel in interpret mode
@@ -190,6 +192,16 @@ def propagate_windowed(
     # slabs would dominate every serving round through a slow link
     cidx, wslab, *ovf = layout.device_arrays()
     f0 = jnp.where(is_labeled, labels, start)
+    # layouts with a baked-in relabeling (order[new] = old): run the whole
+    # Jacobi loop in the relabeled space — ONE fused permute dispatch in,
+    # one gather out; summation order changes, which the windowed contract
+    # already allows
+    reorder = layout.order_arrays() if getattr(layout, "order", None) is not None else None
+    if reorder is not None:
+        order_d, inv_d = reorder
+        degree, prior, labels, is_labeled, f0 = _permute_inputs(
+            order_d, degree, prior, labels, is_labeled, f0
+        )
     state = (f0, f0 + 1.0, jnp.asarray(0), jnp.asarray(False))
     c = max_iter if not dispatch_iters else min(dispatch_iters, max_iter)
     start_i = 0
@@ -206,4 +218,17 @@ def propagate_windowed(
         start_i = int(i_h)
         if bool(done_h) or start_i >= max_iter:
             break
+    if reorder is not None:
+        sel = _gather(sel, inv_d)  # back to original vertex ids
     return PropagationResult(scores=sel, n_iter=i, converged=done)
+
+
+@jax.jit
+def _permute_inputs(order, degree, prior, labels, is_labeled, f0):
+    return (degree[order], prior[order], labels[order], is_labeled[order],
+            f0[order])
+
+
+@jax.jit
+def _gather(x, idx):
+    return x[idx]

@@ -294,6 +294,55 @@ def test_auto_builder_escalates_window():
     )
 
 
+def test_auto_builder_relabels_scrambled_graph():
+    """A real (clustered) kNN graph under a scrambled ingest order has no
+    window locality; the auto builder must bake an RCM relabeling into the
+    layout (`order` field), and windowed propagation through that layout
+    must still match the XLA path in ORIGINAL vertex ids."""
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+    from seesaw_tpu.ops.propagation import propagate, propagate_windowed
+
+    rng = np.random.default_rng(17)
+    n, d = 6144, 16
+    centers = rng.normal(size=(48, d))
+    which = rng.integers(0, 48, size=n)
+    V = centers[which] + 0.12 * rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V[rng.permutation(n)].astype(np.float32)  # scrambled ingest order
+
+    g = KNNGraph.build(V, 6)
+    sw = symmetrize_weights(g, rbf_kernel(0.5))
+    layout = build_windowed_layout_auto(sw.nbr, sw.w, device=False)
+    assert layout is not None and layout.order is not None
+    assert layout.coverage > 0.85, layout.coverage
+    # without relabeling the same graph is below the windowed/XLA breakeven
+    assert build_windowed_layout_auto(sw.nbr, sw.w, device=False,
+                                      relabel=False) is None
+
+    degree = sw.degree.astype(np.float32)
+    prior = rng.uniform(0.01, 0.99, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:10] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:20] = True
+    args = dict(reg_lambda=1.0, max_iter=60, epsilon=1e-7)
+    ref = propagate(
+        jnp.asarray(sw.nbr), jnp.asarray(sw.w), jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), **args,
+    )
+    got = propagate_windowed(
+        layout, jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
+    assert abs(int(got.n_iter) - int(ref.n_iter)) <= 1
+
+
 def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
     """When the graph is smaller than the default window, W clamps to N_pad
     and the whole array already IS the window — any coverage deficit is cap
@@ -316,7 +365,14 @@ def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
         return real_build(nbr, w, **kw)
 
     monkeypatch.setattr(mod, "build_windowed_layout", counting_build)
-    layout = mod.build_windowed_layout_auto(nbr, w, device=False)
+    layout = mod.build_windowed_layout_auto(nbr, w, device=False,
+                                            min_coverage=None)
     assert layout.W == layout.n_pad < 1408  # clamped: whole array windowed
     assert layout.coverage < 0.95  # deficit is cap collisions by design
-    assert len(calls) == 1, f"no-op wide rebuild was not skipped: {calls}"
+    # one build only: no wide rebuild (same clamp) and no RCM attempt
+    # (relabeling cannot fix cap collisions when everything is in-window)
+    assert len(calls) == 1, f"no-op rebuild was not skipped: {calls}"
+
+    # with the default coverage floor, a layout this overflow-heavy loses to
+    # the plain XLA step (gather+scatter per overflow edge) -> None
+    assert mod.build_windowed_layout_auto(nbr, w, device=False) is None
