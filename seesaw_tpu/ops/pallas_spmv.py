@@ -391,67 +391,147 @@ def windowed_spmv(
     return wf
 
 
+@functools.partial(jax.jit, static_argnames=("B", "W"))
+def _occ_hist(nbr, *, B: int, W: int):
+    """Exact layout-coverage probe for one (B, W) candidate: histogram of
+    per-(vertex, window-row) occurrence indices over real in-window edges
+    (bucket K collects over-window + padding). coverage(cap) is then
+    hist[:cap].sum()/total and the in-window CEILING is hist[:K].sum()/total
+    — one cheap dispatch tells the selector the whole cap-coverage curve
+    without building anything. Mirrors the builder's occ computation."""
+    N, K = nbr.shape
+    NB = -(-N // B)
+    N_pad = NB * B
+    R = N_pad // 128
+    UROWS = W // 128
+    dst = nbr.astype(jnp.int32)
+    real = dst >= 0
+    vv = jnp.arange(N, dtype=jnp.int32)[:, None]
+    blk = vv // B
+    base_row = jnp.clip(
+        (jnp.arange(NB, dtype=jnp.int32) * B + B // 2 - W // 2) // 128,
+        0, R - UROWS,
+    )
+    rel = dst - base_row[blk] * 128
+    inside = real & (rel >= 0) & (rel < W)
+    u = jnp.where(inside, rel >> 7, UROWS).astype(jnp.int32)
+    order = jnp.argsort(u, axis=1, stable=True).astype(jnp.int32)
+    u_s = jnp.take_along_axis(u, order, axis=1)
+    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (N, K))
+    changes = jnp.concatenate(
+        [jnp.ones((N, 1), bool), u_s[:, 1:] != u_s[:, :-1]], axis=1
+    )
+    occ = kk - jax.lax.cummax(jnp.where(changes, kk, 0), axis=1)
+    real_s = jnp.take_along_axis(real, order, axis=1)
+    key = jnp.where(real_s & (u_s < UROWS), occ, K).reshape(-1)
+    hist = jnp.zeros(K + 1, jnp.int32).at[key].add(1)
+    return hist, real.sum()
+
+
+# slot budget (slab ints+floats per vertex) of the swept default layout —
+# candidates trade window rows for per-row capacity under this roof
+_BUDGET_SLOTS = (_DEFAULT_W // 128) * _DEFAULT_CAP  # 11 * 12 = 132
+
+
+def _layout_candidates(N: int, K: int, budget: int = _BUDGET_SLOTS):
+    """(B, W, cap) candidates at <= the default slab byte budget. cap is
+    clamped to K (slots past the max per-row occupancy are dead bytes), so
+    narrow-window candidates often cost LESS than the default. W clamps to
+    the per-B padded size exactly like the builders do."""
+    cands = []
+    for B in (512, 128):
+        n_pad = -(-N // B) * B
+        for U in (2, 3, 5, 9, 11, 22):
+            W = min(U * 128, n_pad)
+            if W < B:
+                continue
+            Ueff = W // 128
+            cap = min(budget // Ueff, K, 64)
+            while cap > 1 and (B * cap) % 128:
+                cap -= 1
+            if cap < 1 or (B * cap) % 128:
+                continue
+            if (B, W, cap) not in cands:
+                cands.append((B, W, cap))
+    return cands
+
+
+def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS):
+    """Pick (B, W, cap) for this graph by measuring, not guessing: probe the
+    exact cap-coverage curve of every candidate (one `_occ_hist` dispatch
+    each) and keep the best coverage, tie-broken by fewer slab slots then
+    narrower window. Returns (B, W, cap, coverage, ceiling) where ceiling is
+    the best candidate's in-window edge fraction at infinite cap (what a
+    relabeling could still improve).
+
+    Motivation (probe_real_graph_rcm, real 1M x 32 kNN graph): after RCM the
+    graph is perfectly local but every vertex's 32 neighbors land in 1-2
+    window rows — the swept (512, 1408, 12) default caps out at coverage
+    0.375 (= 12/32 exactly) and LOSES to plain XLA. The right layout there
+    is narrow-window high-cap (e.g. 128, 384, 32): cap >= K makes cap
+    collisions impossible and costs FEWER bytes. No single default serves
+    both regimes; the graph's own occupancy histogram decides."""
+    nbr_dev = jnp.asarray(nbr)
+    N, K = nbr.shape
+    best = None
+    for B, W, cap in _layout_candidates(N, K, budget):
+        hist, total = jax.device_get(_occ_hist(nbr_dev, B=B, W=W))
+        total = max(int(total), 1)
+        cov = float(hist[:cap].sum()) / total
+        ceil = float(hist[:K].sum()) / total
+        slots = (W // 128) * cap
+        key = (-cov, slots, W)
+        if best is None or key < best[0]:
+            best = (key, (B, W, cap, cov, ceil))
+    return best[1]
+
+
 def build_windowed_layout_auto(
     nbr,
     w,
     *,
     device: bool = True,
-    coverage_target: float = 0.95,
     relabel: bool = True,
     relabel_threshold: float = 0.85,
     min_coverage: float | None = 0.55,
 ) -> "WindowedSpmv | None":
-    """Build at the swept defaults, then escalate to a 2x-wider window when
-    the graph's locality bandwidth exceeds it (coverage below target), and
-    finally fall back to an RCM relabeling when even the wide window leaves
-    coverage under `relabel_threshold` (an arbitrary-order ingest graph).
+    """Measure-then-build: `select_windowed_params` probes the graph's own
+    occupancy structure and picks the best (B, W, cap) at the default byte
+    budget; when even the best candidate's in-window CEILING is poor (an
+    arbitrary-order ingest graph carries no locality at any window width)
+    the graph is RCM-relabeled and re-probed.
 
-    Serving graphs come pre-ordered (multiscale tile order) but their
-    post-ordering bandwidth varies by dataset; the overflow probe showed
-    each out-of-window edge costs ~10-15ns/iter while slab slots are
-    near-free, so one rebuild (~ms on device, one extra trace per shape) is
-    repaid within a single propagation round whenever it converts >~2% of
-    edges. The wider layout is kept even if still under target, as long as
-    coverage clears `min_coverage`: each overflow edge costs a gather AND a
-    scatter-add (~18ns) vs ~9ns/edge in the plain XLA step, so windowed
-    LOSES below ~0.55 coverage (probe_real_graph_rcm: a shuffled-order real
-    1M x 32 kNN graph has coverage 0.0013 and runs 709 ms/iter vs the 287
-    XLA baseline). Below the floor this returns None = use the XLA path.
+    The layout is kept only when coverage clears `min_coverage`: each
+    overflow edge costs a gather AND a scatter-add (~18ns) vs ~9ns/edge in
+    the plain XLA step, so windowed LOSES below ~0.55 coverage
+    (probe_real_graph_rcm: a shuffled-order real 1M x 32 kNN graph has
+    coverage 0.0013 and runs 709 ms/iter vs the 287 XLA baseline). Below
+    the floor this returns None = use the XLA path.
 
     The RCM fallback (`rcm_order` baked into the layout via the `order`
     field; one-time host cost at build) keeps the relabeling INTERNAL:
     `propagate_windowed` permutes its inputs/outputs, so callers keep
     original-id semantics. It is kept only when it buys >5% coverage."""
     build = build_windowed_layout_device if device else build_windowed_layout
-    W_wide = 2 * _DEFAULT_W + 128
 
-    def _auto(nbr_, w_):
-        layout = build(nbr_, w_)
-        # layout.W < requested default means the builder clamped W to the
-        # whole padded array (small graph) — a "wider" rebuild would clamp to
-        # the same W and produce an identical layout; any coverage deficit
-        # there is cap collisions, which more window width cannot fix
-        if layout.coverage < coverage_target and layout.W == _DEFAULT_W:
-            wide = build(nbr_, w_, B=_DEFAULT_B, W=W_wide, cap=_DEFAULT_CAP)
-            if wide.coverage > layout.coverage:
-                return wide
-        return layout
-
-    layout = _auto(nbr, w)
-    # relabeling only moves edges INTO the window; when the window already
-    # spans the whole (clamped) array the deficit is cap collisions, which
-    # no vertex order can fix
-    if relabel and layout.coverage < relabel_threshold and layout.W < layout.n_pad:
+    B, W, cap, cov, ceil = select_windowed_params(nbr)
+    chosen = (nbr, w, B, W, cap, cov, None)
+    # relabeling only moves edges INTO the window; when the deficit is cap
+    # collisions (ceiling already high) no vertex order can fix it
+    if relabel and cov < relabel_threshold and ceil < relabel_threshold:
+        order = rcm_order(np.asarray(nbr))
+        nbr_r, w_r, _ = apply_order(np.asarray(nbr), np.asarray(w), order)
+        B2, W2, cap2, cov2, _ = select_windowed_params(nbr_r)
+        if cov2 > cov + 0.05:
+            chosen = (nbr_r, w_r, B2, W2, cap2, cov2, order)
+    nbr_c, w_c, B, W, cap, cov, order = chosen
+    if min_coverage is not None and cov < min_coverage:
+        return None
+    layout = build(nbr_c, w_c, B=B, W=W, cap=cap)
+    if order is not None:
         import dataclasses
 
-        nbr_h = np.asarray(nbr)
-        order = rcm_order(nbr_h)
-        nbr_r, w_r, _ = apply_order(nbr_h, np.asarray(w), order)
-        relabeled = _auto(nbr_r, w_r)
-        if relabeled.coverage > layout.coverage + 0.05:
-            layout = dataclasses.replace(relabeled, order=order)
-    if min_coverage is not None and layout.coverage < min_coverage:
-        return None
+        layout = dataclasses.replace(layout, order=order)
     return layout
 
 

@@ -254,32 +254,48 @@ def test_knnprop2_session_windowed_option(tmp_path):
     assert run(True) == run(False)
 
 
-def test_auto_builder_escalates_window():
-    """build_windowed_layout_auto keeps the swept default for window-local
-    graphs and rebuilds 2x wider when coverage misses the target; the wide
-    layout must stay numerically exact (overflow carries what the window
-    misses)."""
-    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+def test_auto_builder_selects_layout_by_graph_structure():
+    """build_windowed_layout_auto probes the graph's occupancy histogram and
+    picks (B, W, cap) per regime: tight-bandwidth graphs get a narrow
+    high-cap window, wide-bandwidth graphs a wide low-cap one — and the
+    chosen layout must stay numerically exact (overflow carries what the
+    window misses). The selected coverage must also MATCH the built
+    layout's actual coverage (probe == builder accounting)."""
+    from seesaw_tpu.ops.pallas_spmv import (
+        build_windowed_layout_auto,
+        select_windowed_params,
+    )
 
     rng = np.random.default_rng(11)
     n, K = 4096, 8
 
-    # tight local graph: default window suffices, no escalation
+    # tight local graph: a narrow window covers everything; cap <= K means
+    # a cheap layout with near-total coverage
     base = np.arange(n)[:, None]
     nbr_tight = np.clip(base + rng.integers(-100, 101, size=(n, K)), 0, n - 1)
     w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
     tight = build_windowed_layout_auto(nbr_tight.astype(np.int32), w,
                                        device=False)
-    assert tight.W == 1408 and tight.coverage > 0.95
+    assert tight.coverage > 0.95
+    assert tight.W <= 640, tight.W  # narrow window suffices at spread 100
 
-    # wide-bandwidth graph: spread beyond the default window triggers the
-    # one-step escalation and coverage recovers
+    # concentrated graph (all K neighbors within one 128-row): per-row
+    # occupancy K >> 12 would cap-collide at the old default; the selector
+    # must pick cap >= K and reach full coverage
+    nbr_conc = np.clip(base + rng.integers(-60, 61, size=(n, K)), 0, n - 1)
+    Bc, Wc, capc, covc, _ = select_windowed_params(nbr_conc.astype(np.int32))
+    assert capc >= 8 and covc > 0.99, (Bc, Wc, capc, covc)
+
+    # wide-bandwidth graph: spread beyond narrow windows forces a wide
+    # window and coverage recovers
     nbr_wide = np.clip(base + rng.integers(-1300, 1301, size=(n, K)),
                        0, n - 1)
     wide = build_windowed_layout_auto(nbr_wide.astype(np.int32), w,
                                       device=False)
-    assert wide.W > 1408, wide.W
+    assert wide.W >= 2816, wide.W
     assert wide.coverage > 0.9, wide.coverage
+    _, _, _, cov_sel, _ = select_windowed_params(nbr_wide.astype(np.int32))
+    assert wide.coverage == pytest.approx(cov_sel, abs=1e-6)
 
     f = rng.uniform(size=n).astype(np.float32)
     got = np.asarray(windowed_spmv(
