@@ -828,10 +828,15 @@ def _window_local_graph(n_tiles: int, K: int):
     nbr = jnp.where(jax.random.uniform(k3, (n_tiles, K)) < 0.97, local, rand)
     w = jax.random.uniform(k4, (n_tiles, K), minval=0.1, maxval=1.0)
     weights = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
-    # (512, 1408, 12) from the on-chip sweep (scripts/probe_spmv_cap_sweep
-    # .py): coverage ceiling 0.970 at the old default's slab bytes,
-    # 26.3 -> 19.3 ms/iter at 1M x K=32
-    layout = build_windowed_layout_device(nbr, w, B=512, W=1408, cap=12)
+    # the PRODUCT layout path: probe the graph's occupancy histogram and
+    # build the best (B, W, cap) at the default byte budget (the fixed
+    # (512,1408,12) sweep default cap-collides to 0.375 coverage on real
+    # kNN graphs — scripts/probe_layout_select_r4.json)
+    from seesaw_tpu.ops.pallas_spmv import select_windowed_params
+
+    B, W, cap, cov, _ = select_windowed_params(nbr)
+    _progress(f"  layout selected: B={B} W={W} cap={cap} cov={cov:.3f}")
+    layout = build_windowed_layout_device(nbr, w, B=B, W=W, cap=cap)
     _GRAPH_CACHE[ckey] = (weights, layout)
     return weights, layout
 
@@ -930,12 +935,14 @@ def _bench_propagation_windowed(n_tiles: int, K: int) -> dict:
         jnp.arange(0, n_tiles, n_tiles // 64)
     ].set(True)
 
-    def run(eps, max_iter, key):
+    def run(eps, max_iter, key, lay=None, deg=None):
+        lay = layout if lay is None else lay
+        deg = degree if deg is None else deg
         prior = jax.random.uniform(key, (n_tiles,), minval=0.01, maxval=0.99)
         jax.block_until_ready(prior)
         t0 = time.perf_counter()
         res = propagate_windowed(
-            layout, degree, prior, labels, is_labeled, prior,
+            lay, deg, prior, labels, is_labeled, prior,
             reg_lambda=1.0, max_iter=max_iter, epsilon=eps,
             dispatch_iters=100,
         )
@@ -956,8 +963,43 @@ def _bench_propagation_windowed(n_tiles: int, K: int) -> dict:
             float(np.percentile([c[0] for c in conv], 50)), 2
         ),
         "propagation_windowed_coverage": round(layout.coverage, 4),
+        "propagation_windowed_layout": f"{layout.B},{layout.W},{layout.cap}",
     }
-    # the graph + layout stay cached for the graph-session stage
+
+    # the real-kNN regime: after the auto builder's RCM relabeling a real
+    # exact-kNN graph is PURELY window-local (every neighbor inside the
+    # cluster block — probe_layout_select_r4.json measured coverage 1.0 and
+    # 4.5 ms/iter on a real 1M graph); the selected cap>=K layout serves it
+    # with zero overflow at about half the default's slab bytes
+    from seesaw_tpu.ops.pallas_spmv import (
+        build_windowed_layout_device,
+        select_windowed_params,
+    )
+
+    k5, k6 = jrandom.split(jrandom.PRNGKey(11))
+    base = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
+    nbr_c = jnp.clip(
+        base + jrandom.randint(k5, (n_tiles, K), -128, 129, dtype=jnp.int32),
+        0, n_tiles - 1,
+    )
+    w_c = jrandom.uniform(k6, (n_tiles, K), minval=0.1, maxval=1.0)
+    B, W, cap, cov, _ = select_windowed_params(nbr_c)
+    _progress(f"  real-kNN regime: selected B={B} W={W} cap={cap} "
+              f"cov={cov:.3f}; building + compiling")
+    lay_c = build_windowed_layout_device(nbr_c, w_c, B=B, W=W, cap=cap)
+    deg_c = w_c.sum(axis=1)
+    run(0.0, 50, jrandom.PRNGKey(400), lay_c, deg_c)  # compile
+    fixed_c = [
+        run(0.0, 50, jrandom.PRNGKey(500 + i), lay_c, deg_c)[0]
+        for i in range(2)
+    ]
+    out["propagation_ms_per_iter_1M_windowed_realknn"] = round(
+        float(min(fixed_c)) / 50.0, 2
+    )
+    out["propagation_windowed_realknn_coverage"] = round(lay_c.coverage, 4)
+    out["propagation_windowed_realknn_layout"] = f"{B},{W},{cap}"
+    del lay_c, nbr_c, w_c, deg_c
+    # the main graph + layout stay cached for the graph-session stage
     return out
 
 

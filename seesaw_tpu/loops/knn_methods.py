@@ -270,7 +270,8 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
         super().__init__(nvecs=weights.nvecs, **other)
         self.weights = weights
         # windowed_layout: ops.pallas_spmv.WindowedSpmv for the serving-scale
-        # lane-shuffle propagation step (pass after rcm_order relabeling)
+        # lane-shuffle propagation step (build_windowed_layout_auto selects
+        # the layout by measurement and RCM-relabels internally if needed)
         self.lp = LabelPropagation(
             weights, reg_lambda=self.prior_weight, max_iter=300,
             verbose=verbose, windowed_layout=windowed_layout,

@@ -26,6 +26,13 @@ Design (scripts/probe_spmv_kernel.py: 28.5 ms/iter at 1M x K=32, 10x XLA):
   and `rcm_order` (reverse Cuthill-McKee over the symmetric adjacency)
   concentrates neighbors near the diagonal. `coverage` reports the
   window-local edge fraction so callers can check before opting in.
+- No fixed (B, W, cap) serves all graphs: post-RCM real kNN graphs are
+  perfectly local but CONCENTRATED (all K neighbors in 1-2 window rows —
+  a fixed cap 12 caps coverage at 12/K), while spread-out graphs need
+  window width over capacity. `select_windowed_params` measures the
+  graph's own occupancy histogram and picks the layout; on a real 1M x 32
+  exact-kNN graph the selected (128, 256, 32) runs 4.5 ms/iter vs 366.9
+  for the old fixed default (scripts/probe_layout_select_r4.json).
 
 Windowed propagation is numerically equal to the XLA step up to f32
 summation order (edges sum grouped by window row + overflow); it is OPT-IN
