@@ -149,14 +149,26 @@ class LabelPropagation:
                 return res.scores
             out = np.asarray(res.scores)
         elif self.mesh is not None:
-            from .parallel.sharded_graph import sharded_propagate
+            if self.windowed_layout is not None:
+                from .parallel.sharded_graph import (
+                    sharded_propagate_windowed,
+                )
 
-            out = sharded_propagate(
-                self.weights.nbr, self.weights.w, self.weights.degree,
-                reg_values, labels, is_labeled, start, self.mesh,
-                reg_lambda=float(self.reg_lambda),
-                max_iter=self.max_iter, epsilon=self.epsilon,
-            )
+                out = sharded_propagate_windowed(
+                    self.windowed_layout, self.weights.degree,
+                    reg_values, labels, is_labeled, start, self.mesh,
+                    reg_lambda=float(self.reg_lambda),
+                    max_iter=self.max_iter, epsilon=self.epsilon,
+                )
+            else:
+                from .parallel.sharded_graph import sharded_propagate
+
+                out = sharded_propagate(
+                    self.weights.nbr, self.weights.w, self.weights.degree,
+                    reg_values, labels, is_labeled, start, self.mesh,
+                    reg_lambda=float(self.reg_lambda),
+                    max_iter=self.max_iter, epsilon=self.epsilon,
+                )
         else:
             res = propagate(
                 self._nbr, self._w, self._deg,

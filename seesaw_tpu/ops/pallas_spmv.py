@@ -329,9 +329,11 @@ def build_windowed_layout_device(
     )
 
 
-def _spmv_kernel(f_ref, idx_ref, w_ref, out_ref, *, B, W, R, UROWS, EROWS):
-    b = pl.program_id(0)
-    base_row = _win_base_row(b, B, W, R)
+def _spmv_kernel(base_ref, f_ref, idx_ref, w_ref, out_ref, *, UROWS, EROWS):
+    # base_ref: scalar-prefetched (NB,) int32 of per-block window base rows
+    # (build-time values — in the mesh-sharded case the local grid's block b
+    # is a GLOBAL block whose window indexes the replicated (R, 128) f)
+    base_row = base_ref[pl.program_id(0)]
     acc = jnp.zeros((EROWS, 128), jnp.float32)
     for u in range(UROWS):
         frow = f_ref[pl.ds(base_row + u, 1), :]  # (1, 128) dynamic row
@@ -339,6 +341,46 @@ def _spmv_kernel(f_ref, idx_ref, w_ref, out_ref, *, B, W, R, UROWS, EROWS):
         g = jnp.take_along_axis(src, idx_ref[0, u], axis=1)
         acc = acc + w_ref[0, u] * g
     out_ref[0] = acc
+
+
+def _base_rows(NB: int, B: int, W: int, R: int) -> np.ndarray:
+    """Build-time per-block window base rows (the clip bound R is the
+    BUILD's padded row count; slab lane indices are relative to these)."""
+    return np.array(
+        [_win_base_row(b, B, W, R) for b in range(NB)], dtype=np.int32
+    )
+
+
+def _spmv_core(f2d, cidx, wslab, base_rows, *, interpret: bool):
+    """Windowed slab contraction: (R, 128) scores x local slabs ->
+    (NB, EROWS, 128) partial products (per-vertex cap-lane sums happen in
+    XLA afterwards — Mosaic cannot reshape lanes). f2d may have MORE rows
+    than the build's padded size (mesh case: replicated global scores);
+    base_rows must be the build-time values."""
+    NB, UROWS, EROWS, _ = cidx.shape
+    R = f2d.shape[0]
+    return pl.pallas_call(
+        functools.partial(_spmv_kernel, UROWS=UROWS, EROWS=EROWS),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                # index maps take the scalar-prefetch ref as a trailing arg
+                pl.BlockSpec((R, 128), lambda i, *_: (0, 0)),  # full f, VMEM
+                pl.BlockSpec((1, UROWS, EROWS, 128),
+                             lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, UROWS, EROWS, 128),
+                             lambda i, *_: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, EROWS, 128), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((NB, EROWS, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=(R * 128 * 4 + 8 * UROWS * EROWS * 128 * 8)
+            // (1024 * 1024) * 1024 * 1024 + 24 * 1024 * 1024,
+        ),
+    )(base_rows, f2d, cidx, wslab)
 
 
 @functools.partial(
@@ -372,24 +414,10 @@ def windowed_spmv(
     f_pad = jnp.pad(f, (0, N_pad - n)) if N_pad != n else f
     f2d = f_pad.reshape(R, 128)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _spmv_kernel, B=B, W=W, R=R, UROWS=UROWS, EROWS=EROWS
-        ),
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec((R, 128), lambda i: (0, 0)),  # full f, VMEM-resident
-            pl.BlockSpec((1, UROWS, EROWS, 128), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, UROWS, EROWS, 128), lambda i: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, EROWS, 128), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, EROWS, 128), jnp.float32),
+    out = _spmv_core(
+        f2d, cidx, wslab, jnp.asarray(_base_rows(NB, B, W, R)),
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=(R * 128 * 4 + 8 * UROWS * EROWS * 128 * 8)
-            // (1024 * 1024) * 1024 * 1024 + 24 * 1024 * 1024,
-        ),
-    )(f2d, cidx, wslab)
+    )
 
     wf = out.reshape(NB, EROWS * 128 // cap, cap).sum(-1).reshape(N_pad)[:n]
     # overflow edges: XLA gather + scatter-add (rare by construction)

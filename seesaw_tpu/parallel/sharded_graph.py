@@ -21,6 +21,16 @@ reference approximates with pynndescent on one host,
   The whole convergence loop is one `lax.while_loop` inside `shard_map` —
   same update rule, clamping, and stopping test as `ops.propagation`, so
   single- and multi-chip runs agree bit-for-bit.
+
+- **windowed propagation** (`sharded_propagate_windowed`): the Pallas
+  lane-shuffle formulation (ops.pallas_spmv — 4.5 ms/iter on a real 1M x 32
+  kNN graph vs 287 XLA) composed with the mesh: slab blocks shard on the
+  block axis, the score vector all-gathers per iteration (4MB at 1M — ICI
+  noise next to slab streaming), each shard's local grid indexes the
+  replicated scores through its scalar-prefetched build-time base rows,
+  and the overflow COO splits by source shard at setup. This is the path
+  that lets the graph story and the scale story compose: slab HBM divides
+  by the shard count (a 10M x 32 graph's ~8GB of slabs fits 8 chips).
 """
 from __future__ import annotations
 
@@ -203,3 +213,160 @@ def sharded_propagate(
 
     out = run(*args)
     return np.asarray(out)[:N]
+
+
+def sharded_propagate_windowed(
+    layout,  # ops.pallas_spmv.WindowedSpmv (host or device fields)
+    degree: np.ndarray,
+    prior: np.ndarray,
+    labels: np.ndarray,
+    is_labeled: np.ndarray,
+    start: np.ndarray,
+    mesh: Mesh,
+    *,
+    reg_lambda: float,
+    max_iter: int = 300,
+    epsilon: float = 1e-5,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Row-sharded Jacobi propagation through the windowed-SpMV Pallas
+    kernel: slab blocks shard on the mesh, the (N,) score vector all-gathers
+    per iteration (4MB at 1M tiles — ICI noise next to the slab streaming),
+    and each shard's local grid indexes the replicated scores through its
+    build-time base rows (scalar-prefetched into the kernel). The overflow
+    COO splits by source shard at setup. Matches `propagate_windowed` up to
+    f32 summation order (per-shard overflow scatters), and the XLA paths to
+    the same tolerance. Layouts with a baked-in RCM relabeling (`order`)
+    are handled here at the host boundary: inputs permute in, scores
+    permute back out — callers keep original vertex ids."""
+    from ..ops.pallas_spmv import _base_rows, _spmv_core
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    hostify = lambda x: np.asarray(x)
+    order = getattr(layout, "order", None)
+    n = layout.n
+    vecs = [degree, prior, labels, is_labeled, start]
+    vecs = [hostify(v) for v in vecs]
+    if order is not None:
+        vecs = [v[order] for v in vecs]
+    degree, prior, labels, is_labeled, start = vecs
+
+    B, W, cap = layout.B, layout.W, layout.cap
+    cidx = hostify(layout.cidx)
+    wslab = hostify(layout.wslab)
+    NB, UROWS, EROWS, _ = cidx.shape
+    S = mesh.devices.size
+    NBs = -(-NB // S)  # slab blocks per shard
+    nb_pad = NBs * S - NB
+    Np = NBs * S * B
+    Ns = NBs * B  # vertices per shard
+    if nb_pad:
+        zpad = lambda a: np.concatenate(
+            [a, np.zeros((nb_pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        cidx, wslab = zpad(cidx), zpad(wslab)
+    # base rows are the BUILD's values (R = build-time padded rows): slab
+    # lane indices are relative to them; padding blocks get base 0 (their
+    # weights are all zero)
+    base = np.zeros(NBs * S, np.int32)
+    base[:NB] = _base_rows(NB, B, W, (NB * B) // 128)
+    base = base.reshape(S, NBs)
+
+    # overflow COO split by source shard (local row ids; zero-weight pads)
+    src = hostify(layout.ovf_src)
+    onbr = hostify(layout.ovf_nbr)
+    ow = hostify(layout.ovf_w)
+    shard_of = src // Ns
+    counts = np.bincount(shard_of[ow != 0], minlength=S)
+    Mp = max(-(-int(counts.max(initial=0)) // 128) * 128, 128)
+    ovf_src_l = np.zeros((S, Mp), np.int32)
+    ovf_nbr_l = np.zeros((S, Mp), np.int32)
+    ovf_w_l = np.zeros((S, Mp), np.float32)
+    for s in range(S):
+        m = (shard_of == s) & (ow != 0)
+        c = int(m.sum())
+        ovf_src_l[s, :c] = src[m] - s * Ns
+        ovf_nbr_l[s, :c] = onbr[m]
+        ovf_w_l[s, :c] = ow[m]
+
+    pad_n = Np - n
+    fvec = lambda v, fill=0: jax.device_put(
+        _pad_rows(v.astype(np.float32) if v.dtype != bool else v, pad_n,
+                  fill=fill),
+        NamedSharding(mesh, P(AXIS)),
+    )
+    blocked = lambda a: jax.device_put(
+        a.reshape((S, NBs) + a.shape[1:]), NamedSharding(mesh, P(AXIS))
+    )
+    deg_d, prior_d, labels_d, is_lab_d, start_d = (
+        fvec(degree), fvec(prior), fvec(labels), fvec(is_labeled),
+        fvec(start),
+    )
+    cidx_d, wslab_d = blocked(cidx), blocked(wslab)
+    sh = NamedSharding(mesh, P(AXIS))
+    base_d = jax.device_put(base, sh)
+    ovf_args = tuple(
+        jax.device_put(a, sh) for a in (ovf_src_l, ovf_nbr_l, ovf_w_l)
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 5 + (P(AXIS, None),) * 2
+        + (P(AXIS),) + (P(AXIS, None),) * 3,
+        out_specs=P(AXIS),
+        # the pallas_call's out_shape carries no varying-mesh-axes
+        # annotation, which trips shard_map's replication checker — the
+        # data flow here is plainly per-shard (slabs local, scores
+        # all-gathered)
+        check_rep=False,
+    )
+    def run(deg_l, prior_l, labels_l, is_lab_l, start_l,
+            cidx_l, wslab_l, base_l, osrc_l, onbr_l, ow_l):
+        # sharded leading dim arrives as 1; drop it to local block shapes
+        cidx_l = cidx_l.reshape(NBs, UROWS, EROWS, 128)
+        wslab_l = wslab_l.reshape(NBs, UROWS, EROWS, 128)
+        base_l = base_l.reshape(-1)
+        denom = deg_l + reg_lambda
+        denom = jnp.where(denom > 0, denom, 1.0)
+        f0 = jnp.where(is_lab_l, labels_l, start_l)
+        osrc, onbr_, ow_ = (
+            osrc_l.reshape(-1), onbr_l.reshape(-1), ow_l.reshape(-1)
+        )
+
+        def step(f_local):
+            f_global = jax.lax.all_gather(f_local, AXIS, tiled=True)  # (Np,)
+            f2d = f_global.reshape(Np // 128, 128)
+            core = _spmv_core(f2d, cidx_l, wslab_l, base_l,
+                              interpret=interpret)
+            wf = core.reshape(NBs, EROWS * 128 // cap, cap).sum(-1).reshape(Ns)
+            g = ow_ * f_global[onbr_]
+            wf = wf + jnp.zeros(Ns, jnp.float32).at[osrc].add(g)
+            new_f = (wf + reg_lambda * prior_l) / denom
+            return jnp.where(is_lab_l, labels_l, new_f)
+
+        def cond(state):
+            f, _, i, done = state
+            return (~done) & (i < max_iter)
+
+        def body(state):
+            f, _, i, _ = state
+            new_f = step(f)
+            local_max = jnp.max((new_f - f) ** 2)
+            done = jax.lax.pmax(local_max, AXIS) < epsilon
+            return (new_f, f, i + 1, done)
+
+        f, f_prev, _, done = jax.lax.while_loop(
+            cond, body, (f0, f0 + 1.0, 0, jnp.asarray(False))
+        )
+        return jnp.where(done, f_prev, f)
+
+    out = np.asarray(run(deg_d, prior_d, labels_d, is_lab_d, start_d,
+                         cidx_d, wslab_d, base_d, *ovf_args))[:n]
+    if order is not None:
+        inv = np.empty(n, np.int64)
+        inv[np.asarray(order)] = np.arange(n)
+        out = out[inv]
+    return out

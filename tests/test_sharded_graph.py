@@ -99,6 +99,112 @@ def test_label_propagation_wrapper_with_mesh(mesh):
     np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_windowed_propagation_matches_single_device(mesh):
+    """Mesh-sharded windowed propagation (slab blocks sharded, scores
+    all-gathered per iteration, per-shard overflow) must match both the
+    single-device windowed program and the XLA path, including through a
+    relabeled (order-baked) layout and ragged block counts."""
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout
+    from seesaw_tpu.ops.propagation import propagate_windowed
+    from seesaw_tpu.parallel.sharded_graph import sharded_propagate_windowed
+
+    rng = np.random.default_rng(13)
+    n, K = 2000, 6  # NB = ceil(2000/256) = 8 blocks over 8 shards, ragged
+    base = np.arange(n)[:, None]
+    local = np.clip(base + rng.integers(-120, 121, size=(n, K)), 0, n - 1)
+    rand = rng.integers(0, n, size=(n, K))
+    nbr = np.where(rng.random((n, K)) < 0.85, local, rand).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    nbr[11, 2:] = -1
+    w[nbr < 0] = 0.0
+    layout = build_windowed_layout(nbr, w, B=256, W=512, cap=4)
+    assert 0.3 < layout.coverage < 1.0  # mixes kernel AND overflow edges
+
+    degree = w.sum(axis=1)
+    prior = rng.uniform(0.05, 0.95, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:12] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:25] = True
+    args = dict(reg_lambda=1.0, max_iter=120, epsilon=1e-9)
+
+    import jax.numpy as jnp
+
+    ref = propagate_windowed(
+        layout, jnp.asarray(degree), jnp.asarray(prior), jnp.asarray(labels),
+        jnp.asarray(is_labeled), jnp.asarray(prior), interpret=True, **args,
+    )
+    got = sharded_propagate_windowed(
+        layout, degree, prior, labels, is_labeled, prior, mesh,
+        interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        got, np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_sharded_windowed_relabeled_layout(mesh):
+    """A layout with a baked-in RCM relabeling goes through the sharded
+    path in permuted space; callers still see original vertex ids."""
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+    from seesaw_tpu.parallel.sharded_graph import sharded_propagate_windowed
+
+    rng = np.random.default_rng(29)
+    n, d = 4096, 12
+    centers = rng.normal(size=(40, d))
+    V = centers[rng.integers(0, 40, size=n)] + 0.1 * rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V[rng.permutation(n)].astype(np.float32)
+    sw = symmetrize_weights(KNNGraph.build(V, 5), rbf_kernel(0.5))
+    layout = build_windowed_layout_auto(sw.nbr, sw.w, device=False)
+    assert layout is not None and layout.order is not None
+
+    prior = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:6] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:12] = True
+    args = dict(reg_lambda=1.0, max_iter=80, epsilon=1e-9)
+    ref = propagate(
+        np.asarray(sw.nbr), np.asarray(sw.w), sw.degree.astype(np.float32),
+        prior, labels, is_labeled, prior, **args,
+    )
+    got = sharded_propagate_windowed(
+        layout, sw.degree.astype(np.float32), prior, labels, is_labeled,
+        prior, mesh, interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        got, np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_label_propagation_mesh_windowed(mesh):
+    """LabelPropagation(mesh=..., windowed_layout=...) routes through the
+    sharded windowed program and matches the plain mesh path."""
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout
+
+    rng = np.random.default_rng(31)
+    n = 700
+    V = _unit(rng, n, 8)
+    sw = symmetrize_weights(KNNGraph.build(V, 5), rbf_kernel(0.5))
+    layout = build_windowed_layout(sw.nbr, sw.w, B=128, W=256, cap=4)
+    prior = rng.uniform(0.2, 0.8, size=n).astype(np.float32)
+    ids = np.array([1, 200, 650])
+    vals = np.array([1.0, 0.0, 1.0])
+
+    plain = LabelPropagation(sw, reg_lambda=1.0, max_iter=150, epsilon=1e-9,
+                             mesh=mesh)
+    windowed = LabelPropagation(sw, reg_lambda=1.0, max_iter=150,
+                                epsilon=1e-9, mesh=mesh,
+                                windowed_layout=layout)
+    a = plain.fit_transform(label_ids=ids, label_values=vals,
+                            reg_values=prior)
+    b = windowed.fit_transform(label_ids=ids, label_values=vals,
+                               reg_values=prior)
+    np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6)
+
+
 def test_sharded_knn_fewer_rows_than_shards(mesh):
     rng = np.random.default_rng(2)
     V = _unit(rng, 5, 8)  # N < S
