@@ -68,6 +68,75 @@ def get_weights_from_index(idx, weight_matrix_options: dict, xlx_matrix: bool = 
                           X_vectors=X_vectors if xlx_matrix else None)
 
 
+def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
+                            weights):
+    """Windowed layout for a serving graph, with the selection DECISIONS
+    persisted in a sidecar npz next to the kNN graph: the auto builder's
+    one-time costs (RCM relabel ~45-215s host at 1M, ~10 selection probe
+    dispatches) are paid once per graph, not once per process. Only the
+    few-KB decision (B, W, cap, order, fingerprint) is stored — the
+    GB-scale slabs rebuild on device in seconds. A `none` sidecar records
+    the below-breakeven verdict (use the XLA path). Stale sidecars (graph
+    rebuilt under the same name) are detected by an nbr fingerprint; a
+    wrong-but-same-shape order would still be CORRECT (it is just a
+    permutation), only slower."""
+    import dataclasses
+    from pathlib import Path
+
+    from ..ops.pallas_spmv import (
+        apply_order,
+        build_windowed_layout,
+        build_windowed_layout_auto,
+        build_windowed_layout_device,
+    )
+
+    device = weights.nvecs >= 100_000
+    nbr, w = np.asarray(weights.nbr), np.asarray(weights.w)
+    fp = np.int64(nbr.sum(dtype=np.int64)) + 7919 * nbr.shape[0] + nbr.shape[1]
+    side = (
+        Path(knn_path) / f"windowed_k{opts.knn_k}_"
+        f"{'sym' if opts.symmetric else 'fwd'}.npz"
+        if knn_path and "subset" not in knn_path
+        else None
+    )
+    if side is not None and side.exists():
+        try:
+            z = np.load(side)
+            if int(z["fp"]) == int(fp):
+                if bool(z["none"]):
+                    return None
+                order = z["order"] if z["order"].size else None
+                nbr2, w2 = nbr, w
+                if order is not None:
+                    nbr2, w2, _ = apply_order(nbr, w, order)
+                build = (build_windowed_layout_device if device
+                         else build_windowed_layout)
+                lay = build(nbr2, w2, B=int(z["B"]), W=int(z["W"]),
+                            cap=int(z["cap"]))
+                if order is not None:
+                    lay = dataclasses.replace(lay, order=order)
+                return lay
+        except Exception:
+            pass  # unreadable/stale sidecar: fall through to a fresh build
+    layout = build_windowed_layout_auto(nbr, w, device=device)
+    if side is not None:
+        try:
+            if layout is None:
+                np.savez(side, fp=fp, none=True, B=0, W=0, cap=0,
+                         order=np.zeros(0, np.int64))
+            else:
+                np.savez(
+                    side, fp=fp, none=False, B=layout.B, W=layout.W,
+                    cap=layout.cap,
+                    order=(np.asarray(layout.order, np.int64)
+                           if layout.order is not None
+                           else np.zeros(0, np.int64)),
+                )
+        except OSError:
+            pass  # read-only index dir: just skip persisting
+    return layout
+
+
 def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
     weights = get_weights_from_index(q.index, label_prop_params["matrix_options"])
     kwargs = {k: v for k, v in label_prop_params.items() if k != "matrix_options"}
@@ -76,22 +145,17 @@ def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:
         # serving-scale lane-shuffle propagation (ops.pallas_spmv). The
         # layout is built on the index's OWN vector order — multiscale
         # graphs have natural window locality (a tile's kNN neighbors are
-        # often sibling tiles of the same/adjacent frames); the layout's
-        # coverage field quantifies it, and out-of-window edges fall back
-        # to the exact XLA gather, so results stay correct regardless.
-        # serving scale builds the layout ON the accelerator (the host
-        # build is ~35 passes over (N,K) arrays — minutes at 1M x 32 on a
-        # small host; the device twin is oracle-tested field-for-field
-        # equal); _auto escalates the window once when the graph's
-        # post-ordering bandwidth exceeds the swept default, RCM-relabels
-        # internally when the input order has no locality at all, and
-        # returns None (= the exact XLA path) when even that leaves
-        # coverage below the windowed/XLA breakeven (~0.55)
-        from ..ops.pallas_spmv import build_windowed_layout_auto
-
-        layout = build_windowed_layout_auto(
-            weights.nbr, weights.w, device=weights.nvecs >= 100_000
-        )
+        # often sibling tiles of the same/adjacent frames); the auto
+        # builder probes the graph's occupancy histogram to pick (B, W,
+        # cap), RCM-relabels internally when the input order has no
+        # locality at all, and returns None (= the exact XLA path) when
+        # even that leaves coverage below the windowed/XLA breakeven
+        # (~0.55). Decisions persist in a sidecar next to the graph.
+        mo = WeightMatrixOptions(**label_prop_params["matrix_options"])
+        knn_path = str(q.index.get_knng_path(
+            name=label_prop_params["matrix_options"].get("knn_path", "")
+        ))
+        layout = _windowed_layout_cached(knn_path, mo, weights)
     return LabelPropagationRanker2(weights=weights, windowed_layout=layout,
                                    **kwargs)
 

@@ -359,6 +359,70 @@ def test_auto_builder_relabels_scrambled_graph():
     assert abs(int(got.n_iter) - int(ref.n_iter)) <= 1
 
 
+def test_windowed_layout_sidecar_cache(tmp_path, monkeypatch):
+    """get_label_prop persists the layout DECISIONS (B, W, cap, RCM order)
+    in a sidecar npz next to the kNN graph: the second process/call skips
+    the auto builder's one-time costs entirely and rebuilds only the slabs,
+    producing an identical layout. Stale sidecars (different graph under
+    the same name) are detected by fingerprint."""
+    import seesaw_tpu.loops.graph_based as gb
+    import seesaw_tpu.ops.pallas_spmv as mod
+    from seesaw_tpu.knn_graph import KNNGraph
+
+    rng = np.random.default_rng(41)
+    n, d = 4096, 12
+    centers = rng.normal(size=(40, d))
+    V = centers[rng.integers(0, 40, size=n)] + 0.1 * rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V[rng.permutation(n)].astype(np.float32)
+    gpath = tmp_path / "knng"
+    KNNGraph.build(V, 5).save(gpath)
+
+    class StubIndex:
+        def get_knng_path(self, name=""):
+            return gpath
+
+    class Q:
+        index = StubIndex()
+
+    calls = []
+    real_auto = mod.build_windowed_layout_auto
+
+    def counting_auto(*a, **kw):
+        calls.append(1)
+        return real_auto(*a, **kw)
+
+    monkeypatch.setattr(mod, "build_windowed_layout_auto", counting_auto)
+    params = dict(
+        matrix_options=dict(knn_path="x", knn_k=5, edist=0.5,
+                            self_edges=False, normalized_weights=False,
+                            symmetric=True),
+        normalize_scores=False, normalize_epsilon=0.1,
+        sigmoid_before_propagate=False, calib_a=1.0, calib_b=0.0,
+        prior_weight=1.0, windowed=True,
+    )
+    r1 = gb.get_label_prop(Q(), dict(params))
+    lay1 = r1.lp.windowed_layout
+    assert lay1 is not None and lay1.order is not None
+    assert len(calls) == 1
+    assert (gpath / "windowed_k5_sym.npz").exists()
+
+    gb._wm_cache.clear()  # simulate a fresh process
+    r2 = gb.get_label_prop(Q(), dict(params))
+    lay2 = r2.lp.windowed_layout
+    assert len(calls) == 1, "sidecar hit must skip the auto builder"
+    assert (lay2.B, lay2.W, lay2.cap) == (lay1.B, lay1.W, lay1.cap)
+    np.testing.assert_array_equal(lay2.order, lay1.order)
+    np.testing.assert_array_equal(np.asarray(lay2.cidx),
+                                  np.asarray(lay1.cidx))
+
+    # a DIFFERENT graph under the same path must miss the cache
+    gb._wm_cache.clear()
+    KNNGraph.build(V[::-1].copy(), 5).save(gpath)
+    gb.get_label_prop(Q(), dict(params))
+    assert len(calls) == 2, "stale sidecar must be rebuilt"
+
+
 def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
     """When the graph is smaller than the default window, W clamps to N_pad
     and the whole array already IS the window — any coverage deficit is cap
