@@ -121,17 +121,23 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
     layout = build_windowed_layout_auto(nbr, w, device=device)
     if side is not None:
         try:
+            import os
+
+            tmp = side.with_name(side.name + f".tmp{os.getpid()}")
             if layout is None:
-                np.savez(side, fp=fp, none=True, B=0, W=0, cap=0,
+                np.savez(tmp, fp=fp, none=True, B=0, W=0, cap=0,
                          order=np.zeros(0, np.int64))
             else:
                 np.savez(
-                    side, fp=fp, none=False, B=layout.B, W=layout.W,
+                    tmp, fp=fp, none=False, B=layout.B, W=layout.W,
                     cap=layout.cap,
                     order=(np.asarray(layout.order, np.int64)
                            if layout.order is not None
                            else np.zeros(0, np.int64)),
                 )
+            # np.savez appends .npz to names without it; atomic publish so
+            # concurrent sessions never read a partial file
+            os.replace(str(tmp) + ".npz", side)
         except OSError:
             pass  # read-only index dir: just skip persisting
     return layout
