@@ -157,6 +157,29 @@ class SymmetricWeights:
     def nvecs(self) -> int:
         return self.nbr.shape[0]
 
+    def device_arrays(self):
+        """Device-resident (nbr, w, degree), uploaded ONCE and cached on the
+        instance. Weight structures are shared process-wide across sessions
+        (loops/graph_based._wm_cache mirrors the reference's Ray cache actor,
+        `/root/reference/seesaw/loops/graph_based.py:51-58`), so caching here
+        means N concurrent KnnProp2 sessions hold ONE copy of the ~(N,K)
+        int32+f32 arrays on device (~256MB at 1M x 32) instead of one each."""
+        return (self._device_field("nbr"), self._device_field("w"),
+                self._device_field("degree"))
+
+    def _device_field(self, name: str):
+        """Per-field lazy upload — the windowed propagation path reads only
+        `degree` and must not pay for the (N,K) nbr/w arrays it never uses."""
+        cache = getattr(self, "_device_cache", None)
+        if cache is None:
+            cache = {}
+            self._device_cache = cache
+        if name not in cache:
+            import jax.numpy as jnp
+
+            cache[name] = jnp.asarray(getattr(self, name))
+        return cache[name]
+
     def laplacian_quadratic(self, x: np.ndarray) -> float:
         """x^T L x = 1/2 Σ_ij w_ij (x_i - x_j)²  (counting each edge once in
         each direction, matching L = D - W)."""

@@ -51,9 +51,34 @@ class LabelPropagation:
         # with a multi-device mesh the Jacobi loop runs row-sharded
         # (parallel.sharded_graph), numerically identical to single-device
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
-        self._nbr = jnp.asarray(weights.nbr)
-        self._w = jnp.asarray(weights.w)
-        self._deg = jnp.asarray(weights.degree)
+
+    # device uploads are LAZY and come from the weight structure's own cache
+    # (knn_graph.SymmetricWeights.device_arrays): weights are shared across
+    # sessions, so concurrent rankers reuse one device copy — and the
+    # windowed path never touches nbr/w at all (only degree), so a windowed
+    # serving session skips the ~256MB (N,K) upload entirely.
+    @property
+    def _deg(self):
+        return self._weight_field("degree")
+
+    @property
+    def _nbr(self):
+        return self._weight_field("nbr")
+
+    @property
+    def _w(self):
+        return self._weight_field("w")
+
+    def _weight_field(self, name: str):
+        get = getattr(self.weights, "_device_field", None)
+        if get is not None:
+            return get(name)
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = self._dev_cache = {}
+        if name not in cache:
+            cache[name] = jnp.asarray(getattr(self.weights, name))
+        return cache[name]
 
     def fit_transform_device(
         self,

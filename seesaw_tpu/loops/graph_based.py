@@ -30,6 +30,7 @@ class WeightMatrixOptions(BaseModel):
 
 
 _wm_cache: dict = {}
+_layout_cache: dict = {}
 _wm_lock = threading.Lock()
 
 
@@ -93,18 +94,34 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
     device = weights.nvecs >= 100_000
     nbr, w = np.asarray(weights.nbr), np.asarray(weights.w)
     fp = np.int64(nbr.sum(dtype=np.int64)) + 7919 * nbr.shape[0] + nbr.shape[1]
+    # layouts are shared process-wide like the weight structures: the
+    # WindowedSpmv object caches its device slabs (~0.5GB at 1M x 32), so
+    # concurrent KnnProp2 sessions over one graph must get ONE object, not
+    # one rebuild+upload each
+    cache_key = (knn_path, opts.knn_k, opts.symmetric, int(fp))
+    cacheable = bool(knn_path) and "subset" not in knn_path
+    if cacheable:
+        with _wm_lock:
+            if cache_key in _layout_cache:
+                return _layout_cache[cache_key]
     side = (
         Path(knn_path) / f"windowed_k{opts.knn_k}_"
         f"{'sym' if opts.symmetric else 'fwd'}.npz"
         if knn_path and "subset" not in knn_path
         else None
     )
+    def _publish(lay):
+        if cacheable:
+            with _wm_lock:
+                _layout_cache.setdefault(cache_key, lay)
+        return lay
+
     if side is not None and side.exists():
         try:
             z = np.load(side)
             if int(z["fp"]) == int(fp):
                 if bool(z["none"]):
-                    return None
+                    return _publish(None)
                 order = z["order"] if z["order"].size else None
                 nbr2, w2 = nbr, w
                 if order is not None:
@@ -115,7 +132,7 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
                             cap=int(z["cap"]))
                 if order is not None:
                     lay = dataclasses.replace(lay, order=order)
-                return lay
+                return _publish(lay)
         except Exception:
             pass  # unreadable/stale sidecar: fall through to a fresh build
     layout = build_windowed_layout_auto(nbr, w, device=device)
@@ -140,7 +157,7 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
             os.replace(str(tmp) + ".npz", side)
         except OSError:
             pass  # read-only index dir: just skip persisting
-    return layout
+    return _publish(layout)
 
 
 def get_label_prop(q, label_prop_params: dict) -> LabelPropagationRanker2:

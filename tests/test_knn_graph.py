@@ -322,3 +322,33 @@ def test_normalize_scores_device_matches_host():
     assert (np.asarray(const) == 0.5).all()
     np.testing.assert_allclose(
         np.asarray(sigmoid(jnp.asarray(s))), sigmoid(s), atol=1e-7)
+
+
+def test_weight_device_arrays_shared_across_instances():
+    """Concurrent sessions share the cached weight structure, so the device
+    uploads must be cached ON that structure: N LabelPropagation instances
+    over one SymmetricWeights hold one device copy of (nbr, w, degree), not
+    one each — and the windowed path touches only `degree`, so a windowed
+    serving session never pays the (N, K) nbr/w upload at all."""
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(256, 16)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    weights = symmetrize_weights(KNNGraph.build(V, 5), rbf_kernel(0.5))
+
+    lp1 = LabelPropagation(weights=weights, reg_lambda=1.0)
+    lp2 = LabelPropagation(weights=weights, reg_lambda=2.0)
+    assert getattr(weights, "_device_cache", None) in (None, {}), \
+        "construction must not upload anything"
+    assert lp1._deg is lp2._deg
+    assert "nbr" not in weights._device_cache, "degree must not drag nbr in"
+    assert lp1._nbr is lp2._nbr
+    assert lp1._w is lp2._w
+    nbr_dev, w_dev, deg_dev = weights.device_arrays()
+    assert nbr_dev is lp1._nbr and w_dev is lp1._w and deg_dev is lp1._deg
+
+    # the shared arrays still serve a correct fit
+    prior = rng.uniform(size=weights.nvecs).astype(np.float32)
+    out = lp1.fit_transform(
+        label_ids=np.array([0, 5]), label_values=np.array([1.0, 0.0]),
+        reg_values=prior)
+    assert out.shape == (weights.nvecs,)

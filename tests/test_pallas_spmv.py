@@ -407,10 +407,17 @@ def test_windowed_layout_sidecar_cache(tmp_path, monkeypatch):
     assert len(calls) == 1
     assert (gpath / "windowed_k5_sym.npz").exists()
 
+    # same process: concurrent sessions must share ONE layout object (its
+    # device slabs upload once, not per session)
+    r1b = gb.get_label_prop(Q(), dict(params))
+    assert r1b.lp.windowed_layout is lay1
+
     gb._wm_cache.clear()  # simulate a fresh process
+    gb._layout_cache.clear()
     r2 = gb.get_label_prop(Q(), dict(params))
     lay2 = r2.lp.windowed_layout
     assert len(calls) == 1, "sidecar hit must skip the auto builder"
+    assert lay2 is not lay1
     assert (lay2.B, lay2.W, lay2.cap) == (lay1.B, lay1.W, lay1.cap)
     np.testing.assert_array_equal(lay2.order, lay1.order)
     np.testing.assert_array_equal(np.asarray(lay2.cidx),
@@ -418,6 +425,7 @@ def test_windowed_layout_sidecar_cache(tmp_path, monkeypatch):
 
     # a DIFFERENT graph under the same path must miss the cache
     gb._wm_cache.clear()
+    gb._layout_cache.clear()
     KNNGraph.build(V[::-1].copy(), 5).save(gpath)
     gb.get_label_prop(Q(), dict(params))
     assert len(calls) == 2, "stale sidecar must be rebuilt"
