@@ -980,11 +980,37 @@ class MultiscaleIndex(AccessMethod):
         aug_weight: str = "level_max",
     ) -> dict:
         """Rank frames by externally produced per-vector scores (e.g. label
-        propagation) with the same shortlist + augmentation tail as query()."""
+        propagation) with the same shortlist + augmentation tail as query().
+
+        A DeferredPropagation marker (graph loop, windowed device mode) fuses
+        the staged round — click scatter + Jacobi propagation + this ranking
+        tail — into ONE device dispatch; indexes that can't fuse (sharded,
+        host-gather layouts) materialize it through the eager path."""
         if shortlist_size is None or shortlist_size < topk:
             shortlist_size = max(topk * 5, shortlist_size or 0)
         shortlist_size = min(shortlist_size, self.n_frames)
         topk_eff = min(topk, self.n_frames)
+
+        from ..ops.propagation import DeferredPropagation
+
+        if isinstance(scores, DeferredPropagation):
+            layout = scores.ranker.lp.windowed_layout
+            fusable = (
+                self._V is not None
+                and self._sharded is None
+                and self._pad_rows is None
+                and layout is not None
+                and layout.n == self.meta.n_vectors
+            )
+            if not fusable:
+                scores = scores.materialize()
+            else:
+                return self._rank_deferred_propagation(
+                    scores, topk_eff=topk_eff, shortlist_size=shortlist_size,
+                    exclude=exclude, agg_method=agg_method,
+                    aug_larger=aug_larger, aug_weight=aug_weight,
+                )
+
         mask, new_ids, token = self._device_exclusion(exclude)
 
         if isinstance(scores, jax.Array):
@@ -1012,6 +1038,67 @@ class MultiscaleIndex(AccessMethod):
             agg_method=agg_method, max_zoom=self._max_zoom,
         )
         self._commit_exclusion(token, new_mask)
+        return self._format_result(res)
+
+    def _rank_deferred_propagation(
+        self,
+        dp,  # ops.propagation.DeferredPropagation
+        *,
+        topk_eff: int,
+        shortlist_size: int,
+        exclude: Optional[BitMap],
+        agg_method: str,
+        aug_larger: str,
+        aug_weight: str,
+    ) -> dict:
+        """ONE-dispatch KnnProp2 round: the staged clicks scatter into the
+        persistent device label state, the windowed Jacobi loop runs to
+        convergence, and the propagated scores feed the ranking tail — all
+        inside a single device program (ops.propagation.
+        propagate_rank_windowed). The updated label state and convergence
+        info ride back in the same fetch and are committed to the ranker
+        afterwards (mirroring the LogReg2 fit state, `_query_logistic`)."""
+        import jax
+
+        from ..ops import propagation as prop_ops
+
+        ranker = dp.ranker
+        lp = ranker.lp
+        layout = lp.windowed_layout
+        mask, new_ids, token = self._device_exclusion(exclude)
+        labels_dev, il_dev, ids, vals = ranker._deferred_state()
+        cidx, wslab, ovf_src, ovf_nbr, ovf_w = layout.device_arrays()
+        reorder = (layout.order_arrays()
+                   if getattr(layout, "order", None) is not None else None)
+        has_order = reorder is not None
+        empty = jnp.zeros(0, jnp.int32)
+        order_d, inv_d = reorder if has_order else (empty, empty)
+        # Mosaic only compiles on real TPU backends (same rule as
+        # ops.propagation.propagate_windowed)
+        interpret = jax.default_backend() == "cpu"
+        self.last_program_shape = ("knnprop", ids.shape[0], has_order)
+        res, new_mask, scores, labels2, il2, i, done = (
+            prop_ops.propagate_rank_windowed(
+                cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+                order_d, inv_d,
+                lp._deg, ranker.prior_scores, labels_dev, il_dev,
+                jnp.asarray(ids), jnp.asarray(vals),
+                ranker.prior_scores,  # eager path warm-starts at the prior
+                self._valid, self._boxes, self._zoom,
+                mask, new_ids,
+                jnp.float32(lp.reg_lambda), jnp.float32(lp.epsilon),
+                max_iter=lp.max_iter,
+                n=layout.n, B=layout.B, W=layout.W, cap=layout.cap,
+                interpret=interpret, has_order=has_order,
+                shortlist_size=shortlist_size, topk=topk_eff,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=self._max_zoom,
+            )
+        )
+        self._commit_exclusion(token, new_mask)
+        # one transfer: the ranked result + convergence info together
+        res, i_h, done_h = jax.device_get((res, i, done))
+        ranker._commit_deferred(scores, labels2, il2, int(i_h), bool(done_h))
         return self._format_result(res)
 
     def _format_result(self, res) -> dict:

@@ -164,6 +164,11 @@ class BaseLabelPropagationRanker:
         self._labels_dev = None
         self._is_labeled_dev = None
         self._pending: list = []  # (idx, label) staged since last flush
+        # deferred propagation (device mode + windowed layout): `update`
+        # stages the round and the NEXT rank_by_scores call fuses
+        # scatter+propagate+rank into one dispatch (ops.propagation.
+        # DeferredPropagation); host consumers flush eagerly first
+        self._needs_prop = False
 
     def set_base_scores(self, init_scores: np.ndarray):
         assert init_scores.shape[0] == self.nvecs
@@ -173,6 +178,7 @@ class BaseLabelPropagationRanker:
             self.prior_scores = sigmoid(self.calib_a * (init_scores + self.calib_b))
         else:
             self.prior_scores = init_scores
+        self._needs_prop = False  # a fresh prior supersedes any staged round
         if self.is_labeled.sum() == 0:
             self._current_scores = self.prior_scores
         else:
@@ -190,8 +196,65 @@ class BaseLabelPropagationRanker:
             self._pending.append((idx, label))
         num_neg = (self.labels[self.is_labeled > 0] == 0).sum()
         if num_neg > 0:
-            self._current_scores = self._propagate(self.prior_scores)
+            if self._defer_available():
+                # serving path: stage the round; the next rank_by_scores
+                # fuses scatter+propagate+rank into one dispatch
+                self._needs_prop = True
+            else:
+                self._current_scores = self._propagate(self.prior_scores)
         # no negatives: scores unchanged (labels still clamp via current_scores)
+
+    def _defer_available(self) -> bool:
+        """Whether propagation may be deferred into the next ranking dispatch
+        (overridden by LabelPropagationRanker2 for the windowed device mode)."""
+        return False
+
+    def _flush_propagation(self):
+        """Run any staged propagation eagerly (host consumers, non-fusable
+        indexes) and return the resulting scores."""
+        if self._needs_prop:
+            self._current_scores = self._propagate(self.prior_scores)
+            self._needs_prop = False
+        return self._current_scores
+
+    def _deferred_state(self):
+        """(labels_dev, is_labeled_dev, ids, vals) for the fused round:
+        the persistent device label state WITHOUT flushing staged clicks —
+        they ride as a padded scatter argument inside the fused program.
+        `_commit_deferred` publishes the program's returned state."""
+        import jax.numpy as jnp
+
+        if self._labels_dev is None:
+            # first engagement: the host mirrors already include every
+            # staged click, so upload them and ship an empty scatter
+            self._labels_dev = jnp.asarray(self.labels, dtype=jnp.float32)
+            self._is_labeled_dev = jnp.asarray(self.is_labeled > 0)
+            self._pending.clear()
+        # pow2 buckets (min 64) bound fused-program recompiles to
+        # log2(max clicks per round) shapes
+        P = max(64, 1 << int(np.ceil(np.log2(max(len(self._pending), 1)))))
+        ids = np.full(P, self.nvecs, dtype=np.int32)
+        vals = np.zeros(P, dtype=np.float32)
+        for j, (i, v) in enumerate(self._pending):
+            ids[j] = i
+            vals[j] = v
+        return self._labels_dev, self._is_labeled_dev, ids, vals
+
+    def _commit_deferred(self, scores, labels_dev, is_labeled_dev,
+                         n_iter: int, converged: bool):
+        """Publish the fused round's returned state: device scores become
+        current, the scattered label state replaces the persistent arrays,
+        and the staged clicks are consumed."""
+        self._labels_dev = labels_dev
+        self._is_labeled_dev = is_labeled_dev
+        self._pending.clear()
+        self._current_scores = scores
+        self._needs_prop = False
+        if getattr(self, "lp", None) is not None and self.lp.verbose \
+                and not converged:
+            print(
+                f"warning: propagation did not converge after {n_iter} iters"
+            )
 
     def _device_label_state(self):
         """Device-persistent (labels, is_labeled): the first call in device
@@ -221,6 +284,8 @@ class BaseLabelPropagationRanker:
         return self._labels_dev, self._is_labeled_dev
 
     def current_scores(self) -> np.ndarray:
+        if self._needs_prop:
+            self._flush_propagation()
         cs = self._current_scores
         if cs is not None and not isinstance(cs, np.ndarray):
             # materialize a device-resident result once, then cache the host
@@ -248,7 +313,14 @@ class BaseLabelPropagationRanker:
         """Scores WITHOUT forcing a host download: a jax array when the last
         propagation ran device-resident, else the host np array. The serving
         path (`KnnProp2.next_batch` -> `rank_by_scores`) uses this so the
-        (N,) scores never cross the host boundary per feedback round."""
+        (N,) scores never cross the host boundary per feedback round. With a
+        staged round (windowed device mode) this returns a
+        DeferredPropagation marker instead — rank_by_scores fuses the whole
+        round into one dispatch, or materializes if it can't."""
+        if self._needs_prop:
+            from ..ops.propagation import DeferredPropagation
+
+            return DeferredPropagation(self)
         return self._current_scores
 
     def top_k(self, k: Optional[int], unlabeled_only: bool = True):
@@ -275,6 +347,18 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
         self.lp = LabelPropagation(
             weights, reg_lambda=self.prior_weight, max_iter=300,
             verbose=verbose, windowed_layout=windowed_layout,
+        )
+
+    def _defer_available(self) -> bool:
+        import jax
+
+        # fusable rounds need: device mode (device-resident prior), the
+        # windowed layout (the XLA step's 300-iteration bound is watchdog
+        # territory inside one dispatch), and single-device propagation
+        return (
+            self.lp.windowed_layout is not None
+            and self.lp.mesh is None
+            and isinstance(self.prior_scores, jax.Array)
         )
 
     def _propagate(self, scores):

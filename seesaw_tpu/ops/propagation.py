@@ -232,3 +232,100 @@ def _permute_inputs(order, degree, prior, labels, is_labeled, f0):
 @jax.jit
 def _gather(x, idx):
     return x[idx]
+
+
+class DeferredPropagation:
+    """Round-deferred label propagation for the graph loop's serving path.
+
+    `LabelPropagationRanker2.update` stages the round's clicks instead of
+    propagating eagerly; `current_scores_any()` then hands this marker to
+    `MultiscaleIndex.rank_by_scores`, which fuses click-scatter -> windowed
+    Jacobi propagation -> ranking tail into ONE device program
+    (`propagate_rank_windowed`) — the same one-dispatch feedback-round shape
+    Rocchio/LogReg2/MultiReg already get from the DeferredVector family
+    (ops/frame_scoring.py). The reference runs these as separate host steps
+    (`loops/graph_based.py:102-121` then `multiscale_index.py` ranking).
+    Consumers that cannot fuse (host `top_k`, sharded/host-built indexes)
+    call `materialize()`, which runs the eager device path unchanged."""
+
+    def __init__(self, ranker):
+        self.ranker = ranker
+
+    @property
+    def shape(self):  # quacks like the (N,) score array for shape checks
+        return (self.ranker.nvecs,)
+
+    def materialize(self):
+        return self.ranker._flush_propagation()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "n", "B", "W", "cap", "interpret", "has_order",
+        "shortlist_size", "topk", "aug_larger", "aug_weight", "agg_method",
+        "max_zoom",
+    ),
+)
+def propagate_rank_windowed(
+    cidx, wslab, ovf_src, ovf_nbr, ovf_w,  # windowed layout device arrays
+    order, inv,  # (N,) int32 baked-in relabeling, or (0,) when has_order=False
+    degree, prior, labels0, is_labeled0,  # (N,) persistent ranker state
+    new_ids, new_vals,  # padded click scatter (id >= N drops)
+    start,  # (N,) warm start (the prior, matching the eager path)
+    valid, boxes, zoom,  # ranking-tail index arrays
+    excluded, new_excluded_ids,  # incremental exclusion protocol
+    reg_lambda, epsilon,
+    *,
+    max_iter: int,
+    n: int,
+    B: int,
+    W: int,
+    cap: int,
+    interpret: bool,
+    has_order: bool,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+):
+    """ONE-dispatch KnnProp2 feedback round: scatter the round's clicks into
+    the persistent label state, run the windowed-SpMV Jacobi loop to
+    convergence, and feed the propagated scores straight into the shared
+    shortlist/augment/top-k tail — no intermediate host round-trips. The
+    full max_iter bound runs inside this single dispatch (windowed steps are
+    ~4.5 ms/iter at 1M, so even the 300-iteration worst case stays far under
+    execution watchdogs — the XLA step does NOT, which is why only the
+    windowed formulation fuses). Returns (QueryResult, new exclusion mask,
+    scores, labels, is_labeled, n_iter, converged); the caller commits the
+    updated persistent state after the fetch."""
+    from .frame_scoring import _rank_frames, apply_new_exclusions
+
+    labels = labels0.at[new_ids].set(new_vals, mode="drop")
+    is_labeled = is_labeled0.at[new_ids].set(True, mode="drop")
+    f0 = jnp.where(is_labeled, labels, start)
+    deg_p, prior_p, lab_p, il_p, f0_p = degree, prior, labels, is_labeled, f0
+    if has_order:
+        deg_p, prior_p, lab_p, il_p, f0_p = (
+            degree[order], prior[order], labels[order], is_labeled[order],
+            f0[order],
+        )
+    f, f_prev, i, done, sel = _propagate_segment_windowed(
+        cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+        deg_p, prior_p, lab_p, il_p,
+        f0_p, f0_p + 1.0, jnp.asarray(0), jnp.asarray(False),
+        jnp.asarray(max_iter),
+        reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
+        n=n, B=B, W=W, cap=cap, interpret=interpret,
+    )
+    scores = sel[inv] if has_order else sel
+    s_pad = jnp.where(valid.reshape(-1), scores, -jnp.inf)
+    excluded = apply_new_exclusions(excluded, new_excluded_ids)
+    res = _rank_frames(
+        s_pad, valid, boxes, zoom, excluded,
+        shortlist_size=shortlist_size, topk=topk, aug_larger=aug_larger,
+        aug_weight=aug_weight, agg_method=agg_method, max_zoom=max_zoom,
+    )
+    return res, excluded, scores, labels, is_labeled, i, done

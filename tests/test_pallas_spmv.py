@@ -464,3 +464,106 @@ def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
     # with the default coverage floor, a layout this overflow-heavy loses to
     # the plain XLA step (gather+scatter per overflow edge) -> None
     assert mod.build_windowed_layout_auto(nbr, w, device=False) is None
+
+
+def _uniform_device_index(n_frames=64, T=5, d=16, seed=0):
+    """Device-built index with uniform tiling (from_device_arrays), the
+    serving-scale configuration where score_device/rank_by_scores run
+    device-resident (bench.bench_graph_session's shape, miniature)."""
+    from seesaw_tpu.indices.meta import VectorMeta
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+
+    rng = np.random.default_rng(seed)
+    img = 224.0
+    quads = np.array(
+        [[0, 0, img / 2, img / 2], [img / 2, 0, img, img / 2],
+         [0, img / 2, img / 2, img], [img / 2, img / 2, img, img],
+         [0, 0, img, img]], np.float32,
+    )[:T]
+    zoom_pat = np.array([1, 1, 1, 1, 2], np.int32)[:T]
+    N = n_frames * T
+    meta = VectorMeta(
+        dbidx=np.repeat(np.arange(n_frames, dtype=np.int32), T),
+        zoom_level=np.tile(zoom_pat, n_frames),
+        boxes=np.tile(quads, (n_frames, 1)),
+        frame_dbidx=np.arange(n_frames, dtype=np.int32),
+        frame_starts=np.arange(0, (n_frames + 1) * T, T, dtype=np.int32),
+        frame_id=np.repeat(np.arange(n_frames, dtype=np.int32), T),
+    )
+    V = rng.normal(size=(N, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    idx = MultiscaleIndex.from_device_arrays(
+        embedding=None, V=jnp.asarray(V),
+        valid=jnp.ones((n_frames, T), bool),
+        boxes=jnp.asarray(np.tile(quads, (n_frames, 1))),
+        zoom=jnp.asarray(np.tile(zoom_pat, n_frames)),
+        meta=meta, use_pallas=False,
+    )
+    return idx, V
+
+
+def test_deferred_propagation_fused_round_matches_eager():
+    """The one-dispatch KnnProp2 round (DeferredPropagation: click scatter +
+    windowed propagation + ranking tail fused into one program) returns the
+    same frames and scores as the eager device path, and commits the ranker's
+    persistent state."""
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+    from seesaw_tpu.loops.knn_methods import LabelPropagationRanker2
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+    from seesaw_tpu.ops.propagation import DeferredPropagation
+    from seesaw_tpu.runtime.bitmap import BitMap
+
+    idx, V = _uniform_device_index()
+    weights = symmetrize_weights(KNNGraph.build(V, 8), rbf_kernel(0.5))
+    layout = build_windowed_layout_auto(weights.nbr, weights.w, min_coverage=0.0)
+    assert layout is not None
+
+    opts = dict(normalize_scores=True, normalize_epsilon=0.1,
+                sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+                prior_weight=1.0)
+    fused = LabelPropagationRanker2(weights=weights, windowed_layout=layout,
+                                    **opts)
+    eager = LabelPropagationRanker2(weights=weights, windowed_layout=layout,
+                                    **opts)
+    eager._defer_available = lambda: False  # force the 3-dispatch path
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+    q /= np.linalg.norm(q)
+    for r in (fused, eager):
+        r.set_base_scores(idx.score_device(q))
+
+    ret_f, ret_e = BitMap(), BitMap()
+    for rnd in range(4):
+        res_f = idx.rank_by_scores(fused.current_scores_any(), topk=3,
+                                   shortlist_size=10, exclude=ret_f)
+        res_e = idx.rank_by_scores(eager.current_scores_any(), topk=3,
+                                   shortlist_size=10, exclude=ret_e)
+        np.testing.assert_array_equal(res_f["dbidxs"], res_e["dbidxs"])
+        ret_f.update(res_f["dbidxs"])
+        ret_e.update(res_e["dbidxs"])
+        rows = np.array([int(d_) * 5 for d_ in res_f["dbidxs"]])
+        labels = (rows % 2 == 0).astype(np.float64)  # mixes pos + neg
+        fused.update(rows, labels)
+        eager.update(rows, labels)
+        if labels.min() == 0:  # a negative triggers propagation
+            # the fused ranker STAGED the round; the eager one already ran it
+            assert isinstance(fused.current_scores_any(), DeferredPropagation)
+            assert not isinstance(eager.current_scores_any(),
+                                  DeferredPropagation)
+    # one more ranking consumes the last staged round, then compare state
+    res_f = idx.rank_by_scores(fused.current_scores_any(), topk=3,
+                               shortlist_size=10, exclude=ret_f)
+    res_e = idx.rank_by_scores(eager.current_scores_any(), topk=3,
+                               shortlist_size=10, exclude=ret_e)
+    np.testing.assert_array_equal(res_f["dbidxs"], res_e["dbidxs"])
+    assert not fused._needs_prop and not fused._pending
+    np.testing.assert_allclose(fused.current_scores(), eager.current_scores(),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(fused._labels_dev),
+                                  np.asarray(eager._labels_dev))
+    # host consumers flush a staged round transparently
+    fused.update(np.array([1]), np.array([0.0]))
+    assert isinstance(fused.current_scores_any(), DeferredPropagation)
+    top, _ = fused.top_k(5)
+    assert not fused._needs_prop and top.shape[0] == 5
