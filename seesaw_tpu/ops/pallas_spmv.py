@@ -212,27 +212,36 @@ def build_windowed_layout(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("B", "W", "cap"))
-def _build_slabs_device(nbr, w, *, B: int, W: int, cap: int):
+@functools.partial(
+    jax.jit, static_argnames=("B", "W", "cap", "nb_total")
+)
+def _build_slabs_device(nbr, w, row0, *, B: int, W: int, cap: int,
+                        nb_total: int):
     """Traced core of `build_windowed_layout_device`: identical algorithm to
     the numpy builder, on the accelerator. Returns the packed slabs plus the
-    row-major overflow mask/positions for the second (static-Mp) pass."""
+    row-major overflow mask/positions for the second (static-Mp) pass.
+
+    `nbr`/`w` may be a contiguous ROW SLICE of the full graph starting at
+    global row `row0` (a traced scalar, multiple of B): window base rows are
+    computed from GLOBAL block ids against the full graph's `nb_total`
+    blocks, so per-chunk builds compose into exactly the one-shot layout
+    (the chunked entry in `build_windowed_layout_device` bounds transient
+    device memory — a one-shot 10M x 32 build holds ~10 (N, K) buffers)."""
     N, K = nbr.shape
     NB = -(-N // B)
-    N_pad = NB * B
-    R = N_pad // 128
+    R = nb_total * B // 128  # GLOBAL padded row count
     UROWS = W // 128
     EROWS = B * cap // 128
 
     dst = nbr.astype(jnp.int32)
     real = dst >= 0
     vv = jnp.arange(N, dtype=jnp.int32)[:, None]
-    blk = vv // B
+    blk = vv // B  # slice-local block (indexes this slice's slab chunk)
+    blk_g = row0 // B + blk
     base_row = jnp.clip(
-        (jnp.arange(NB, dtype=jnp.int32) * B + B // 2 - W // 2) // 128,
-        0, R - UROWS,
-    )
-    rel = dst - base_row[blk] * 128
+        (blk_g * B + B // 2 - W // 2) // 128, 0, R - UROWS
+    )  # (N, 1): per-row value equals the per-block one (rows share blk_g)
+    rel = dst - base_row * 128
     inside = real & (rel >= 0) & (rel < W)
     u = jnp.where(inside, rel >> 7, UROWS).astype(jnp.int32)
 
@@ -275,10 +284,11 @@ def _build_slabs_device(nbr, w, *, B: int, W: int, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("Mp",))
-def _extract_overflow_device(dst_s, wt_s, ovf_mask, positions, *, Mp: int):
+def _extract_overflow_device(dst_s, wt_s, ovf_mask, positions, row0, *,
+                             Mp: int):
     N, K = dst_s.shape
     vv = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, K)
+        row0 + jnp.arange(N, dtype=jnp.int32)[:, None], (N, K)
     ).reshape(-1)
     tgt = jnp.where(ovf_mask, positions, Mp)  # non-overflow -> dropped
     ovf_src = jnp.zeros(Mp, jnp.int32).at[tgt].set(vv, mode="drop")
@@ -298,6 +308,7 @@ def build_windowed_layout_device(
     B: int = _DEFAULT_B,
     W: int = _DEFAULT_W,
     cap: int = _DEFAULT_CAP,
+    chunk_rows: int | None = None,
 ) -> WindowedSpmv:
     """`build_windowed_layout` computed ON the accelerator; the returned
     layout's slab/overflow fields are device arrays (`device_arrays()` then
@@ -305,25 +316,90 @@ def build_windowed_layout_device(
     in tests/test_pallas_spmv.py). Use for serving-scale graphs: the host
     build is ~35 passes over (N,K) arrays — minutes at 1M x 32 on a small
     host — while the device build is milliseconds of device time + one
-    scalar fetch. Transient device memory is ~8 (N,K) int32 buffers."""
+    scalar fetch.
+
+    Transient device memory is ~8-10 (N, K) buffers — fine at 1M x 32
+    (~1.3GB), an OOM at 10M x 32 (>12GB on a 16GB chip). `chunk_rows`
+    bounds it: the build runs per contiguous row slice (window base rows
+    stay GLOBAL, so chunked output is field-for-field equal to one-shot,
+    incl. overflow order — row-major either way). Defaults to auto-chunking
+    past ~2M edges-rows so serving-scale graph builds just work."""
     assert B % 128 == 0 and W % 128 == 0 and (B * cap) % 128 == 0
     N, K = nbr.shape
     NB = -(-N // B)
     N_pad = NB * B
     W = min(W, N_pad)
+    if chunk_rows is None and N * K > 64 * 1024 * 1024:
+        chunk_rows = max(B, (64 * 1024 * 1024 // K) // B * B)
     nbr = jnp.asarray(nbr)
     w = jnp.asarray(w)
-    (cidx, wslab, dst_s, wt_s, ovf_mask, positions, m, total) = (
-        _build_slabs_device(nbr, w, B=B, W=W, cap=cap)
-    )
-    M, total = int(m), int(total)
+    if chunk_rows is None or chunk_rows >= N:
+        (cidx, wslab, dst_s, wt_s, ovf_mask, positions, m, total) = (
+            _build_slabs_device(nbr, w, jnp.int32(0),
+                                B=B, W=W, cap=cap, nb_total=NB)
+        )
+        M, total = int(m), int(total)
+        Mp = max(-(-M // 128) * 128, 128)
+        ovf_src, ovf_nbr, ovf_w = _extract_overflow_device(
+            dst_s, wt_s, ovf_mask, positions, jnp.int32(0), Mp=Mp
+        )
+        return WindowedSpmv(
+            cidx=cidx, wslab=wslab,
+            ovf_src=ovf_src, ovf_nbr=ovf_nbr, ovf_w=ovf_w,
+            n=N, B=B, W=W, cap=cap,
+            coverage=1.0 - (M / max(total, 1)),
+        )
+
+    # chunked: slabs fill a preallocated device array in place (donation —
+    # concatenation would hold 2x); per-chunk overflow lands on host (small
+    # by construction: windowed only wins when overflow is rare) and is
+    # re-uploaded once, preserving global row-major edge order
+    chunk_rows = max(B, chunk_rows // B * B)
+    UROWS = W // 128
+    EROWS = B * cap // 128
+    cidx_g = jnp.zeros((NB, UROWS, EROWS, 128), jnp.int32)
+    wslab_g = jnp.zeros((NB, UROWS, EROWS, 128), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _fill(g, c, b0):
+        return jax.lax.dynamic_update_slice(
+            g, c, (b0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        )
+
+    ovf_parts = []
+    total = 0
+    for c0 in range(0, N, chunk_rows):
+        c1 = min(c0 + chunk_rows, N)
+        (cidx_c, wslab_c, dst_s, wt_s, ovf_mask, positions, m, tot) = (
+            _build_slabs_device(nbr[c0:c1], w[c0:c1], jnp.int32(c0),
+                                B=B, W=W, cap=cap, nb_total=NB)
+        )
+        M_c, total = int(m), total + int(tot)
+        # bucketed pad keeps the extract program's shape count small
+        Mp_c = max(128, -(-M_c // (1 << 18)) * (1 << 18))
+        o_src, o_nbr, o_w = _extract_overflow_device(
+            dst_s, wt_s, ovf_mask, positions, jnp.int32(c0), Mp=Mp_c
+        )
+        ovf_parts.append(tuple(
+            np.asarray(jax.device_get(a))[:M_c] for a in (o_src, o_nbr, o_w)
+        ))
+        cidx_g = _fill(cidx_g, cidx_c, jnp.int32(c0 // B))
+        wslab_g = _fill(wslab_g, wslab_c, jnp.int32(c0 // B))
+    M = sum(len(p[0]) for p in ovf_parts)
     Mp = max(-(-M // 128) * 128, 128)
-    ovf_src, ovf_nbr, ovf_w = _extract_overflow_device(
-        dst_s, wt_s, ovf_mask, positions, Mp=Mp
-    )
+    ovf_src = np.zeros(Mp, dtype=np.int32)
+    ovf_nbr = np.zeros(Mp, dtype=np.int32)
+    ovf_w = np.zeros(Mp, dtype=np.float32)
+    at = 0
+    for p_src, p_nbr, p_w in ovf_parts:
+        ovf_src[at:at + len(p_src)] = p_src
+        ovf_nbr[at:at + len(p_src)] = p_nbr
+        ovf_w[at:at + len(p_src)] = p_w
+        at += len(p_src)
     return WindowedSpmv(
-        cidx=cidx, wslab=wslab,
-        ovf_src=ovf_src, ovf_nbr=ovf_nbr, ovf_w=ovf_w,
+        cidx=cidx_g, wslab=wslab_g,
+        ovf_src=jnp.asarray(ovf_src), ovf_nbr=jnp.asarray(ovf_nbr),
+        ovf_w=jnp.asarray(ovf_w),
         n=N, B=B, W=W, cap=cap,
         coverage=1.0 - (M / max(total, 1)),
     )
@@ -491,13 +567,19 @@ def _layout_candidates(N: int, K: int, budget: int = _BUDGET_SLOTS):
     return cands
 
 
-def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS):
+def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS,
+                           sample_rows: int | None = None):
     """Pick (B, W, cap) for this graph by measuring, not guessing: probe the
     exact cap-coverage curve of every candidate (one `_occ_hist` dispatch
     each) and keep the best coverage, tie-broken by fewer slab slots then
     narrower window. Returns (B, W, cap, coverage, ceiling) where ceiling is
     the best candidate's in-window edge fraction at infinite cap (what a
     relabeling could still improve).
+
+    `sample_rows` probes only a contiguous row prefix: per-row occupancy is
+    translation-invariant in this block/window geometry (tail clipping
+    aside), and `_occ_hist` at 10M x 32 would hold ~8 (N, K) transients per
+    candidate; the BUILD still reports exact coverage.
 
     Motivation (probe_real_graph_rcm, real 1M x 32 kNN graph): after RCM the
     graph is perfectly local but every vertex's 32 neighbors land in 1-2
@@ -508,6 +590,10 @@ def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS):
     both regimes; the graph's own occupancy histogram decides."""
     nbr_dev = jnp.asarray(nbr)
     N, K = nbr.shape
+    if sample_rows is not None and sample_rows < N:
+        sample_rows = max(128, sample_rows // 128 * 128)
+        nbr_dev = nbr_dev[:sample_rows]
+        N = sample_rows
     best = None
     for B, W, cap in _layout_candidates(N, K, budget):
         hist, total = jax.device_get(_occ_hist(nbr_dev, B=B, W=W))
@@ -521,6 +607,14 @@ def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS):
     return best[1]
 
 
+"""Slab-HBM roof for auto-selected layouts: the default 132-slot budget is
+1.1GB at 1M vertices but 10.6GB at 10M — an OOM next to the database on a
+16GB chip. Past the roof the per-vertex slot budget shrinks proportionally
+(64 slots at 10M = 5.3GB; cap>=K layouts of post-RCM real kNN graphs fit
+comfortably — their occupancy concentrates in 1-2 window rows)."""
+_AUTO_SLAB_BYTES = 6 * 1024**3
+
+
 def build_windowed_layout_auto(
     nbr,
     w,
@@ -529,6 +623,7 @@ def build_windowed_layout_auto(
     relabel: bool = True,
     relabel_threshold: float = 0.85,
     min_coverage: float | None = 0.55,
+    slot_budget: int | None = None,
 ) -> "WindowedSpmv | None":
     """Measure-then-build: `select_windowed_params` probes the graph's own
     occupancy structure and picks the best (B, W, cap) at the default byte
@@ -549,14 +644,26 @@ def build_windowed_layout_auto(
     original-id semantics. It is kept only when it buys >5% coverage."""
     build = build_windowed_layout_device if device else build_windowed_layout
 
-    B, W, cap, cov, ceil = select_windowed_params(nbr)
+    # past ~2M rows, probe candidates on a 1M prefix (exact coverage still
+    # comes from the build); the device build auto-chunks its transients
+    N = nbr.shape[0]
+    sample = 1_048_576 if N > 2_097_152 else None
+    if slot_budget is None:
+        slot_budget = _BUDGET_SLOTS
+        if N * _BUDGET_SLOTS * 8 > _AUTO_SLAB_BYTES:
+            slot_budget = max(16, int(_AUTO_SLAB_BYTES // (8 * N)))
+    B, W, cap, cov, ceil = select_windowed_params(
+        nbr, budget=slot_budget, sample_rows=sample
+    )
     chosen = (nbr, w, B, W, cap, cov, None)
     # relabeling only moves edges INTO the window; when the deficit is cap
     # collisions (ceiling already high) no vertex order can fix it
     if relabel and cov < relabel_threshold and ceil < relabel_threshold:
         order = rcm_order(np.asarray(nbr))
         nbr_r, w_r, _ = apply_order(np.asarray(nbr), np.asarray(w), order)
-        B2, W2, cap2, cov2, _ = select_windowed_params(nbr_r)
+        B2, W2, cap2, cov2, _ = select_windowed_params(
+            nbr_r, budget=slot_budget, sample_rows=sample
+        )
         if cov2 > cov + 0.05:
             chosen = (nbr_r, w_r, B2, W2, cap2, cov2, order)
     nbr_c, w_c, B, W, cap, cov, order = chosen

@@ -85,6 +85,54 @@ def test_device_layout_builder_equals_host(n, K, B, W, cap):
     np.testing.assert_array_equal(np.asarray(dev.ovf_w), host.ovf_w)
 
 
+@pytest.mark.parametrize("chunk_rows", [256, 384, 1024])
+def test_device_layout_builder_chunked_equals_oneshot(chunk_rows):
+    """chunk_rows bounds the device builder's (N, K) transients at serving
+    scale (a one-shot 10M x 32 build OOMs a 16GB chip); the chunked build
+    must be field-for-field equal to one-shot/host — including overflow
+    EDGE ORDER (global row-major both ways) and a ragged last chunk."""
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_device
+
+    n, K, B, W, cap = 1500, 8, 128, 256, 4  # tight cap: real overflow
+    nbr, w = _graph(n, K, spread=W // 4)
+    host = build_windowed_layout(nbr, w, B=B, W=W, cap=cap)
+    dev = build_windowed_layout_device(
+        nbr, w, B=B, W=W, cap=cap, chunk_rows=chunk_rows
+    )
+    assert (dev.n, dev.B, dev.W, dev.cap) == (host.n, host.B, host.W, host.cap)
+    assert dev.coverage == pytest.approx(host.coverage, abs=1e-9)
+    np.testing.assert_array_equal(np.asarray(dev.cidx), host.cidx)
+    np.testing.assert_array_equal(np.asarray(dev.wslab), host.wslab)
+    assert len(np.asarray(dev.ovf_src)) == len(host.ovf_src)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_src), host.ovf_src)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_nbr), host.ovf_nbr)
+    np.testing.assert_array_equal(np.asarray(dev.ovf_w), host.ovf_w)
+
+
+def test_select_windowed_params_sampled():
+    """A contiguous row-prefix sample picks a near-equally-good layout on a
+    structure-uniform graph (the serving case: probing all candidates on a
+    10M x 32 graph would hold ~8 (N, K) transients each). Near-ties between
+    candidates may flip under sampling, so the contract is coverage, not
+    identical params: the sampled pick's TRUE (full-graph) coverage must be
+    within a hair of the full probe's pick."""
+    import jax
+
+    from seesaw_tpu.ops.pallas_spmv import _occ_hist, select_windowed_params
+
+    # sample must exceed the widest candidate window (22*128) so the
+    # candidate set is identical — true by construction in the serving
+    # path, which samples 1M rows only past 2M-row graphs
+    nbr, _ = _graph(16384, 8, spread=100)
+    full = select_windowed_params(nbr)
+    sampled = select_windowed_params(nbr, sample_rows=4096)
+    B, W, cap, cov_est, _ = sampled
+    hist, total = jax.device_get(_occ_hist(jnp.asarray(nbr), B=B, W=W))
+    true_cov = float(hist[:cap].sum()) / max(int(total), 1)
+    assert true_cov > full[3] - 0.02
+    assert cov_est == pytest.approx(true_cov, abs=0.05)
+
+
 def test_all_overflow_degenerate():
     """A graph with zero window locality still computes correctly (pure
     fallback path)."""
