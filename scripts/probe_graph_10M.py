@@ -66,6 +66,7 @@ def main():
     from seesaw_tpu.ops.pallas_spmv import (
         build_windowed_layout_device,
         select_windowed_params,
+        with_routed_overflow,
     )
     from seesaw_tpu.ops.propagation import DeferredPropagation, propagate_windowed
     from seesaw_tpu.runtime.bitmap import BitMap
@@ -121,6 +122,21 @@ def main():
     out["layout_build_s"] = round(build_s, 1)
     out["coverage"] = round(float(layout.coverage), 4)
     out["slab_gb"] = round(layout.cidx.size * 8 / 1e9, 2)
+
+    # 3b. structured overflow route (~4.4 vs 18 ns/edge — RoutedOverflow):
+    # at coverage 0.956 the 14M overflow edges were ~250 of the 286 ms/iter
+    t0 = time.perf_counter()
+    layout = with_routed_overflow(layout)
+    routed_s = time.perf_counter() - t0
+    if layout.routed is not None:
+        slots = layout.routed.route_key.size
+        log(f"routed overflow attached in {routed_s:.1f}s: "
+            f"{layout.routed.n_edges} edges in {slots} slots "
+            f"({slots * 20 / 1e9:.2f}GB device)")
+        out["routed_overflow_edges"] = int(layout.routed.n_edges)
+        out["routed_build_s"] = round(routed_s, 1)
+    else:
+        log("overflow below routing gate; scalar COO path")
 
     # 4. free the (N, K) graph arrays — the windowed path reads only degree
     del nbr, w, local, rand, base

@@ -1080,6 +1080,7 @@ class MultiscaleIndex(AccessMethod):
         res, new_mask, scores, labels2, il2, i, done = (
             prop_ops.propagate_rank_windowed(
                 cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+                layout.routed_arrays(),
                 order_d, inv_d,
                 lp._deg, ranker.prior_scores, labels_dev, il_dev,
                 jnp.asarray(ids), jnp.asarray(vals),

@@ -89,6 +89,7 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
         build_windowed_layout,
         build_windowed_layout_auto,
         build_windowed_layout_device,
+        with_routed_overflow,
     )
 
     device = weights.nvecs >= 100_000
@@ -132,7 +133,7 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
                             cap=int(z["cap"]))
                 if order is not None:
                     lay = dataclasses.replace(lay, order=order)
-                return _publish(lay)
+                return _publish(with_routed_overflow(lay))
         except Exception:
             pass  # unreadable/stale sidecar: fall through to a fresh build
     layout = build_windowed_layout_auto(nbr, w, device=device)

@@ -63,6 +63,188 @@ def _win_base_row(b: int | jnp.ndarray, B: int, W: int, R: int):
 
 
 @dataclass(frozen=True)
+class RoutedOverflow:
+    """Structured replacement for the scalar-COO overflow path.
+
+    Every overflow edge in the scalar path pays an XLA scalar gather
+    (~7.4ns) plus a scalar scatter-add (~10.9ns) — 18ns/edge flat
+    (scripts/probe_overflow_routing.py stages A-C), which is 250 of the
+    286 ms/iter on a 10M x 32 graph at 4.4% overflow. This layout serves
+    the same edges through lane/row-structured primitives only:
+
+      1. edges grouped by NEIGHBOR f-row: one (T,128) row gather fetches
+         each tile's source row (0.26 ns/edge, stage E), a Pallas
+         take_along_axis picks each edge's lane and multiplies its weight
+         (0.27 ns/edge, stage J),
+      2. a fixed-key `lax.sort` routes the per-edge products to a layout
+         grouped by DESTINATION f-row (3.3 ns/edge, stage G — sorting
+         BEATS applying the same permutation as a scalar gather),
+      3. a Pallas one-hot compare reduces each dest tile's slots onto
+         their dest lanes (handles arbitrary per-vertex multiplicity,
+         hubs included), and one row-granular scatter-add lands the
+         (T,128) partials (0.33 ns/edge, stage F).
+
+    Both sides pad edge groups to 128-slot tiles (pad slots carry w=0 and
+    route into pad slots of the other side), so total slots are ~1.3x the
+    edge count; the route key is a permutation fixed at build time — only
+    the VALUES move per iteration. Numerics: per-vertex sums accumulate
+    in src-sorted slot order, within the windowed contract (f32 summation
+    order may differ from the scalar path)."""
+
+    g_rows: np.ndarray  # (T,) int32: f2d row fetched by each gather tile
+    g_lanes: np.ndarray  # (T, 128) int32: edge's lane within that row
+    g_w: np.ndarray  # (T, 128) float32 edge weight, 0 = padding slot
+    route_key: np.ndarray  # (T*128,) int32 permutation: gather pos -> dest pos
+    s_lanes: np.ndarray  # (T, 128) int32: dest lane (src % 128)
+    s_rows: np.ndarray  # (T,) int32: dest f2d row (src // 128)
+    n_edges: int
+
+    def device_arrays(self):
+        dev = getattr(self, "_device_arrays", None)
+        if dev is None:
+            dev = tuple(
+                jnp.asarray(x)
+                for x in (self.g_rows, self.g_lanes, self.g_w,
+                          self.route_key, self.s_lanes, self.s_rows)
+            )
+            object.__setattr__(self, "_device_arrays", dev)
+        return dev
+
+    def to_coo(self):
+        """Reconstruct the scalar (src, nbr, w) COO — consumers that split
+        overflow per shard (parallel.sharded_graph) need the flat edge list,
+        and the layout's own COO fields are vestigial once routing is
+        attached."""
+        g_w = np.asarray(self.g_w).reshape(-1)
+        real = np.flatnonzero(g_w != 0)
+        nbr = (np.asarray(self.g_rows).repeat(128)[real] * 128
+               + np.asarray(self.g_lanes).reshape(-1)[real])
+        q = np.asarray(self.route_key)[real]
+        src = (np.asarray(self.s_rows)[q >> 7] * 128
+               + np.asarray(self.s_lanes).reshape(-1)[q])
+        return (src.astype(np.int32), nbr.astype(np.int32), g_w[real])
+
+
+# tiles per Pallas grid step for the routed-overflow kernels; T is padded
+# to a multiple of the larger at build time. The one-hot reduce block is
+# bounded by its (TB, 128, 128) f32 compare mask in scoped VMEM (32 -> 2MB).
+_ROUTED_GATHER_TILES = 512
+_ROUTED_ONEHOT_TILES = 32
+
+
+def build_routed_overflow(
+    ovf_src, ovf_nbr, ovf_w, *, min_edges: int = 1 << 17
+) -> "RoutedOverflow | None":
+    """Build the routed layout from the scalar overflow COO (padding slots
+    carry w == 0, as both windowed builders construct them). Returns None
+    below `min_edges` real edges — the scalar path costs ~18ns/edge, so
+    routing only pays once overflow reaches milliseconds (and each layout
+    adds ~20 device bytes/edge plus two small kernels to the program)."""
+    src = np.asarray(ovf_src)
+    nbr = np.asarray(ovf_nbr)
+    w = np.asarray(ovf_w, dtype=np.float32)
+    real = w != 0
+    src, nbr, w = src[real].astype(np.int64), nbr[real].astype(np.int64), w[real]
+    M = int(src.size)
+    if M < min_edges:
+        return None
+
+    def grouped_positions(group_of):
+        """Stable-sort edges by group; pad each group to whole 128-slot
+        tiles. Returns (pos per original edge, tile group ids)."""
+        order = np.argsort(group_of, kind="stable")
+        g_s = group_of[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        cnt = np.diff(np.r_[starts, M])
+        tiles = -(-cnt // 128)
+        tile_off = np.r_[0, np.cumsum(tiles)]
+        within = np.arange(M, dtype=np.int64) - np.repeat(starts, cnt)
+        pos_sorted = np.repeat(tile_off[:-1] * 128, cnt) + within
+        pos = np.empty(M, np.int64)
+        pos[order] = pos_sorted
+        tile_groups = np.repeat(g_s[starts], tiles)
+        return pos, tile_groups
+
+    g_pos, g_tile_rows = grouped_positions(nbr >> 7)
+    s_pos, s_tile_rows = grouped_positions(src >> 7)
+
+    tile_mult = max(_ROUTED_GATHER_TILES, _ROUTED_ONEHOT_TILES)
+    T = -(-max(len(g_tile_rows), len(s_tile_rows)) // tile_mult) * tile_mult
+    SZ = T * 128
+
+    g_rows = np.zeros(T, np.int32)
+    g_rows[:len(g_tile_rows)] = g_tile_rows
+    g_lanes = np.zeros(SZ, np.int32)
+    g_lanes[g_pos] = nbr & 127
+    g_w = np.zeros(SZ, np.float32)
+    g_w[g_pos] = w
+
+    s_rows = np.zeros(T, np.int32)
+    s_rows[:len(s_tile_rows)] = s_tile_rows
+    s_lanes = np.zeros(SZ, np.int32)
+    s_lanes[s_pos] = src & 127
+
+    route_key = np.full(SZ, -1, np.int64)
+    route_key[g_pos] = s_pos
+    used_q = np.zeros(SZ, bool)
+    used_q[s_pos] = True
+    route_key[route_key < 0] = np.flatnonzero(~used_q)
+
+    return RoutedOverflow(
+        g_rows=g_rows,
+        g_lanes=g_lanes.reshape(T, 128),
+        g_w=g_w.reshape(T, 128),
+        route_key=route_key.astype(np.int32),
+        s_lanes=s_lanes.reshape(T, 128),
+        s_rows=s_rows,
+        n_edges=M,
+    )
+
+
+def _lane_gather_mul_kernel(x_ref, l_ref, w_ref, o_ref):
+    o_ref[...] = w_ref[...] * jnp.take_along_axis(
+        x_ref[...], l_ref[...], axis=1
+    )
+
+
+def _onehot_reduce_kernel(v_ref, l_ref, o_ref):
+    v = v_ref[...]  # (TB, 128)
+    lanes = l_ref[...]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    m = (lanes[..., None] == iota).astype(jnp.float32)  # (TB, 128, 128)
+    o_ref[...] = (m * v[..., None]).sum(axis=1)
+
+
+def routed_overflow_2d(
+    f2d, g_rows, g_lanes, g_w, route_key, s_lanes, s_rows, *, interpret: bool
+):
+    """Overflow contribution as a (R, 128) addend (jit-composable; see
+    `RoutedOverflow` for the pipeline and per-stage measurements)."""
+    T = g_rows.shape[0]
+    rows = f2d[g_rows]
+    tile_spec = pl.BlockSpec((_ROUTED_GATHER_TILES, 128), lambda i: (i, 0))
+    vals = pl.pallas_call(
+        _lane_gather_mul_kernel,
+        grid=(T // _ROUTED_GATHER_TILES,),
+        in_specs=[tile_spec, tile_spec, tile_spec],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32),
+        interpret=interpret,
+    )(rows, g_lanes, g_w)
+    _, routed = jax.lax.sort((route_key, vals.reshape(-1)), num_keys=1)
+    oh_spec = pl.BlockSpec((_ROUTED_ONEHOT_TILES, 128), lambda i: (i, 0))
+    partials = pl.pallas_call(
+        _onehot_reduce_kernel,
+        grid=(T // _ROUTED_ONEHOT_TILES,),
+        in_specs=[oh_spec, oh_spec],
+        out_specs=oh_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32),
+        interpret=interpret,
+    )(routed.reshape(T, 128), s_lanes)
+    return jnp.zeros_like(f2d).at[s_rows].add(partials)
+
+
+@dataclass(frozen=True)
 class WindowedSpmv:
     """Build-time edge layout for `windowed_spmv` (numpy, graph-static).
 
@@ -85,6 +267,10 @@ class WindowedSpmv:
     # permutes its (N,) inputs in and the scores back out, so callers see
     # original-order semantics. None = identity (the common serving case).
     order: "np.ndarray | None" = None
+    # optional routed-overflow layout (build_routed_overflow / attach via
+    # `with_routed_overflow`): when set, `windowed_spmv` serves the overflow
+    # edges through the structured route instead of the scalar COO path.
+    routed: "RoutedOverflow | None" = None
 
     @property
     def n_pad(self) -> int:
@@ -118,6 +304,11 @@ class WindowedSpmv:
             )
             object.__setattr__(self, "_device_arrays", dev)
         return dev
+
+    def routed_arrays(self):
+        """The routed-overflow device 6-tuple, or None when the layout
+        serves overflow through the scalar COO path."""
+        return None if self.routed is None else self.routed.device_arrays()
 
 
 # Defaults from the on-chip sweep at 1M x K=32 on the post-RCM regime
@@ -396,10 +587,13 @@ def build_windowed_layout_device(
         ovf_nbr[at:at + len(p_src)] = p_nbr
         ovf_w[at:at + len(p_src)] = p_w
         at += len(p_src)
+    # overflow stays HOST-side: device_arrays() uploads lazily on first
+    # use, and with_routed_overflow consumes it on host (at 10M the COO is
+    # ~170MB — an eager upload would be wasted the moment routing replaces
+    # it with vestigial zeros)
     return WindowedSpmv(
         cidx=cidx_g, wslab=wslab_g,
-        ovf_src=jnp.asarray(ovf_src), ovf_nbr=jnp.asarray(ovf_nbr),
-        ovf_w=jnp.asarray(ovf_w),
+        ovf_src=ovf_src, ovf_nbr=ovf_nbr, ovf_w=ovf_w,
         n=N, B=B, W=W, cap=cap,
         coverage=1.0 - (M / max(total, 1)),
     )
@@ -469,6 +663,7 @@ def windowed_spmv(
     ovf_src: jnp.ndarray,
     ovf_nbr: jnp.ndarray,
     ovf_w: jnp.ndarray,
+    routed=None,  # optional RoutedOverflow.device_arrays() 6-tuple
     *,
     n: int,
     B: int,
@@ -496,6 +691,12 @@ def windowed_spmv(
     )
 
     wf = out.reshape(NB, EROWS * 128 // cap, cap).sum(-1).reshape(N_pad)[:n]
+    if routed is not None:
+        # structured overflow: ~4.4ns/edge vs the scalar path's ~18
+        # (see RoutedOverflow); the COO arrays are vestigial 128-slot
+        # zeros when a routed layout is attached
+        ovf2d = routed_overflow_2d(f2d, *routed, interpret=interpret)
+        return wf + ovf2d.reshape(N_pad)[:n]
     # overflow edges: XLA gather + scatter-add (rare by construction)
     g = ovf_w * f[jnp.clip(ovf_nbr, 0, n - 1)]
     wf = wf + jnp.zeros(n, jnp.float32).at[ovf_src].add(g)
@@ -674,7 +875,34 @@ def build_windowed_layout_auto(
         import dataclasses
 
         layout = dataclasses.replace(layout, order=order)
-    return layout
+    # large overflows get the structured route (~4.4 vs 18 ns/edge —
+    # RoutedOverflow): at 10M x 32 / coverage 0.956 this is the difference
+    # between 286 and ~100 ms/iter
+    return with_routed_overflow(layout)
+
+
+def with_routed_overflow(
+    layout: WindowedSpmv, *, min_edges: int = 1 << 17
+) -> WindowedSpmv:
+    """Attach a routed-overflow layout (see `RoutedOverflow`) when the
+    scalar COO is large enough to pay for it; the COO fields shrink to
+    vestigial 128-slot zeros so the ~12 bytes/edge are not held twice.
+    No-op below `min_edges` or when already attached."""
+    import dataclasses
+
+    if layout.routed is not None:
+        return layout
+    routed = build_routed_overflow(
+        layout.ovf_src, layout.ovf_nbr, layout.ovf_w, min_edges=min_edges
+    )
+    if routed is None:
+        return layout
+    z = np.zeros(128, np.int32)
+    return dataclasses.replace(
+        layout,
+        ovf_src=z, ovf_nbr=z, ovf_w=np.zeros(128, np.float32),
+        routed=routed,
+    )
 
 
 def rcm_order(nbr: np.ndarray) -> np.ndarray:

@@ -122,7 +122,8 @@ def propagate(
     static_argnames=("max_iter", "n", "B", "W", "cap", "interpret"),
 )
 def _propagate_segment_windowed(
-    cidx, wslab, ovf_src, ovf_nbr, ovf_w, degree, prior, labels, is_labeled,
+    cidx, wslab, ovf_src, ovf_nbr, ovf_w, routed,
+    degree, prior, labels, is_labeled,
     f0, f_prev0, i0, done0, stop_at,
     *,
     reg_lambda: float,
@@ -141,7 +142,7 @@ def _propagate_segment_windowed(
 
     def step(f):
         wf = windowed_spmv(
-            f, cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+            f, cidx, wslab, ovf_src, ovf_nbr, ovf_w, routed,
             n=n, B=B, W=W, cap=cap, interpret=interpret,
         )
         new_f = (wf + reg_lambda * prior) / denom
@@ -191,6 +192,8 @@ def propagate_windowed(
     # uploaded once per layout and cached — per-call uploads of the ~0.5GB
     # slabs would dominate every serving round through a slow link
     cidx, wslab, *ovf = layout.device_arrays()
+    routed = (layout.routed_arrays()
+              if hasattr(layout, "routed_arrays") else None)
     f0 = jnp.where(is_labeled, labels, start)
     # layouts with a baked-in relabeling (order[new] = old): run the whole
     # Jacobi loop in the relabeled space — ONE fused permute dispatch in,
@@ -207,7 +210,7 @@ def propagate_windowed(
     start_i = 0
     while True:
         f, f_prev, i, done, sel = _propagate_segment_windowed(
-            cidx, wslab, *ovf, degree, prior, labels, is_labeled,
+            cidx, wslab, *ovf, routed, degree, prior, labels, is_labeled,
             *state, jnp.asarray(start_i + c),
             reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
             n=layout.n, B=layout.B, W=layout.W, cap=layout.cap,
@@ -269,6 +272,7 @@ class DeferredPropagation:
 )
 def propagate_rank_windowed(
     cidx, wslab, ovf_src, ovf_nbr, ovf_w,  # windowed layout device arrays
+    routed,  # RoutedOverflow.device_arrays() 6-tuple or None
     order, inv,  # (N,) int32 baked-in relabeling, or (0,) when has_order=False
     degree, prior, labels0, is_labeled0,  # (N,) persistent ranker state
     new_ids, new_vals,  # padded click scatter (id >= N drops)
@@ -313,7 +317,7 @@ def propagate_rank_windowed(
             f0[order],
         )
     f, f_prev, i, done, sel = _propagate_segment_windowed(
-        cidx, wslab, ovf_src, ovf_nbr, ovf_w,
+        cidx, wslab, ovf_src, ovf_nbr, ovf_w, routed,
         deg_p, prior_p, lab_p, il_p,
         f0_p, f0_p + 1.0, jnp.asarray(0), jnp.asarray(False),
         jnp.asarray(max_iter),

@@ -275,9 +275,14 @@ def sharded_propagate_windowed(
     base = base.reshape(S, NBs)
 
     # overflow COO split by source shard (local row ids; zero-weight pads)
-    src = hostify(layout.ovf_src)
-    onbr = hostify(layout.ovf_nbr)
-    ow = hostify(layout.ovf_w)
+    if getattr(layout, "routed", None) is not None:
+        # routed layouts carry vestigial COO fields; reconstruct the flat
+        # edge list (this path shards the scalar scatter per source shard)
+        src, onbr, ow = layout.routed.to_coo()
+    else:
+        src = hostify(layout.ovf_src)
+        onbr = hostify(layout.ovf_nbr)
+        ow = hostify(layout.ovf_w)
     shard_of = src // Ns
     counts = np.bincount(shard_of[ow != 0], minlength=S)
     Mp = max(-(-int(counts.max(initial=0)) // 128) * 128, 128)

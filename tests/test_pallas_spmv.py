@@ -615,3 +615,120 @@ def test_deferred_propagation_fused_round_matches_eager():
     assert isinstance(fused.current_scores_any(), DeferredPropagation)
     top, _ = fused.top_k(5)
     assert not fused._needs_prop and top.shape[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# Routed overflow (RoutedOverflow / with_routed_overflow)
+
+
+def test_routed_overflow_matches_dense_and_scalar():
+    """A no-locality graph puts most edges in overflow; the routed engine
+    must equal both the dense oracle and the scalar-COO path (f32 summation
+    order may differ). Includes a gather-side hub (one vertex that is a
+    neighbor of many) and -1 padding slots."""
+    from seesaw_tpu.ops.pallas_spmv import with_routed_overflow
+
+    n, K = 3000, 8
+    rng = np.random.default_rng(11)
+    nbr = rng.integers(0, n, size=(n, K)).astype(np.int32)
+    nbr[:, 0] = 5  # hub: vertex 5 is everyone's neighbor
+    nbr[17, 3:] = -1
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    w[nbr < 0] = 0.0
+
+    layout = build_windowed_layout(nbr, w, B=128, W=256, cap=4)
+    assert layout.coverage < 0.6  # plenty of overflow to exercise
+    m_scalar = int((np.asarray(layout.ovf_w) != 0).sum())
+
+    r_layout = with_routed_overflow(layout, min_edges=1)
+    assert r_layout.routed is not None
+    assert r_layout.routed.n_edges == m_scalar
+    # COO fields are vestigial after attach
+    assert np.asarray(r_layout.ovf_w).sum() == 0
+
+    # builder invariants: the route key is a permutation; pad slots carry 0
+    rk = np.sort(np.asarray(r_layout.routed.route_key))
+    np.testing.assert_array_equal(rk, np.arange(len(rk)))
+    assert int((np.asarray(r_layout.routed.g_w) != 0).sum()) == m_scalar
+
+    # to_coo reconstructs exactly the original overflow edge multiset
+    # (consumed by the sharded propagation's per-shard split)
+    def edge_multiset(src, nb, wt):
+        return sorted(zip(src.tolist(), nb.tolist(), wt.tolist()))
+
+    ow = np.asarray(layout.ovf_w)
+    real = ow != 0
+    want_edges = edge_multiset(
+        np.asarray(layout.ovf_src)[real], np.asarray(layout.ovf_nbr)[real],
+        ow[real],
+    )
+    got_edges = edge_multiset(*r_layout.routed.to_coo())
+    assert got_edges == want_edges
+
+    f = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+    want = _dense_spmv(nbr, w, f)
+    scalar = np.asarray(windowed_spmv(
+        jnp.asarray(f), jnp.asarray(layout.cidx), jnp.asarray(layout.wslab),
+        jnp.asarray(layout.ovf_src), jnp.asarray(layout.ovf_nbr),
+        jnp.asarray(layout.ovf_w),
+        n=layout.n, B=layout.B, W=layout.W, cap=layout.cap, interpret=True,
+    ))
+    routed = np.asarray(windowed_spmv(
+        jnp.asarray(f), jnp.asarray(r_layout.cidx),
+        jnp.asarray(r_layout.wslab),
+        jnp.asarray(r_layout.ovf_src), jnp.asarray(r_layout.ovf_nbr),
+        jnp.asarray(r_layout.ovf_w), r_layout.routed_arrays(),
+        n=layout.n, B=layout.B, W=layout.W, cap=layout.cap, interpret=True,
+    ))
+    np.testing.assert_allclose(scalar, want, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(routed, want, rtol=2e-5, atol=2e-6)
+
+
+def test_routed_overflow_min_edges_gate():
+    """Small overflows stay on the scalar path (the default gate), and a
+    zero-overflow layout never builds a routed structure."""
+    from seesaw_tpu.ops.pallas_spmv import with_routed_overflow
+
+    nbr, w = _graph(800, 4, seed=3, spread=40)
+    layout = build_windowed_layout(nbr, w, B=128, W=512, cap=8)
+    assert with_routed_overflow(layout).routed is None  # below default gate
+    again = with_routed_overflow(layout, min_edges=10**9)
+    assert again is layout
+
+
+def test_routed_propagation_matches_xla():
+    """propagate_windowed through a routed-overflow layout converges to the
+    same scores/iteration count as the plain XLA propagate."""
+    from seesaw_tpu.ops.propagation import propagate, propagate_windowed
+    from seesaw_tpu.ops.pallas_spmv import with_routed_overflow
+
+    n, K = 1200, 6
+    rng = np.random.default_rng(21)
+    nbr = rng.integers(0, n, size=(n, K)).astype(np.int32)  # no locality
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    layout = with_routed_overflow(
+        build_windowed_layout(nbr, w, B=128, W=256, cap=4), min_edges=1
+    )
+    assert layout.routed is not None
+    degree = w.sum(axis=1)
+    prior = rng.uniform(0.01, 0.99, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:8] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:16] = True
+
+    args = dict(reg_lambda=1.0, max_iter=300, epsilon=1e-7)
+    ref = propagate(
+        jnp.asarray(nbr), jnp.asarray(w), jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), **args,
+    )
+    got = propagate_windowed(
+        layout, jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
+    assert abs(int(got.n_iter) - int(ref.n_iter)) <= 1

@@ -212,3 +212,46 @@ def test_sharded_knn_fewer_rows_than_shards(mesh):
     ids8, d8 = sharded_exact_knn(V, 3, mesh)
     np.testing.assert_array_equal(ids8, ids1)
     np.testing.assert_allclose(d8, d1, atol=1e-6)
+
+
+def test_sharded_windowed_routed_layout(mesh):
+    """A layout carrying a routed overflow (vestigial COO) still serves ALL
+    overflow edges through the sharded path — the per-shard split must
+    reconstruct the edge list via RoutedOverflow.to_coo()."""
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.pallas_spmv import (
+        build_windowed_layout,
+        with_routed_overflow,
+    )
+    from seesaw_tpu.ops.propagation import propagate_windowed
+    from seesaw_tpu.parallel.sharded_graph import sharded_propagate_windowed
+
+    rng = np.random.default_rng(31)
+    n, K = 1600, 5
+    nbr = rng.integers(0, n, size=(n, K)).astype(np.int32)  # heavy overflow
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    layout = with_routed_overflow(
+        build_windowed_layout(nbr, w, B=256, W=512, cap=4), min_edges=1
+    )
+    assert layout.routed is not None
+
+    degree = w.sum(axis=1)
+    prior = rng.uniform(0.05, 0.95, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:10] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:20] = True
+    args = dict(reg_lambda=1.0, max_iter=120, epsilon=1e-9)
+
+    ref = propagate_windowed(
+        layout, jnp.asarray(degree), jnp.asarray(prior), jnp.asarray(labels),
+        jnp.asarray(is_labeled), jnp.asarray(prior), interpret=True, **args,
+    )
+    got = sharded_propagate_windowed(
+        layout, degree, prior, labels, is_labeled, prior, mesh,
+        interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        got, np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
