@@ -837,6 +837,14 @@ def _window_local_graph(n_tiles: int, K: int):
     B, W, cap, cov, _ = select_windowed_params(nbr)
     _progress(f"  layout selected: B={B} W={W} cap={cap} cov={cov:.3f}")
     layout = build_windowed_layout_device(nbr, w, B=B, W=W, cap=cap)
+    # structured overflow route (the auto builder attaches this too): the
+    # 3%-random edges of this generator are ~1M overflow edges at 1M tiles
+    # — 18 ns/edge scalar vs ~7 routed (scripts/probe_overflow_routing.py)
+    from seesaw_tpu.ops.pallas_spmv import with_routed_overflow
+
+    layout = with_routed_overflow(layout)
+    if layout.routed is not None:
+        _progress(f"  routed overflow: {layout.routed.n_edges} edges")
     _GRAPH_CACHE[ckey] = (weights, layout)
     return weights, layout
 

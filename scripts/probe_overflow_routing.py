@@ -255,6 +255,71 @@ def main():
         measure("L transpose (T,128)->(128,T) +copy",
                 chain(lambda x: x.T.reshape(T, 128) + 0.0), tiles)
 
+    if "N" in stages:
+        # N: sort variants at the PADDED route size (20.05M slots like the
+        # real 10M layout): 2-operand (key,val) vs int64-packed 1-operand
+        SZp = 156_672 * 128
+        key32 = jax.random.permutation(
+            k4, jnp.arange(SZp, dtype=jnp.int32))
+        valsN = jax.random.uniform(k3, (SZp,))
+        jax.block_until_ready((key32, valsN))
+
+        def sort2(v, kx):
+            return jax.lax.sort((kx, v), num_keys=1)[1]
+
+        measure("N sort 2-op (key,val) @20M", chain(sort2), valsN, key32,
+                per_edge=False)
+
+        def sort_packed(v, kx):
+            packed = (kx.astype(jnp.int64) << 32) | jax.lax.bitcast_convert_type(
+                v, jnp.int32).astype(jnp.uint32).astype(jnp.int64)
+            s = jax.lax.sort(packed)
+            return jax.lax.bitcast_convert_type(
+                (s & 0xFFFFFFFF).astype(jnp.int32), jnp.float32)
+
+        measure("N sort int64-packed @20M", chain(sort_packed), valsN,
+                key32, per_edge=False)
+
+    if "O" in stages:
+        # O: one-hot reduce as an MXU dot (mask built on VPU, contraction
+        # on MXU) vs the VPU multiply+sum in stage K
+        TB = 32
+
+        def ohk_dot(v_ref, l_ref, o_ref):
+            v = v_ref[...]  # (TB, 128)
+            lanes = l_ref[...]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+            m = (lanes[..., None] == iota).astype(jnp.float32)
+            # (TB,1,128) @ (TB,128,128) batch dot -> (TB,1,128)
+            o_ref[...] = jax.lax.dot_general(
+                v[:, None, :], m,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+
+        @jax.jit
+        def onehot_dot(v, l):
+            return pl.pallas_call(
+                ohk_dot,
+                grid=(T // TB,),
+                in_specs=[
+                    pl.BlockSpec((TB, 128), lambda i: (i, 0)),
+                    pl.BlockSpec((TB, 128), lambda i: (i, 0)),
+                ],
+                out_specs=pl.BlockSpec((TB, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32),
+            )(v, l)
+
+        got = np.asarray(onehot_dot(tiles, lanes)[:2])
+        vv = np.asarray(tiles)[:2]
+        ll = np.asarray(lanes)[:2]
+        want = np.zeros((2, 128), np.float32)
+        for t in range(2):
+            np.add.at(want[t], ll[t], vv[t])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        measure("O pallas one-hot via MXU dot", chain(onehot_dot),
+                tiles, lanes)
+
     if "M" in stages:
         # COMPOSED routed-overflow pipeline at realistic 10M-overflow size,
         # including ~1.35x slot padding on both sides:

@@ -1084,7 +1084,9 @@ class MultiscaleIndex(AccessMethod):
                 order_d, inv_d,
                 lp._deg, ranker.prior_scores, labels_dev, il_dev,
                 jnp.asarray(ids), jnp.asarray(vals),
-                ranker.prior_scores,  # eager path warm-starts at the prior
+                # start iterate: the prior (reference semantics) unless the
+                # ranker opted into warm_start (previous round's fixed point)
+                jnp.asarray(ranker._propagation_start(), dtype=jnp.float32),
                 self._valid, self._boxes, self._zoom,
                 mask, new_ids,
                 jnp.float32(lp.reg_lambda), jnp.float32(lp.epsilon),

@@ -139,6 +139,7 @@ class BaseLabelPropagationRanker:
         calib_b: float,
         prior_weight: float,
         normalize_epsilon: Optional[float] = None,
+        warm_start: bool = False,
         **_other,
     ):
         self.nvecs = nvecs
@@ -150,6 +151,17 @@ class BaseLabelPropagationRanker:
         self.calib_b = calib_b
         self.prior_weight = prior_weight
         self.sigmoid_before_propagate = sigmoid_before_propagate
+        # opt-in serving optimization: start each round's Jacobi iteration
+        # from the PREVIOUS round's converged scores instead of the prior.
+        # The reference always starts from the prior
+        # (/root/reference/seesaw/research/knn_methods.py:152), and the
+        # fixed point is unique for reg_lambda > 0, so warm starting changes
+        # only the convergence-stop iterate (within ~sqrt(epsilon)) while a
+        # few new clicks barely perturb the solution — most iterations of a
+        # feedback round are saved. Default OFF: fidelity paths keep the
+        # reference's exact iterate.
+        self.warm_start = warm_start
+        self._scores_dev = None  # device-resident last propagation result
 
         self.is_labeled = np.zeros(nvecs)
         self.labels = np.zeros(nvecs)
@@ -179,6 +191,7 @@ class BaseLabelPropagationRanker:
         else:
             self.prior_scores = init_scores
         self._needs_prop = False  # a fresh prior supersedes any staged round
+        self._scores_dev = None  # ... and any warm-start iterate
         if self.is_labeled.sum() == 0:
             self._current_scores = self.prior_scores
         else:
@@ -186,6 +199,16 @@ class BaseLabelPropagationRanker:
 
     def _propagate(self, scores):
         raise NotImplementedError
+
+    def _propagation_start(self):
+        """Start iterate for the next propagation: the prior (reference
+        semantics) unless `warm_start` and a previous result exists."""
+        if self.warm_start:
+            if self._scores_dev is not None:
+                return self._scores_dev
+            if isinstance(self._current_scores, np.ndarray):
+                return self._current_scores
+        return self.prior_scores
 
     def update(self, idxs, labels):
         for idx, label in zip(idxs, labels):
@@ -201,7 +224,8 @@ class BaseLabelPropagationRanker:
                 # fuses scatter+propagate+rank into one dispatch
                 self._needs_prop = True
             else:
-                self._current_scores = self._propagate(self.prior_scores)
+                self._current_scores = self._propagate(
+                    self._propagation_start())
         # no negatives: scores unchanged (labels still clamp via current_scores)
 
     def _defer_available(self) -> bool:
@@ -213,7 +237,7 @@ class BaseLabelPropagationRanker:
         """Run any staged propagation eagerly (host consumers, non-fusable
         indexes) and return the resulting scores."""
         if self._needs_prop:
-            self._current_scores = self._propagate(self.prior_scores)
+            self._current_scores = self._propagate(self._propagation_start())
             self._needs_prop = False
         return self._current_scores
 
@@ -249,6 +273,7 @@ class BaseLabelPropagationRanker:
         self._is_labeled_dev = is_labeled_dev
         self._pending.clear()
         self._current_scores = scores
+        self._scores_dev = scores  # device-resident warm-start iterate
         self._needs_prop = False
         if getattr(self, "lp", None) is not None and self.lp.verbose \
                 and not converged:
@@ -372,11 +397,13 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
             import jax.numpy as jnp
 
             labels_dev, is_labeled_dev = self._device_label_state()
-            return self.lp.fit_transform_device(
+            out = self.lp.fit_transform_device(
                 labels=labels_dev, is_labeled=is_labeled_dev,
                 reg_values=self.prior_scores,
                 start=jnp.asarray(scores, dtype=jnp.float32),
             )
+            self._scores_dev = out
+            return out
         ids = np.nonzero(self.is_labeled.reshape(-1))[0]
         labels = self.labels.reshape(-1)[ids]
         return self.lp.fit_transform(

@@ -352,3 +352,53 @@ def test_weight_device_arrays_shared_across_instances():
         label_ids=np.array([0, 5]), label_values=np.array([1.0, 0.0]),
         reg_values=prior)
     assert out.shape == (weights.nvecs,)
+
+
+def test_warm_start_matches_cold_fixed_point():
+    """`warm_start=True` starts each round's Jacobi iteration from the
+    previous round's converged scores instead of the prior (the reference
+    always restarts at the prior, `research/knn_methods.py:152`). The fixed
+    point is unique for reg_lambda > 0, so the converged iterates must agree
+    to convergence tolerance across rounds — while typically using fewer
+    iterations."""
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(80, 8)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    g = KNNGraph.build(V, n_neighbors=5)
+    sym = symmetrize_weights(g, rbf_kernel(0.4))
+    opts = dict(
+        normalize_scores=True, normalize_epsilon=0.1,
+        sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+        prior_weight=1.0,
+    )
+    cold = LabelPropagationRanker2(weights=sym, **opts)
+    warm = LabelPropagationRanker2(weights=sym, warm_start=True, **opts)
+    # tighten the stop rule: it tests max (step delta)^2 < epsilon, so the
+    # per-step tolerance is sqrt(eps) and the fixed-point slack is
+    # ~sqrt(eps)/(1-rho) — the default 1e-5 leaves ~3e-3 start-dependent
+    # wobble that would dominate the signal
+    cold.lp.epsilon = 1e-12
+    warm.lp.epsilon = 1e-12
+    cold.lp.max_iter = 5000
+    warm.lp.max_iter = 5000
+    base = rng.normal(size=80).astype(np.float32)
+    cold.set_base_scores(base)
+    warm.set_base_scores(base)
+    rounds = [
+        ([3], [1.0]), ([17], [0.0]), ([40, 41], [1.0, 0.0]),
+        ([17], [1.0]), ([5, 60], [0.0, 0.0]),
+    ]
+    for ids, labs in rounds:
+        cold.update(ids, labs)
+        warm.update(ids, labs)
+        # both converge to the same unique fixed point; the stop rule
+        # (per-step delta < epsilon) leaves ~eps/(1-rho) slack
+        np.testing.assert_allclose(
+            warm.current_scores(), cold.current_scores(), atol=1e-4,
+            err_msg=f"round with ids={ids}",
+        )
+        # ranking order at the top is preserved
+        assert list(warm.top_k(5)[0]) == list(cold.top_k(5)[0])
+    # a new prior invalidates the warm iterate (reference reset semantics)
+    warm.set_base_scores(base * 0.5)
+    assert warm._scores_dev is None
