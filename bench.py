@@ -1058,6 +1058,9 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
     _progress("  graph + windowed layout ready (device, shared)")
 
     def drive(ranker, label):
+        # drive-local rng: every variant sees the SAME query + label draws,
+        # so plain/windowed/warm round times and iteration counts are paired
+        rng = np.random.default_rng(7)
         qvec = rng.normal(size=d).astype(np.float32)
         # device scores flip the ranker into device mode: labels/prior stay
         # device-persistent and each round ships only the clicked ordinals
@@ -1066,6 +1069,7 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
                   "(round 0 pays the chain compile)")
         returned = BitMap()
         round_ms = []
+        iters = []
         batch = 3
         from seesaw_tpu.ops.propagation import DeferredPropagation
 
@@ -1100,13 +1104,26 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
             # propagate+rank program's
             if r > 1:
                 round_ms.append((time.perf_counter() - t0) * 1000)
+                # Jacobi iterations this round (outside the timed window):
+                # fused rounds ride it back with the result; eager rounds
+                # expose the device scalar on lp.last_result
+                ni = ranker.last_n_iter
+                if ni is None and ranker.lp.last_result is not None:
+                    ni = int(ranker.lp.last_result.n_iter)
+                if ni is not None:
+                    iters.append(int(ni))
         flat = sorted(int(x) for x in returned)
         assert len(flat) == len(set(flat)) == rounds * batch
-        return {
+        out = {
             f"p50_session_round_ms_knnprop2_1M{label}": round(
                 float(np.percentile(round_ms, 50)), 2
             ),
         }
+        if iters:
+            out[f"jacobi_iters_per_round{label}"] = round(
+                float(np.mean(iters)), 1
+            )
+        return out
 
     ranker_opts = dict(
         normalize_scores=True, normalize_epsilon=0.1,
@@ -1120,6 +1137,16 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
             weights=weights, windowed_layout=layout, **ranker_opts
         ),
         "_windowed",
+    ))
+    # warm_start=True resumes Jacobi from the previous round's converged
+    # scores (PARITY item 16) — same compiled fused program (only the start
+    # operand changes), so this drive pays no new compiles
+    out.update(drive(
+        LabelPropagationRanker2(
+            weights=weights, windowed_layout=layout, warm_start=True,
+            **ranker_opts
+        ),
+        "_warm",
     ))
     out["knnprop2_rounds_measured"] = rounds - 2
     # drop the ~2.3GB of graph HBM (db + slabs) before the 10M recall

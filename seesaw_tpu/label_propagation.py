@@ -48,6 +48,11 @@ class LabelPropagation:
         # summation order
         self.windowed_layout = windowed_layout
         self.verbose = verbose
+        # metadata of the most recent single-device propagation
+        # (ops.propagation.PropagationResult with device scalars; fetching
+        # n_iter/converged forces a sync) — None before the first run and
+        # for mesh-sharded runs
+        self.last_result = None
         # with a multi-device mesh the Jacobi loop runs row-sharded
         # (parallel.sharded_graph), numerically identical to single-device
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
@@ -117,6 +122,9 @@ class LabelPropagation:
                 max_iter=self.max_iter, epsilon=self.epsilon,
                 dispatch_iters=self.dispatch_iters,
             )
+        # observability: keep the (device-scalar) result metadata without
+        # forcing a sync — consumers (bench, verbose paths) fetch lazily
+        self.last_result = res
         if self.verbose and not bool(res.converged):
             print(
                 f"warning: propagation did not converge after "
@@ -207,6 +215,8 @@ class LabelPropagation:
             if device_out:
                 return res.scores
             out = np.asarray(res.scores)
+        if res is not None:
+            self.last_result = res
         lo = min(0.0, float(reg_values.min(initial=0.0)))
         hi = max(1.0, float(reg_values.max(initial=1.0)))
         assert (out >= lo - 1e-5).all(), "scores must stay within prior bounds"

@@ -162,6 +162,10 @@ class BaseLabelPropagationRanker:
         # reference's exact iterate.
         self.warm_start = warm_start
         self._scores_dev = None  # device-resident last propagation result
+        # iterations of the most recent FUSED one-dispatch round (host int,
+        # rides back with the ranked result); eager rounds report through
+        # lp.last_result instead
+        self.last_n_iter = None
 
         self.is_labeled = np.zeros(nvecs)
         self.labels = np.zeros(nvecs)
@@ -274,6 +278,7 @@ class BaseLabelPropagationRanker:
         self._pending.clear()
         self._current_scores = scores
         self._scores_dev = scores  # device-resident warm-start iterate
+        self.last_n_iter = n_iter
         self._needs_prop = False
         if getattr(self, "lp", None) is not None and self.lp.verbose \
                 and not converged:

@@ -67,6 +67,11 @@ def test_graph_session_smoke():
     out = bench.bench_graph_session(n_tiles=1024 * bench.TILES, rounds=4)
     assert out["p50_session_round_ms_knnprop2_1M"] > 0
     assert out["p50_session_round_ms_knnprop2_1M_windowed"] > 0
+    # warm-start drive (same fused program, resumed start iterate) + the
+    # per-round Jacobi iteration observability
+    assert out["p50_session_round_ms_knnprop2_1M_warm"] > 0
+    assert out["jacobi_iters_per_round_warm"] >= 1
+    assert out["jacobi_iters_per_round"] >= out["jacobi_iters_per_round_warm"]
     # rounds 0-1 pay the plain-rank and fused propagate+rank compiles
     assert out["knnprop2_rounds_measured"] == 2
 
