@@ -368,15 +368,18 @@ class BaseLabelPropagationRanker:
 
 class LabelPropagationRanker2(BaseLabelPropagationRanker):
     def __init__(self, *, weights: SymmetricWeights, verbose: int = 0,
-                 windowed_layout=None, **other):
+                 windowed_layout=None, mesh=None, **other):
         super().__init__(nvecs=weights.nvecs, **other)
         self.weights = weights
         # windowed_layout: ops.pallas_spmv.WindowedSpmv for the serving-scale
         # lane-shuffle propagation step (build_windowed_layout_auto selects
-        # the layout by measurement and RCM-relabels internally if needed)
+        # the layout by measurement and RCM-relabels internally if needed).
+        # mesh: multi-chip row-sharded propagation (parallel/sharded_graph);
+        # mesh rounds stay on the host-assembled eager path (_defer_available
+        # and device mode both require single-device propagation)
         self.lp = LabelPropagation(
             weights, reg_lambda=self.prior_weight, max_iter=300,
-            verbose=verbose, windowed_layout=windowed_layout,
+            verbose=verbose, windowed_layout=windowed_layout, mesh=mesh,
         )
 
     def _defer_available(self) -> bool:

@@ -255,3 +255,37 @@ def test_sharded_windowed_routed_layout(mesh):
     np.testing.assert_allclose(
         got, np.asarray(ref.scores), rtol=2e-5, atol=2e-6
     )
+
+
+def test_ranker_mesh_warm_start_composes(mesh):
+    """LabelPropagationRanker2(mesh=...) routes rounds through the sharded
+    propagation program, and warm_start composes with it: the converged
+    scores agree with a single-device cold-start ranker to stop-rule
+    tolerance (unique fixed point for reg_lambda > 0)."""
+    from seesaw_tpu.loops.knn_methods import LabelPropagationRanker2
+
+    rng = np.random.default_rng(23)
+    n = 96
+    V = _unit(rng, n, 8)
+    sw = symmetrize_weights(KNNGraph.build(V, 5), rbf_kernel(0.5))
+    opts = dict(
+        normalize_scores=True, normalize_epsilon=0.1,
+        sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+        prior_weight=1.0,
+    )
+    single = LabelPropagationRanker2(weights=sw, **opts)
+    sharded = LabelPropagationRanker2(weights=sw, mesh=mesh,
+                                      warm_start=True, **opts)
+    for r in (single, sharded):
+        r.lp.epsilon = 1e-12
+        r.lp.max_iter = 5000
+    base = rng.normal(size=n).astype(np.float32)
+    single.set_base_scores(base)
+    sharded.set_base_scores(base)
+    for ids, labs in [([4], [1.0]), ([50], [0.0]), ([7, 8], [1.0, 0.0])]:
+        single.update(ids, labs)
+        sharded.update(ids, labs)
+        np.testing.assert_allclose(
+            sharded.current_scores(), single.current_scores(), atol=1e-4,
+            err_msg=f"round with ids={ids}",
+        )
