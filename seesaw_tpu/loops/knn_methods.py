@@ -414,10 +414,14 @@ class LabelPropagationRanker2(BaseLabelPropagationRanker):
             return out
         ids = np.nonzero(self.is_labeled.reshape(-1))[0]
         labels = self.labels.reshape(-1)[ids]
-        return self.lp.fit_transform(
+        out = self.lp.fit_transform(
             label_ids=ids,
             label_values=labels,
             reg_values=self.prior_scores,
             start_value=scores,
             device_out=True,
         )
+        # warm-start iterate for the next round (device array on the
+        # single-device path, host np on the mesh path — both valid starts)
+        self._scores_dev = out
+        return out

@@ -399,6 +399,10 @@ def test_warm_start_matches_cold_fixed_point():
         )
         # ranking order at the top is preserved
         assert list(warm.top_k(5)[0]) == list(cold.top_k(5)[0])
-    # a new prior invalidates the warm iterate (reference reset semantics)
+    # a new prior invalidates the old warm iterate BEFORE re-propagating
+    # (reference reset semantics): with labels present set_base_scores runs
+    # a fresh cold-started propagation, so the recorded iterate is the new
+    # prior's own result, not a stale one
     warm.set_base_scores(base * 0.5)
-    assert warm._scores_dev is None
+    np.testing.assert_array_equal(
+        np.asarray(warm._scores_dev), warm.current_scores())
