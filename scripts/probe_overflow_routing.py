@@ -261,7 +261,7 @@ def main():
         SZp = 156_672 * 128
         key32 = jax.random.permutation(
             k4, jnp.arange(SZp, dtype=jnp.int32))
-        valsN = jax.random.uniform(k3, (SZp,))
+        valsN = jax.random.uniform(k3, (SZp,), dtype=jnp.float32)
         jax.block_until_ready((key32, valsN))
 
         def sort2(v, kx):
@@ -270,15 +270,23 @@ def main():
         measure("N sort 2-op (key,val) @20M", chain(sort2), valsN, key32,
                 per_edge=False)
 
-        def sort_packed(v, kx):
-            packed = (kx.astype(jnp.int64) << 32) | jax.lax.bitcast_convert_type(
-                v, jnp.int32).astype(jnp.uint32).astype(jnp.int64)
-            s = jax.lax.sort(packed)
-            return jax.lax.bitcast_convert_type(
-                (s & 0xFFFFFFFF).astype(jnp.int32), jnp.float32)
+        if jax.config.jax_enable_x64:
+            def sort_packed(v, kx):
+                packed = (
+                    (kx.astype(jnp.int64) << 32)
+                    | jax.lax.bitcast_convert_type(v, jnp.int32)
+                    .astype(jnp.uint32).astype(jnp.int64)
+                )
+                s = jax.lax.sort(packed)
+                return jax.lax.bitcast_convert_type(
+                    (s & jnp.int64(0xFFFFFFFF)).astype(jnp.int32),
+                    jnp.float32)
 
-        measure("N sort int64-packed @20M", chain(sort_packed), valsN,
-                key32, per_edge=False)
+            measure("N sort int64-packed @20M", chain(sort_packed), valsN,
+                    key32, per_edge=False)
+        else:
+            print("N sort int64-packed: skipped (needs JAX_ENABLE_X64=1; "
+                  "int64 silently downcasts to int32 otherwise)")
 
     if "O" in stages:
         # O: one-hot reduce as an MXU dot (mask built on VPU, contraction
@@ -316,7 +324,11 @@ def main():
         want = np.zeros((2, 128), np.float32)
         for t in range(2):
             np.add.at(want[t], ll[t], vv[t])
-        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # FINDING: the MXU casts f32 inputs to bf16 (f32 accumulate), so
+        # the one-hot dot loses ~3 decimal digits vs the VPU multiply+sum
+        # — a correctness reason to keep the VPU reduce in the product
+        # path regardless of throughput
+        np.testing.assert_allclose(got, want, rtol=1e-2)
         measure("O pallas one-hot via MXU dot", chain(onehot_dot),
                 tiles, lanes)
 
