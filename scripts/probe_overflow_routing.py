@@ -22,6 +22,17 @@ that size (E = 14.2M edges, n = 10M rows):
      VPU (lane==iota compare * value, sum) — scatter side without any
      scalar scatter
   L  (T,128) <-> (128,T) transpose          routing-network building block
+  M  composed routed-overflow pipeline at the realistic 10M-overflow size
+  N  sort variants @20M: 2-op (key,val) vs int64-packed 1-op
+     (needs JAX_ENABLE_X64=1; measured 78.6 vs 81.6 ms — no win)
+  O  one-hot reduce via MXU dot (loses precision: MXU casts f32->bf16)
+  P  sort cost curve: global @2.5/10/20M + batched segment sorts
+     (measured: ~flat 3.4-3.9 ns/elem global — pass-dominated; batched
+     only wins at tiny segments, 1.68 ns/elem at 20k, which the route's
+     pair-multiplicity structure cannot provide)
+  Q  Clos/Benes routing-network building blocks: transpose and
+     roll+select butterfly both 0.15 ns/elem -> a 49-stage Benes is
+     151 ms, a 3-level Clos ~80 ms; neither beats the 78 ms sort
 
 Run on the real chip (the ONE TPU process):
     python scripts/probe_overflow_routing.py [A B C ...]
@@ -331,6 +342,66 @@ def main():
         np.testing.assert_allclose(got, want, rtol=1e-2)
         measure("O pallas one-hot via MXU dot", chain(onehot_dot),
                 tiles, lanes)
+
+    if "P" in stages:
+        # P: route-sort COST CURVE — global sort at several sizes plus
+        # batched independent segment sorts at the same total element
+        # count. If XLA's TPU sort is bitonic-ish (log^2 passes), cutting
+        # the segment length from 20M to 160k should buy ~2x/element —
+        # that bounds what any block-diagonalized routing could save.
+        for sz_tiles in (19_584, 78_336, 156_672):
+            SZp = sz_tiles * 128
+            kx = jax.random.permutation(
+                k4, jnp.arange(SZp, dtype=jnp.int32))
+            vx = jax.random.uniform(k3, (SZp,), dtype=jnp.float32)
+            jax.block_until_ready((kx, vx))
+
+            def sort2(v, kk):
+                return jax.lax.sort((kk, v), num_keys=1)[1]
+
+            ms = measure(f"P global sort @{SZp/1e6:.1f}M", chain(sort2),
+                         vx, kx, per_edge=False)
+            log(f"    -> {ms * 1e6 / SZp:.2f} ns/elem")
+
+        SZp = 156_672 * 128  # ~20.05M, the real routed size
+        for C in (8, 32, 128, 1024):
+            S = SZp // C
+            kx = jax.random.permutation(
+                k4, jnp.arange(SZp, dtype=jnp.int32)).reshape(C, S)
+            vx = jax.random.uniform(k3, (C, S), dtype=jnp.float32)
+            jax.block_until_ready((kx, vx))
+
+            def sortb(v, kk):
+                return jax.lax.sort((kk, v), num_keys=1, dimension=1)[1]
+
+            ms = measure(f"P batched sort ({C},{S/1e3:.0f}k)", chain(sortb),
+                         vx, kx, per_edge=False)
+            log(f"    -> {ms * 1e6 / SZp:.2f} ns/elem")
+
+    if "Q" in stages:
+        # Q: primitives for a 3-stage Clos route (lane perms + column
+        # perms via transpose): f32 transpose cost at the real routed
+        # size, and a roll+select butterfly stage (Benes building block).
+        SZp = 156_672 * 128
+        TT = 156_672
+        x = jax.random.uniform(k3, (TT, 128), dtype=jnp.float32)
+        jax.block_until_ready(x)
+
+        ms = measure("Q transpose (T,128)->(128,T)",
+                     chain(lambda xx: xx.T + 0.0), x, per_edge=False)
+        log(f"    -> {ms * 1e6 / SZp:.2f} ns/elem")
+
+        swap = jax.random.bernoulli(k4, 0.5, (TT, 128))
+        jax.block_until_ready(swap)
+
+        def butterfly(xx, m):
+            p = jnp.roll(xx, 1, axis=0)
+            return jnp.where(m, p, xx)
+
+        ms = measure("Q butterfly row-roll+select", chain(butterfly), x,
+                     swap, per_edge=False)
+        log(f"    -> {ms * 1e6 / SZp:.2f} ns/elem "
+            f"(x49 Benes stages = {ms * 49:.1f} ms)")
 
     if "M" in stages:
         # COMPOSED routed-overflow pipeline at realistic 10M-overflow size,
