@@ -98,11 +98,11 @@ def main():
     # hold ~8 (10M, K) transients). Slot budget scales down with N: the
     # default 132 slots/vertex is 10.6GB of slabs at 10M — an OOM next to
     # the 5.2GB database (first probe attempt confirmed); 64 slots = 5.3GB
-    from seesaw_tpu.ops.pallas_spmv import _AUTO_SLAB_BYTES
+    from seesaw_tpu.ops.pallas_spmv import _AUTO_SLAB_BYTES, _SLOT_BYTES
 
-    slot_budget = max(16, int(_AUTO_SLAB_BYTES // (8 * n_tiles)))
+    slot_budget = max(16, int(_AUTO_SLAB_BYTES // (_SLOT_BYTES * n_tiles)))
     log(f"slot budget {slot_budget}/vertex "
-        f"({slot_budget * 8 * n_tiles / 1e9:.1f}GB slab roof)")
+        f"({slot_budget * _SLOT_BYTES * n_tiles / 1e9:.1f}GB slab roof)")
     t0 = time.perf_counter()
     B, W, cap, cov_est, ceil = select_windowed_params(
         nbr, budget=slot_budget, sample_rows=1_048_576
@@ -118,10 +118,10 @@ def main():
     )
     build_s = time.perf_counter() - t0
     log(f"layout built in {build_s:.1f}s coverage={layout.coverage:.4f} "
-        f"slab_gb={layout.cidx.size * 8 / 1e9:.2f}")
+        f"slab_gb={layout.slab_bytes / 1e9:.2f}")
     out["layout_build_s"] = round(build_s, 1)
     out["coverage"] = round(float(layout.coverage), 4)
-    out["slab_gb"] = round(layout.cidx.size * 8 / 1e9, 2)
+    out["slab_gb"] = round(layout.slab_bytes / 1e9, 2)
 
     # 3b. structured overflow route (~4.4 vs 18 ns/edge — RoutedOverflow):
     # at coverage 0.956 the 14M overflow edges were ~250 of the 286 ms/iter
@@ -213,6 +213,17 @@ def main():
     rng = np.random.default_rng(0)
     qvec = rng.normal(size=512).astype(np.float32)
     ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
+
+    def mem(tag):
+        try:
+            st = jax.devices()[0].memory_stats() or {}
+            log(f"mem[{tag}] in_use={st.get('bytes_in_use', 0) / 1e9:.2f}GB "
+                f"peak={st.get('peak_bytes_in_use', 0) / 1e9:.2f}GB "
+                f"limit={st.get('bytes_limit', 0) / 1e9:.2f}GB")
+        except Exception as e:  # axon may not expose stats
+            log(f"mem[{tag}] unavailable ({type(e).__name__})")
+
+    mem("setup")
     log("base scores set; driving rounds (round 0-1 pay compiles)")
     returned = BitMap()
     round_ms = []
@@ -238,6 +249,7 @@ def main():
         if r > 1:
             round_ms.append((time.perf_counter() - t0) * 1000)
         log(f"round {r}: {(time.perf_counter() - t0) * 1000:.0f}ms")
+        mem(f"round{r}")
     flat = sorted(int(x) for x in returned)
     assert len(flat) == len(set(flat)) == args.rounds * batch
     out["p50_session_round_ms_knnprop2_10M_windowed"] = round(

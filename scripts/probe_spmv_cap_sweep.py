@@ -70,7 +70,7 @@ def main():
         (512, 1408, 16),
     ]:
         layout = build_windowed_layout_device(nbr, w, B=B, W=W, cap=cap)
-        slab_gb = layout.cidx.size * 8 / 1e9
+        slab_gb = layout.slab_bytes / 1e9
         ms = time_iters(layout, degree, prior, labels, is_labeled)
         print(f"B={B:>4} W={W:>4} cap={cap:>2} cov={layout.coverage:.4f} "
               f"slab={slab_gb:.2f}GB -> {ms:.2f} ms/iter", flush=True)

@@ -252,7 +252,7 @@ class WindowedSpmv:
     mutation (e.g. reweighting wslab between rounds) would silently serve
     stale device data — rebuild the layout instead."""
 
-    cidx: np.ndarray  # (NB, UROWS, EROWS, 128) int32 lane index in window row
+    cidx: np.ndarray  # (NB, UROWS, EROWS, 128) int16 lane index in window row
     wslab: np.ndarray  # (NB, UROWS, EROWS, 128) float32, 0 = empty slot
     ovf_src: np.ndarray  # (M,) int32 destination vertex (padded with 0)
     ovf_nbr: np.ndarray  # (M,) int32 source vertex (padded with 0)
@@ -275,6 +275,10 @@ class WindowedSpmv:
     @property
     def n_pad(self) -> int:
         return self.cidx.shape[0] * self.B
+
+    @property
+    def slab_bytes(self) -> int:
+        return self.cidx.nbytes + self.wslab.nbytes
 
     def order_arrays(self):
         """Device-resident (order, inv) int32 pair for the baked-in
@@ -370,12 +374,12 @@ def build_windowed_layout(
     wt_s = np.take_along_axis(w.astype(np.float32), order, axis=1)
     lane_s = np.where(inside_s, np.take_along_axis(rel, order, axis=1) & 127, 0)
 
-    cidx = np.zeros((NB, UROWS, B * cap), dtype=np.int32)
+    cidx = np.zeros((NB, UROWS, B * cap), dtype=np.int16)
     wslab = np.zeros((NB, UROWS, B * cap), dtype=np.float32)
     km = keep_s
     vb = vv[km] % B
     flat = vb * cap + occ[km]
-    cidx[vv[km] // B, u_s[km], flat] = lane_s[km].astype(np.int32)
+    cidx[vv[km] // B, u_s[km], flat] = lane_s[km].astype(np.int16)
     wslab[vv[km] // B, u_s[km], flat] = wt_s[km]
     cidx = cidx.reshape(NB, UROWS, EROWS, 128)
     wslab = wslab.reshape(NB, UROWS, EROWS, 128)
@@ -458,8 +462,8 @@ def _build_slabs_device(nbr, w, row0, *, B: int, W: int, cap: int,
         size,  # dropped by scatter mode='drop'
     ).reshape(-1)
     cidx = (
-        jnp.zeros(size, jnp.int32)
-        .at[slab_idx].set(lane_s.reshape(-1), mode="drop")
+        jnp.zeros(size, jnp.int16)
+        .at[slab_idx].set(lane_s.reshape(-1).astype(jnp.int16), mode="drop")
         .reshape(NB, UROWS, EROWS, 128)
     )
     wslab = (
@@ -548,7 +552,7 @@ def build_windowed_layout_device(
     chunk_rows = max(B, chunk_rows // B * B)
     UROWS = W // 128
     EROWS = B * cap // 128
-    cidx_g = jnp.zeros((NB, UROWS, EROWS, 128), jnp.int32)
+    cidx_g = jnp.zeros((NB, UROWS, EROWS, 128), jnp.int16)
     wslab_g = jnp.zeros((NB, UROWS, EROWS, 128), jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -608,7 +612,11 @@ def _spmv_kernel(base_ref, f_ref, idx_ref, w_ref, out_ref, *, UROWS, EROWS):
     for u in range(UROWS):
         frow = f_ref[pl.ds(base_row + u, 1), :]  # (1, 128) dynamic row
         src = jnp.broadcast_to(frow, (EROWS, 128))
-        g = jnp.take_along_axis(src, idx_ref[0, u], axis=1)
+        # cidx is stored int16 (lane ids < 128; slabs are the HBM-budget
+        # term at 10M — 6 vs 8 B/slot buys cap 8 -> 11 under the same
+        # roof, coverage 0.9563 -> 0.9694, probe_slot_budget_10M.py);
+        # Mosaic wants int32 for the lane shuffle, widen in VMEM
+        g = jnp.take_along_axis(src, idx_ref[0, u].astype(jnp.int32), axis=1)
         acc = acc + w_ref[0, u] * g
     out_ref[0] = acc
 
@@ -647,7 +655,7 @@ def _spmv_core(f2d, cidx, wslab, base_rows, *, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((NB, EROWS, 128), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=(R * 128 * 4 + 8 * UROWS * EROWS * 128 * 8)
+            vmem_limit_bytes=(R * 128 * 4 + 8 * UROWS * EROWS * 128 * 6)
             // (1024 * 1024) * 1024 * 1024 + 24 * 1024 * 1024,
         ),
     )(base_rows, f2d, cidx, wslab)
@@ -749,19 +757,28 @@ def _layout_candidates(N: int, K: int, budget: int = _BUDGET_SLOTS):
     """(B, W, cap) candidates at <= the default slab byte budget. cap is
     clamped to K (slots past the max per-row occupancy are dead bytes), so
     narrow-window candidates often cost LESS than the default. W clamps to
-    the per-B padded size exactly like the builders do."""
+    the per-B padded size exactly like the builders do.
+
+    Auto-selected caps are constrained so the slab's trailing-dims shape
+    (EROWS, 128) = (B*cap/128, 128) is TILE-ALIGNED for every slab dtype
+    (int16 cidx wants EROWS % 16, f32 wslab % 8): an unaligned EROWS makes
+    XLA relayout-copy BOTH slab arrays into padded tiled temps at every
+    program entry — measured at 10M: a cap=10 layout's fused KnnProp2
+    round carried 9.77GB of temps (2x slab copies at 1.6x padding, OOM
+    next to the database) vs 0.72GB for an aligned cap (the compiled
+    memory_analysis is the evidence; tests pin the alignment)."""
     cands = []
     for B in (512, 128):
         n_pad = -(-N // B) * B
-        for U in (2, 3, 5, 9, 11, 22):
+        for U in (2, 3, 5, 7, 9, 11, 13, 22):
             W = min(U * 128, n_pad)
             if W < B:
                 continue
             Ueff = W // 128
             cap = min(budget // Ueff, K, 64)
-            while cap > 1 and (B * cap) % 128:
+            while cap >= 1 and (B * cap) % (128 * 16):
                 cap -= 1
-            if cap < 1 or (B * cap) % 128:
+            if cap < 1:
                 continue
             if (B, W, cap) not in cands:
                 cands.append((B, W, cap))
@@ -809,11 +826,18 @@ def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS,
 
 
 """Slab-HBM roof for auto-selected layouts: the default 132-slot budget is
-1.1GB at 1M vertices but 10.6GB at 10M — an OOM next to the database on a
+0.8GB at 1M vertices but 7.9GB at 10M — an OOM next to the database on a
 16GB chip. Past the roof the per-vertex slot budget shrinks proportionally
-(64 slots at 10M = 5.3GB; cap>=K layouts of post-RCM real kNN graphs fit
-comfortably — their occupancy concentrates in 1-2 window rows)."""
+(107 slots at 10M with int16 cidx; cap>=K layouts of post-RCM real kNN
+graphs fit comfortably — their occupancy concentrates in 1-2 window
+rows). _SLOT_BYTES is the per-slot storage (2B int16 cidx + 4B f32
+wslab); the int16 cidx bought 80 -> 107 slots/vertex at 10M under the
+same roof (coverage 0.9563 -> ~0.97, overflow 14.0M -> ~10M edges —
+scripts/probe_slot_budget_10M.py). Steady 10M serving set: slabs ~6.2GB
++ routed overflow 0.3GB + int8 database 5.2GB + aligned-layout program
+temps 0.7GB = ~12.5GB of the 15.75GB chip."""
 _AUTO_SLAB_BYTES = 6 * 1024**3
+_SLOT_BYTES = 6
 
 
 def build_windowed_layout_auto(
@@ -851,8 +875,8 @@ def build_windowed_layout_auto(
     sample = 1_048_576 if N > 2_097_152 else None
     if slot_budget is None:
         slot_budget = _BUDGET_SLOTS
-        if N * _BUDGET_SLOTS * 8 > _AUTO_SLAB_BYTES:
-            slot_budget = max(16, int(_AUTO_SLAB_BYTES // (8 * N)))
+        if N * _BUDGET_SLOTS * _SLOT_BYTES > _AUTO_SLAB_BYTES:
+            slot_budget = max(16, int(_AUTO_SLAB_BYTES // (_SLOT_BYTES * N)))
     B, W, cap, cov, ceil = select_windowed_params(
         nbr, budget=slot_budget, sample_rows=sample
     )

@@ -133,6 +133,25 @@ def test_select_windowed_params_sampled():
     assert cov_est == pytest.approx(true_cov, abs=0.05)
 
 
+def test_layout_candidates_tile_aligned():
+    """Every auto-selectable (B, W, cap) must give a tile-aligned slab
+    trailing shape: EROWS = B*cap/128 a multiple of 16 (int16 cidx tile
+    (16, 128); f32 wslab's (8, 128) is implied). An unaligned EROWS makes
+    XLA relayout-copy both slab arrays into padded tiled temps at every
+    program entry — measured at 10M: 9.77GB of fused-round temps (OOM
+    next to the database) vs 0.72GB aligned. Candidates must also exist
+    for small K (degenerate B=128 options drop out below cap 16)."""
+    from seesaw_tpu.ops.pallas_spmv import _layout_candidates
+
+    for N in (4096, 1_048_576):
+        for K in (4, 8, 32, 64):
+            cands = _layout_candidates(N, K)
+            assert cands, (N, K)
+            for B, W, cap in cands:
+                assert (B * cap) % (128 * 16) == 0, (B, W, cap)
+                assert 1 <= cap <= min(K, 64)
+
+
 def test_all_overflow_degenerate():
     """A graph with zero window locality still computes correctly (pure
     fallback path)."""
@@ -325,7 +344,11 @@ def test_auto_builder_selects_layout_by_graph_structure():
     tight = build_windowed_layout_auto(nbr_tight.astype(np.int32), w,
                                        device=False)
     assert tight.coverage > 0.95
-    assert tight.W <= 640, tight.W  # narrow window suffices at spread 100
+    # narrow window suffices at spread 100: with EROWS tile-alignment the
+    # narrowest full-coverage candidate at K=8 is (512, 896, 8) — B=128
+    # would need cap >= 16 (dead slots past K); stays far under budget
+    assert tight.W <= 896, tight.W
+    assert (tight.W // 128) * tight.cap <= 64, (tight.W, tight.cap)
 
     # concentrated graph (all K neighbors within one 128-row): per-row
     # occupancy K >> 12 would cap-collide at the old default; the selector
@@ -479,17 +502,18 @@ def test_windowed_layout_sidecar_cache(tmp_path, monkeypatch):
     assert len(calls) == 2, "stale sidecar must be rebuilt"
 
 
-def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
-    """When the graph is smaller than the default window, W clamps to N_pad
-    and the whole array already IS the window — any coverage deficit is cap
-    collisions, so the auto builder must not pay for a second identical
-    build."""
+def test_auto_builder_one_build_hub_graph_rcm(monkeypatch):
+    """Hub graph (everyone points into the first 128 vertices): the probe
+    phase must do all exploration via `_occ_hist` dispatches and pay for
+    exactly ONE slab build, even when the RCM relabel engages. RCM spreads
+    the hub's in-edges across the relabeled windows, so the auto builder
+    turns a ~0.5-coverage pick into a ~1.0-coverage relabeled layout —
+    measure-then-build supersedes the old fixed-default + wide-rebuild
+    escalation this test originally pinned."""
     import seesaw_tpu.ops.pallas_spmv as mod
 
     rng = np.random.default_rng(3)
-    n, K = 512, 64  # K >> cap concentrates many edges per (vertex, row)
-    # hub graph: everyone points into the first 128 vertices -> one window
-    # row per vertex holds up to 64 edges, far over cap=12
+    n, K = 512, 64
     nbr = rng.integers(0, 128, size=(n, K)).astype(np.int32)
     w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
 
@@ -503,15 +527,33 @@ def test_auto_builder_skips_noop_rebuild_on_clamped_window(monkeypatch):
     monkeypatch.setattr(mod, "build_windowed_layout", counting_build)
     layout = mod.build_windowed_layout_auto(nbr, w, device=False,
                                             min_coverage=None)
-    assert layout.W == layout.n_pad < 1408  # clamped: whole array windowed
-    assert layout.coverage < 0.95  # deficit is cap collisions by design
-    # one build only: no wide rebuild (same clamp) and no RCM attempt
-    # (relabeling cannot fix cap collisions when everything is in-window)
-    assert len(calls) == 1, f"no-op rebuild was not skipped: {calls}"
+    assert layout.order is not None, "RCM should engage on a hub graph"
+    assert layout.coverage > 0.95, layout.coverage
+    assert len(calls) == 1, f"probe phase must not build: {calls}"
 
-    # with the default coverage floor, a layout this overflow-heavy loses to
-    # the plain XLA step (gather+scatter per overflow edge) -> None
-    assert mod.build_windowed_layout_auto(nbr, w, device=False) is None
+    # the relabeled layout must still serve the ORIGINAL vertex ids
+    from seesaw_tpu.ops.propagation import propagate, propagate_windowed
+
+    degree = w.sum(axis=1).astype(np.float32)
+    prior = rng.uniform(0.01, 0.99, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32)
+    labels[:6] = 1.0
+    is_labeled = np.zeros(n, bool)
+    is_labeled[:12] = True
+    args = dict(reg_lambda=1.0, max_iter=40, epsilon=1e-7)
+    ref = propagate(
+        jnp.asarray(nbr), jnp.asarray(w), jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), **args,
+    )
+    got = propagate_windowed(
+        layout, jnp.asarray(degree),
+        jnp.asarray(prior), jnp.asarray(labels), jnp.asarray(is_labeled),
+        jnp.asarray(prior), interpret=True, **args,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=2e-5, atol=2e-6
+    )
 
 
 def _uniform_device_index(n_frames=64, T=5, d=16, seed=0):
