@@ -71,7 +71,7 @@ def main():
         if (B, W) in curves:
             continue
         t0 = time.perf_counter()
-        hist, total = jax.device_get(_occ_hist(nbr, B=B, W=W))
+        hist, total = jax.device_get(_occ_hist(nbr, B, W))
         total = max(int(total), 1)
         cum = np.cumsum(hist[:K]) / total
         curves[(B, W)] = cum

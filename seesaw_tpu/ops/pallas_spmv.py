@@ -711,28 +711,35 @@ def windowed_spmv(
     return wf
 
 
-@functools.partial(jax.jit, static_argnames=("B", "W"))
-def _occ_hist(nbr, *, B: int, W: int):
+@jax.jit
+def _occ_hist(nbr, B, W):
     """Exact layout-coverage probe for one (B, W) candidate: histogram of
     per-(vertex, window-row) occurrence indices over real in-window edges
     (bucket K collects over-window + padding). coverage(cap) is then
     hist[:cap].sum()/total and the in-window CEILING is hist[:K].sum()/total
     — one cheap dispatch tells the selector the whole cap-coverage curve
-    without building anything. Mirrors the builder's occ computation."""
+    without building anything. Mirrors the builder's occ computation.
+
+    B and W are TRACED scalars, not static: they only enter through scalar
+    arithmetic (the per-vertex window base row and the in-window tests), so
+    one compile serves every candidate — the selector's 16-candidate sweep
+    at 10M paid ~600s in per-(B, W) compiles through the tunnel when these
+    were static_argnames."""
     N, K = nbr.shape
-    NB = -(-N // B)
-    N_pad = NB * B
-    R = N_pad // 128
+    B = jnp.asarray(B, jnp.int32)
+    W = jnp.asarray(W, jnp.int32)
+    NB = (N + B - 1) // B
+    R = NB * B // 128
     UROWS = W // 128
     dst = nbr.astype(jnp.int32)
     real = dst >= 0
     vv = jnp.arange(N, dtype=jnp.int32)[:, None]
-    blk = vv // B
+    # per-vertex window base row, elementwise (the builders compute the
+    # same value per block then index by vv // B)
     base_row = jnp.clip(
-        (jnp.arange(NB, dtype=jnp.int32) * B + B // 2 - W // 2) // 128,
-        0, R - UROWS,
+        ((vv // B) * B + B // 2 - W // 2) // 128, 0, R - UROWS
     )
-    rel = dst - base_row[blk] * 128
+    rel = dst - base_row * 128
     inside = real & (rel >= 0) & (rel < W)
     u = jnp.where(inside, rel >> 7, UROWS).astype(jnp.int32)
     order = jnp.argsort(u, axis=1, stable=True).astype(jnp.int32)
@@ -814,7 +821,7 @@ def select_windowed_params(nbr, *, budget: int = _BUDGET_SLOTS,
         N = sample_rows
     best = None
     for B, W, cap in _layout_candidates(N, K, budget):
-        hist, total = jax.device_get(_occ_hist(nbr_dev, B=B, W=W))
+        hist, total = jax.device_get(_occ_hist(nbr_dev, B, W))
         total = max(int(total), 1)
         cov = float(hist[:cap].sum()) / total
         ceil = float(hist[:K].sum()) / total
