@@ -1285,44 +1285,57 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8) -> dict:
         w=np.empty((n_tiles, 0), np.float32),
         degree=degree,
     )
-    ranker = LabelPropagationRanker2(
+    ranker_opts = dict(
         weights=weights, windowed_layout=layout,
         normalize_scores=True, normalize_epsilon=0.1,
         sigmoid_before_propagate=True, calib_a=10.0, calib_b=-5.0,
         prior_weight=1.0,
     )
-    rng = np.random.default_rng(0)
-    qvec = rng.normal(size=512).astype(np.float32)
-    ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
-    returned = BitMap()
-    round_ms = []
-    batch = 3
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        res = idx.rank_by_scores(
-            ranker.current_scores_any(), topk=batch, shortlist_size=SHORTLIST,
-            exclude=returned, agg_method="avg_score", aug_larger="all",
-        )
-        got = list(res["dbidxs"])
-        returned.update(got)
-        rows = []
-        for dbx in got:
-            f = int(np.searchsorted(meta.frame_dbidx, dbx))
-            rows.append(int(meta.frame_starts[f]))
-        lab = (rng.random(len(rows)) < 0.3).astype(np.float64)
-        ranker.update(np.asarray(rows), lab)
-        cs = ranker.current_scores_any()
-        if not isinstance(cs, DeferredPropagation):
-            _ = float(cs[rows[0]])
-        if r > 1:
-            round_ms.append((time.perf_counter() - t0) * 1000)
-        if r == 2:
-            _progress("  rounds 0-1 done (compiles paid); steady rounds")
-    flat = sorted(int(x) for x in returned)
-    assert len(flat) == len(set(flat)) == rounds * batch
-    out["p50_session_round_ms_knnprop2_10M_windowed"] = round(
-        float(np.percentile(round_ms, 50)), 2)
-    out["knnprop2_10M_rounds_measured"] = len(round_ms)
+
+    def drive(ranker, label):
+        # drive-local rng so cold/warm see the same query + label draws
+        rng = np.random.default_rng(0)
+        qvec = rng.normal(size=512).astype(np.float32)
+        ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
+        returned = BitMap()
+        round_ms = []
+        batch = 3
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            res = idx.rank_by_scores(
+                ranker.current_scores_any(), topk=batch,
+                shortlist_size=SHORTLIST,
+                exclude=returned, agg_method="avg_score", aug_larger="all",
+            )
+            got = list(res["dbidxs"])
+            returned.update(got)
+            rows = []
+            for dbx in got:
+                f = int(np.searchsorted(meta.frame_dbidx, dbx))
+                rows.append(int(meta.frame_starts[f]))
+            lab = (rng.random(len(rows)) < 0.3).astype(np.float64)
+            ranker.update(np.asarray(rows), lab)
+            cs = ranker.current_scores_any()
+            if not isinstance(cs, DeferredPropagation):
+                _ = float(cs[rows[0]])
+            if r > 1:
+                round_ms.append((time.perf_counter() - t0) * 1000)
+            if r == 2:
+                _progress(f"  rounds 0-1 done{label} (compiles paid); "
+                          "steady rounds")
+        flat = sorted(int(x) for x in returned)
+        assert len(flat) == len(set(flat)) == rounds * batch
+        return {
+            f"p50_session_round_ms_knnprop2_10M_windowed{label}": round(
+                float(np.percentile(round_ms, 50)), 2),
+        }
+
+    out.update(drive(LabelPropagationRanker2(**ranker_opts), ""))
+    # warm start resumes Jacobi from the previous round's converged scores —
+    # the SAME compiled fused program (only the start operand changes)
+    out.update(drive(
+        LabelPropagationRanker2(warm_start=True, **ranker_opts), "_warm"))
+    out["knnprop2_10M_rounds_measured"] = rounds - 2
     # free ~12GB (slabs + db) before the finetune stage
     del idx, ranker, layout, weights, degree, V, valid, boxes, zoom
     gc.collect()
