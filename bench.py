@@ -1159,7 +1159,8 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
     return out
 
 
-def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8) -> dict:
+def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
+                    reps: tuple = (2, 3)) -> dict:
     """Graph path at HEADLINE scale: windowed propagation + the fused
     KnnProp2 serving round over ~10M tiles on one chip (driver-captured
     version of scripts/probe_graph_10M.py, which validated the HBM fit:
@@ -1250,12 +1251,12 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8) -> dict:
 
     run(0.0, 50, jr.PRNGKey(100))  # compile (cached across runs)
     _progress("  windowed propagation compiled; measuring")
-    fixed = [run(0.0, 50, jr.PRNGKey(200 + i))[0] for i in range(2)]
+    fixed = [run(0.0, 50, jr.PRNGKey(200 + i))[0] for i in range(reps[0])]
     # 3 samples: the tunnel occasionally stalls one fresh-input dispatch
     # ~25s (observed in probe_graph_10M and the first r4g bench run, where
     # 2-sample percentile(50) AVERAGED the stall into a 13.6s "p50"); the
     # median of 3 rejects a single outlier
-    conv = [run(1e-5, 300, jr.PRNGKey(300 + i)) for i in range(3)]
+    conv = [run(1e-5, 300, jr.PRNGKey(300 + i)) for i in range(reps[1])]
     out["propagation_ms_per_iter_10M_windowed"] = round(min(fixed) / 50.0, 2)
     out["p50_propagation_ms_10M_windowed"] = round(
         float(np.percentile([c[0] for c in conv], 50)), 2)
@@ -1337,7 +1338,7 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8) -> dict:
         LabelPropagationRanker2(warm_start=True, **ranker_opts), "_warm"))
     out["knnprop2_10M_rounds_measured"] = rounds - 2
     # free ~12GB (slabs + db) before the finetune stage
-    del idx, ranker, layout, weights, degree, V, valid, boxes, zoom
+    del idx, ranker_opts, layout, weights, degree, V, valid, boxes, zoom
     gc.collect()
     return out
 

@@ -76,6 +76,21 @@ def test_graph_session_smoke():
     assert out["knnprop2_rounds_measured"] == 2
 
 
+def test_graph_10M_stage_smoke():
+    # the headline-scale graph stage end-to-end at tiny size (CPU interpret
+    # kernels): N-scaled slot budget -> sampled selection -> chunked device
+    # layout build -> routed overflow -> windowed propagation -> cold+warm
+    # fused KnnProp2 drives on the co-resident int8 database
+    out = bench.bench_graph_10M(target_tiles=1024 * bench.TILES, rounds=4,
+                                reps=(1, 1))
+    assert out["graph_10M_coverage"] > 0.5
+    assert out["propagation_ms_per_iter_10M_windowed"] > 0
+    assert out["p50_propagation_ms_10M_windowed"] > 0
+    assert out["p50_session_round_ms_knnprop2_10M_windowed"] > 0
+    assert out["p50_session_round_ms_knnprop2_10M_windowed_warm"] > 0
+    assert out["knnprop2_10M_rounds_measured"] == 2
+
+
 def test_finetune_harness_smoke():
     # the shared fine-tune measurement harness (also used by
     # scripts/probe_fused_attention_bwd.py) on the tiny CLIP variant
