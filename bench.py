@@ -806,18 +806,14 @@ def bench_int8_recall_at_scale(n_vectors: int, d: int = 512,
 _GRAPH_CACHE: dict = {}
 
 
-def _window_local_graph(n_tiles: int, K: int):
-    """Device-generated graph in the post-RCM regime of a real kNN graph
-    (97% near-diagonal edges) + its windowed layout, built once per size."""
+def _make_window_local_edges(n_tiles: int, K: int):
+    """Device-generated (nbr, w) edge arrays in the post-RCM regime of a
+    real kNN graph: 97% of edges land within a +-400 diagonal window, 3%
+    are uniform-random (the adversarial overflow residue). Shared by the
+    1M and 10M graph stages so their graphs differ only in N."""
     import jax
     import jax.numpy as jnp
 
-    from seesaw_tpu.knn_graph import SymmetricWeights
-    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_device
-
-    ckey = (n_tiles, K)
-    if ckey in _GRAPH_CACHE:
-        return _GRAPH_CACHE[ckey]
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
     base = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
     local = jnp.clip(
@@ -827,6 +823,19 @@ def _window_local_graph(n_tiles: int, K: int):
     rand = jax.random.randint(k2, (n_tiles, K), 0, n_tiles, dtype=jnp.int32)
     nbr = jnp.where(jax.random.uniform(k3, (n_tiles, K)) < 0.97, local, rand)
     w = jax.random.uniform(k4, (n_tiles, K), minval=0.1, maxval=1.0)
+    return nbr, w
+
+
+def _window_local_graph(n_tiles: int, K: int):
+    """Device-generated graph in the post-RCM regime of a real kNN graph
+    (97% near-diagonal edges) + its windowed layout, built once per size."""
+    from seesaw_tpu.knn_graph import SymmetricWeights
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_device
+
+    ckey = (n_tiles, K)
+    if ckey in _GRAPH_CACHE:
+        return _GRAPH_CACHE[ckey]
+    nbr, w = _make_window_local_edges(n_tiles, K)
     weights = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
     # the PRODUCT layout path: probe the graph's occupancy histogram and
     # build the best (B, W, cap) at the default byte budget (the fixed
@@ -1011,6 +1020,96 @@ def _bench_propagation_windowed(n_tiles: int, K: int) -> dict:
     return out
 
 
+def _uniform_meta(n_frames: int, boxes, zoom):
+    """VectorMeta for a build_db database: uniform TILES-per-frame tiling,
+    the per-frame box/zoom pattern replicated. Shared by the 1M and 10M
+    graph stages."""
+    import jax
+
+    from seesaw_tpu.indices.meta import VectorMeta
+
+    quads = np.asarray(jax.device_get(boxes[:TILES]))
+    zoom_pat = np.asarray(jax.device_get(zoom[:TILES]))
+    return VectorMeta(
+        dbidx=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
+        zoom_level=np.tile(zoom_pat.astype(np.int32), n_frames),
+        boxes=np.tile(quads.astype(np.float32), (n_frames, 1)),
+        frame_dbidx=np.arange(n_frames, dtype=np.int32),
+        frame_starts=np.arange(0, (n_frames + 1) * TILES, TILES,
+                               dtype=np.int32),
+        frame_id=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
+    )
+
+
+def _drive_knnprop_rounds(idx, meta, ranker, *, rounds: int, metric: str,
+                          seed: int, label: str = "",
+                          iters_metric: str | None = None) -> dict:
+    """One KnnProp2 serving drive through the REAL loop pieces: rank ->
+    simulated labels -> ranker.update per round; rounds 0-1 pay the chain
+    compiles, steady rounds are timed. Shared by the 1M and 10M graph
+    stages (the loop is identical; only scale, rng seed and metric names
+    differ — a prior inline copy of this loop had already drifted between
+    the two stages). The drive-local rng means every ranker variant
+    (plain/windowed/warm) sees the SAME query + label draws, so their
+    round times and iteration counts are paired."""
+    from seesaw_tpu.ops.propagation import DeferredPropagation
+    from seesaw_tpu.runtime.bitmap import BitMap
+
+    rng = np.random.default_rng(seed)
+    qvec = rng.normal(size=512).astype(np.float32)
+    # device scores flip the ranker into device mode: labels/prior stay
+    # device-persistent and each round ships only the clicked ordinals
+    ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
+    returned = BitMap()
+    round_ms, iters = [], []
+    batch = 3
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        # windowed rankers hand rank_by_scores a DeferredPropagation: the
+        # previous round's clicks + propagation + ranking run as ONE fused
+        # dispatch here (steady rounds still contain exactly one propagation
+        # + one rank each)
+        res = idx.rank_by_scores(
+            ranker.current_scores_any(), topk=batch,
+            shortlist_size=SHORTLIST,
+            exclude=returned, agg_method="avg_score", aug_larger="all",
+        )
+        got = list(res["dbidxs"])
+        returned.update(got)
+        # user labels the batch -> the ranker re-propagates on device
+        # (eager path) or stages the round for the next rank (fused)
+        rows = []
+        for dbx in got:
+            f = int(np.searchsorted(meta.frame_dbidx, dbx))
+            rows.append(int(meta.frame_starts[f]))
+        labels = (rng.random(len(rows)) < 0.3).astype(np.float64)
+        ranker.update(np.asarray(rows), labels)
+        cs = ranker.current_scores_any()
+        if not isinstance(cs, DeferredPropagation):
+            _ = float(cs[rows[0]])  # fetch barrier (eager path)
+        # round 0 pays the plain-rank compile; round 1 the fused program's
+        if r > 1:
+            round_ms.append((time.perf_counter() - t0) * 1000)
+            if iters_metric is not None:
+                # Jacobi iterations this round (outside the timed window):
+                # fused rounds ride it back with the result; eager rounds
+                # expose the device scalar on lp.last_result
+                ni = ranker.last_n_iter
+                if ni is None and ranker.lp.last_result is not None:
+                    ni = int(ranker.lp.last_result.n_iter)
+                if ni is not None:
+                    iters.append(int(ni))
+        if r == 2:
+            _progress(f"  rounds 0-1 done{label or ' (plain)'} "
+                      "(compiles paid); steady rounds")
+    flat = sorted(int(x) for x in returned)
+    assert len(flat) == len(set(flat)) == rounds * batch
+    out = {metric: round(float(np.percentile(round_ms, 50)), 2)}
+    if iters_metric is not None and iters:
+        out[iters_metric] = round(float(np.mean(iters)), 1)
+    return out
+
+
 def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
     """KnnProp2 serving round at 1M tiles through the REAL loop pieces:
     LabelPropagationRanker2.update (device Jacobi propagation, scores stay
@@ -1022,30 +1121,15 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
     cost minutes of silent budget and starved the stage.
     Reference: `loops/graph_based.py:73-121` + `label_propagation.py:30-43`.
     """
-    import jax
-
-    from seesaw_tpu.indices.meta import VectorMeta
     from seesaw_tpu.indices.multiscale import MultiscaleIndex
     from seesaw_tpu.loops.knn_methods import LabelPropagationRanker2
-    from seesaw_tpu.runtime.bitmap import BitMap
 
-    rng = np.random.default_rng(0)
-    d = 512
     V, valid, boxes, zoom, row_scale, n_frames = build_db(
         n_tiles, dtype="bfloat16"
     )
     n_tiles = n_frames * TILES
     _progress(f"  graph db built on device ({n_tiles} tiles)")
-    quads = np.asarray(jax.device_get(boxes[:TILES]))
-    zoom_pat = np.asarray(jax.device_get(zoom[:TILES]))
-    meta = VectorMeta(
-        dbidx=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
-        zoom_level=np.tile(zoom_pat.astype(np.int32), n_frames),
-        boxes=np.tile(quads.astype(np.float32), (n_frames, 1)),
-        frame_dbidx=np.arange(n_frames, dtype=np.int32),
-        frame_starts=np.arange(0, (n_frames + 1) * TILES, TILES, dtype=np.int32),
-        frame_id=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
-    )
+    meta = _uniform_meta(n_frames, boxes, zoom)
     idx = MultiscaleIndex.from_device_arrays(
         embedding=None, V=V, valid=valid, boxes=boxes, zoom=zoom,
         meta=meta, use_pallas=False,
@@ -1058,72 +1142,11 @@ def bench_graph_session(n_tiles: int = 1_048_576, rounds: int = 8) -> dict:
     _progress("  graph + windowed layout ready (device, shared)")
 
     def drive(ranker, label):
-        # drive-local rng: every variant sees the SAME query + label draws,
-        # so plain/windowed/warm round times and iteration counts are paired
-        rng = np.random.default_rng(7)
-        qvec = rng.normal(size=d).astype(np.float32)
-        # device scores flip the ranker into device mode: labels/prior stay
-        # device-persistent and each round ships only the clicked ordinals
-        ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
-        _progress(f"  base scores set{label or ' (plain)'}; driving rounds "
-                  "(round 0 pays the chain compile)")
-        returned = BitMap()
-        round_ms = []
-        iters = []
-        batch = 3
-        from seesaw_tpu.ops.propagation import DeferredPropagation
-
-        for r in range(rounds):
-            if r == 2:
-                _progress(f"  rounds 0-1 done{label or ' (plain)'} "
-                          "(compiles paid); steady rounds")
-            t0 = time.perf_counter()
-            # windowed rankers hand rank_by_scores a DeferredPropagation:
-            # the previous round's clicks + propagation + ranking run as ONE
-            # fused dispatch here (steady-state rounds still contain exactly
-            # one propagation + one rank each)
-            res = idx.rank_by_scores(
-                ranker.current_scores_any(), topk=batch,
-                shortlist_size=SHORTLIST,
-                exclude=returned, agg_method="avg_score", aug_larger="all",
-            )
-            got = list(res["dbidxs"])
-            returned.update(got)
-            # user labels the batch -> the ranker re-propagates on device
-            # (eager path) or stages the round for the next rank (fused)
-            rows = []
-            for dbx in got:
-                f = int(np.searchsorted(meta.frame_dbidx, dbx))
-                rows.append(int(meta.frame_starts[f]))
-            labels = (rng.random(len(rows)) < 0.3).astype(np.float64)
-            ranker.update(np.asarray(rows), labels)
-            cs = ranker.current_scores_any()
-            if not isinstance(cs, DeferredPropagation):
-                _ = float(cs[rows[0]])  # fetch barrier (eager path)
-            # round 0 pays the plain-rank compile; round 1 the fused
-            # propagate+rank program's
-            if r > 1:
-                round_ms.append((time.perf_counter() - t0) * 1000)
-                # Jacobi iterations this round (outside the timed window):
-                # fused rounds ride it back with the result; eager rounds
-                # expose the device scalar on lp.last_result
-                ni = ranker.last_n_iter
-                if ni is None and ranker.lp.last_result is not None:
-                    ni = int(ranker.lp.last_result.n_iter)
-                if ni is not None:
-                    iters.append(int(ni))
-        flat = sorted(int(x) for x in returned)
-        assert len(flat) == len(set(flat)) == rounds * batch
-        out = {
-            f"p50_session_round_ms_knnprop2_1M{label}": round(
-                float(np.percentile(round_ms, 50)), 2
-            ),
-        }
-        if iters:
-            out[f"jacobi_iters_per_round{label}"] = round(
-                float(np.mean(iters)), 1
-            )
-        return out
+        return _drive_knnprop_rounds(
+            idx, meta, ranker, rounds=rounds, seed=7, label=label,
+            metric=f"p50_session_round_ms_knnprop2_1M{label}",
+            iters_metric=f"jacobi_iters_per_round{label}",
+        )
 
     ranker_opts = dict(
         normalize_scores=True, normalize_epsilon=0.1,
@@ -1178,7 +1201,6 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
     import jax.numpy as jnp
     import jax.random as jr
 
-    from seesaw_tpu.indices.meta import VectorMeta
     from seesaw_tpu.indices.multiscale import MultiscaleIndex
     from seesaw_tpu.knn_graph import SymmetricWeights
     from seesaw_tpu.loops.knn_methods import LabelPropagationRanker2
@@ -1189,24 +1211,14 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
         select_windowed_params,
         with_routed_overflow,
     )
-    from seesaw_tpu.ops.propagation import DeferredPropagation, propagate_windowed
-    from seesaw_tpu.runtime.bitmap import BitMap
+    from seesaw_tpu.ops.propagation import propagate_windowed
 
     n_frames = target_tiles // TILES // 1024 * 1024
     n_tiles = n_frames * TILES
     K = 32
-    k1, k2, k3, k4 = jr.split(jr.PRNGKey(7), 4)
-    base = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
-    local = jnp.clip(
-        base + jr.randint(k1, (n_tiles, K), -400, 401, dtype=jnp.int32),
-        0, n_tiles - 1,
-    )
-    rand = jr.randint(k2, (n_tiles, K), 0, n_tiles, dtype=jnp.int32)
-    nbr = jnp.where(jr.uniform(k3, (n_tiles, K)) < 0.97, local, rand)
-    w = jr.uniform(k4, (n_tiles, K), minval=0.1, maxval=1.0)
+    nbr, w = _make_window_local_edges(n_tiles, K)
     degree = w.sum(axis=1)
     jax.block_until_ready(degree)
-    del base, local, rand
     _progress(f"  10M graph on device ({n_tiles} tiles, 2.56GB)")
 
     slot_budget = max(16, int(_AUTO_SLAB_BYTES // (_SLOT_BYTES * n_tiles)))
@@ -1266,16 +1278,7 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
     # KnnProp2 serving round through the real loop pieces on the int8 db
     V, valid, boxes, zoom, row_scale, n_frames = build_db(n_tiles, dtype="int8")
     _progress("  int8 db on device (5.2GB); driving fused rounds")
-    quads = np.asarray(jax.device_get(boxes[:TILES]))
-    zoom_pat = np.asarray(jax.device_get(zoom[:TILES]))
-    meta = VectorMeta(
-        dbidx=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
-        zoom_level=np.tile(zoom_pat.astype(np.int32), n_frames),
-        boxes=np.tile(quads.astype(np.float32), (n_frames, 1)),
-        frame_dbidx=np.arange(n_frames, dtype=np.int32),
-        frame_starts=np.arange(0, (n_frames + 1) * TILES, TILES, dtype=np.int32),
-        frame_id=np.repeat(np.arange(n_frames, dtype=np.int32), TILES),
-    )
+    meta = _uniform_meta(n_frames, boxes, zoom)
     idx = MultiscaleIndex.from_device_arrays(
         embedding=None, V=V, valid=valid, boxes=boxes, zoom=zoom,
         meta=meta, row_scale=row_scale, use_pallas=False,
@@ -1294,42 +1297,10 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
     )
 
     def drive(ranker, label):
-        # drive-local rng so cold/warm see the same query + label draws
-        rng = np.random.default_rng(0)
-        qvec = rng.normal(size=512).astype(np.float32)
-        ranker.set_base_scores(idx.score_device(qvec / np.linalg.norm(qvec)))
-        returned = BitMap()
-        round_ms = []
-        batch = 3
-        for r in range(rounds):
-            t0 = time.perf_counter()
-            res = idx.rank_by_scores(
-                ranker.current_scores_any(), topk=batch,
-                shortlist_size=SHORTLIST,
-                exclude=returned, agg_method="avg_score", aug_larger="all",
-            )
-            got = list(res["dbidxs"])
-            returned.update(got)
-            rows = []
-            for dbx in got:
-                f = int(np.searchsorted(meta.frame_dbidx, dbx))
-                rows.append(int(meta.frame_starts[f]))
-            lab = (rng.random(len(rows)) < 0.3).astype(np.float64)
-            ranker.update(np.asarray(rows), lab)
-            cs = ranker.current_scores_any()
-            if not isinstance(cs, DeferredPropagation):
-                _ = float(cs[rows[0]])
-            if r > 1:
-                round_ms.append((time.perf_counter() - t0) * 1000)
-            if r == 2:
-                _progress(f"  rounds 0-1 done{label} (compiles paid); "
-                          "steady rounds")
-        flat = sorted(int(x) for x in returned)
-        assert len(flat) == len(set(flat)) == rounds * batch
-        return {
-            f"p50_session_round_ms_knnprop2_10M_windowed{label}": round(
-                float(np.percentile(round_ms, 50)), 2),
-        }
+        return _drive_knnprop_rounds(
+            idx, meta, ranker, rounds=rounds, seed=0, label=label,
+            metric=f"p50_session_round_ms_knnprop2_10M_windowed{label}",
+        )
 
     out.update(drive(LabelPropagationRanker2(**ranker_opts), ""))
     # warm start resumes Jacobi from the previous round's converged scores —

@@ -574,7 +574,13 @@ class MultiscaleIndex(AccessMethod):
             ), "device score() needs uniform tiling (padded layout == exact)"
             rs = self._row_scale
             if rs is None and self._frame_scale is not None:
-                rs = jnp.repeat(self._frame_scale, self._tile_bound)
+                # query-invariant: expand the per-frame scale to per-row once
+                # and keep the (N,) device array (at 10M an uncached repeat
+                # is an extra dispatch + transient per set_text/score call)
+                rs = getattr(self, "_frame_scale_rows", None)
+                if rs is None:
+                    rs = jnp.repeat(self._frame_scale, self._tile_bound)
+                    self._frame_scale_rows = rs
             return frame_scoring.score_vectors(self._V, jnp.asarray(q), rs)
         return self.vectors @ q
 
@@ -1076,6 +1082,13 @@ class MultiscaleIndex(AccessMethod):
         # Mosaic only compiles on real TPU backends (same rule as
         # ops.propagation.propagate_windowed)
         interpret = jax.default_backend() == "cpu"
+        # the fused program's Jacobi loop is bounded by the ranker's
+        # dispatch budget, NOT max_iter: at 10M tiles a windowed step is
+        # ~116 ms, so an un-bounded cold round (fresh session, epsilon
+        # unreached) would be a single ~35 s device program — the class of
+        # long dispatch execution watchdogs kill (ops/propagation.py
+        # dispatch_iters exists for exactly this)
+        stop = int(min(lp.dispatch_iters or lp.max_iter, lp.max_iter))
         self.last_program_shape = ("knnprop", ids.shape[0], has_order)
         res, new_mask, scores, labels2, il2, i, done = (
             prop_ops.propagate_rank_windowed(
@@ -1090,6 +1103,7 @@ class MultiscaleIndex(AccessMethod):
                 self._valid, self._boxes, self._zoom,
                 mask, new_ids,
                 jnp.float32(lp.reg_lambda), jnp.float32(lp.epsilon),
+                jnp.asarray(stop),
                 max_iter=lp.max_iter,
                 n=layout.n, B=layout.B, W=layout.W, cap=layout.cap,
                 interpret=interpret, has_order=has_order,
@@ -1098,9 +1112,37 @@ class MultiscaleIndex(AccessMethod):
                 agg_method=agg_method, max_zoom=self._max_zoom,
             )
         )
-        self._commit_exclusion(token, new_mask)
         # one transfer: the ranked result + convergence info together
         res, i_h, done_h = jax.device_get((res, i, done))
+        if not bool(done_h) and int(i_h) < lp.max_iter:
+            # rare path (round needs more than one dispatch budget): resume
+            # the Jacobi loop segment-by-segment from the partial iterate —
+            # a mid-loop iterate is already label-clamped, so feeding it back
+            # as `start` continues the exact sequence — then re-rank over the
+            # converged scores (the fused ranking above was partial). The
+            # exclusion deltas were applied inside the fused dispatch, so the
+            # re-rank ships an empty delta against the same new mask.
+            pr = prop_ops.propagate_windowed(
+                layout, lp._deg, ranker.prior_scores, labels2, il2, scores,
+                reg_lambda=float(lp.reg_lambda),
+                max_iter=lp.max_iter - int(i_h), epsilon=lp.epsilon,
+                dispatch_iters=lp.dispatch_iters, interpret=interpret,
+            )
+            scores = pr.scores
+            n2, done_h = map(
+                lambda x: x.item(), jax.device_get((pr.n_iter, pr.converged))
+            )
+            i_h = int(i_h) + int(n2)
+            s_pad = jnp.where(self._valid.reshape(-1), scores, -jnp.inf)
+            res2, new_mask = frame_scoring.rank_frames_from_scores_incr(
+                s_pad, self._valid, self._boxes, self._zoom,
+                new_mask, jnp.full(64, -1, jnp.int32),
+                shortlist_size=shortlist_size, topk=topk_eff,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method, max_zoom=self._max_zoom,
+            )
+            res = jax.device_get(res2)
+        self._commit_exclusion(token, new_mask)
         ranker._commit_deferred(scores, labels2, il2, int(i_h), bool(done_h))
         return self._format_result(res)
 

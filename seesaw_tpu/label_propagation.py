@@ -179,6 +179,7 @@ class LabelPropagation:
                 dispatch_iters=self.dispatch_iters,
             )
             if device_out:
+                self.last_result = res
                 return res.scores
             out = np.asarray(res.scores)
         elif self.mesh is not None:
@@ -213,6 +214,7 @@ class LabelPropagation:
                 dispatch_iters=self.dispatch_iters,
             )
             if device_out:
+                self.last_result = res
                 return res.scores
             out = np.asarray(res.scores)
         if res is not None:

@@ -99,7 +99,12 @@ def _windowed_layout_cached(knn_path: str, opts: WeightMatrixOptions,
     # WindowedSpmv object caches its device slabs (~0.5GB at 1M x 32), so
     # concurrent KnnProp2 sessions over one graph must get ONE object, not
     # one rebuild+upload each
-    cache_key = (knn_path, opts.knn_k, opts.symmetric, int(fp))
+    # edist is part of the key: the layout's weight slab is baked from
+    # weights.w, which varies with the RBF width even when nbr (and hence
+    # fp) is identical — two sessions differing only in edist must not
+    # share a WindowedSpmv (the sidecar is immune: it stores only the
+    # B/W/cap/order decision and slabs rebuild from the caller's weights)
+    cache_key = (knn_path, opts.knn_k, opts.symmetric, float(opts.edist), int(fp))
     cacheable = bool(knn_path) and "subset" not in knn_path
     if cacheable:
         with _wm_lock:

@@ -245,27 +245,37 @@ class BaseLabelPropagationRanker:
             self._needs_prop = False
         return self._current_scores
 
-    def _deferred_state(self):
-        """(labels_dev, is_labeled_dev, ids, vals) for the fused round:
-        the persistent device label state WITHOUT flushing staged clicks —
-        they ride as a padded scatter argument inside the fused program.
-        `_commit_deferred` publishes the program's returned state."""
+    def _ensure_device_labels(self) -> None:
+        """First engagement of device label state: the host mirrors already
+        include every staged click, so upload them whole and drop the staged
+        list (nothing left to scatter)."""
         import jax.numpy as jnp
 
         if self._labels_dev is None:
-            # first engagement: the host mirrors already include every
-            # staged click, so upload them and ship an empty scatter
             self._labels_dev = jnp.asarray(self.labels, dtype=jnp.float32)
             self._is_labeled_dev = jnp.asarray(self.is_labeled > 0)
             self._pending.clear()
-        # pow2 buckets (min 64) bound fused-program recompiles to
-        # log2(max clicks per round) shapes
+
+    def _padded_pending(self):
+        """The staged clicks as a padded (ids, vals) scatter pair. pow2
+        buckets (min 64) bound the consuming programs' recompiles to
+        log2(max clicks per round) shapes; out-of-range padding ids
+        (= nvecs) are dropped by the scatter."""
         P = max(64, 1 << int(np.ceil(np.log2(max(len(self._pending), 1)))))
         ids = np.full(P, self.nvecs, dtype=np.int32)
         vals = np.zeros(P, dtype=np.float32)
         for j, (i, v) in enumerate(self._pending):
             ids[j] = i
             vals[j] = v
+        return ids, vals
+
+    def _deferred_state(self):
+        """(labels_dev, is_labeled_dev, ids, vals) for the fused round:
+        the persistent device label state WITHOUT flushing staged clicks —
+        they ride as a padded scatter argument inside the fused program.
+        `_commit_deferred` publishes the program's returned state."""
+        self._ensure_device_labels()
+        ids, vals = self._padded_pending()
         return self._labels_dev, self._is_labeled_dev, ids, vals
 
     def _commit_deferred(self, scores, labels_dev, is_labeled_dev,
@@ -290,22 +300,12 @@ class BaseLabelPropagationRanker:
         """Device-persistent (labels, is_labeled): the first call in device
         mode uploads the full host mirrors once; afterwards each call flushes
         the clicks staged since the last propagation as ONE padded scatter
-        (padded to 64-multiples so the scatter program is compiled once)."""
+        (same pow2 padding rule as the fused round, `_padded_pending`)."""
         import jax.numpy as jnp
 
-        if self._labels_dev is None:
-            self._labels_dev = jnp.asarray(self.labels, dtype=jnp.float32)
-            self._is_labeled_dev = jnp.asarray(self.is_labeled > 0)
-            self._pending.clear()
-            return self._labels_dev, self._is_labeled_dev
+        self._ensure_device_labels()
         if self._pending:
-            P = -(-len(self._pending) // 64) * 64
-            # out-of-range padding ids are dropped by the scatter
-            ids = np.full(P, self.nvecs, dtype=np.int32)
-            vals = np.zeros(P, dtype=np.float32)
-            for j, (i, v) in enumerate(self._pending):
-                ids[j] = i
-                vals[j] = v
+            ids, vals = self._padded_pending()
             self._labels_dev, self._is_labeled_dev = _scatter_labels(
                 self._labels_dev, self._is_labeled_dev,
                 jnp.asarray(ids), jnp.asarray(vals),

@@ -279,7 +279,7 @@ def propagate_rank_windowed(
     start,  # (N,) warm start (the prior, matching the eager path)
     valid, boxes, zoom,  # ranking-tail index arrays
     excluded, new_excluded_ids,  # incremental exclusion protocol
-    reg_lambda, epsilon,
+    reg_lambda, epsilon, stop_at,
     *,
     max_iter: int,
     n: int,
@@ -299,12 +299,17 @@ def propagate_rank_windowed(
     the persistent label state, run the windowed-SpMV Jacobi loop to
     convergence, and feed the propagated scores straight into the shared
     shortlist/augment/top-k tail — no intermediate host round-trips. The
-    full max_iter bound runs inside this single dispatch (windowed steps are
-    ~4.5 ms/iter at 1M, so even the 300-iteration worst case stays far under
-    execution watchdogs — the XLA step does NOT, which is why only the
-    windowed formulation fuses). Returns (QueryResult, new exclusion mask,
-    scores, labels, is_labeled, n_iter, converged); the caller commits the
-    updated persistent state after the fetch."""
+    Jacobi loop is bounded by the runtime scalar `stop_at` (the caller's
+    dispatch budget — lp.dispatch_iters — NOT the full max_iter bound: at
+    10M tiles a windowed step is ~116 ms, so 300 iterations in one program
+    would be a ~35 s dispatch, the long-program class execution watchdogs
+    kill). When the loop stops un-converged the returned ranking is over the
+    partial iterate and the caller MUST resume propagation segment-by-
+    segment and re-rank (`MultiscaleIndex._rank_deferred_propagation` does;
+    the common case — convergence within one budget — stays one dispatch).
+    Returns (QueryResult, new exclusion mask, scores, labels, is_labeled,
+    n_iter, converged); the caller commits the updated persistent state
+    after the fetch."""
     from .frame_scoring import _rank_frames, apply_new_exclusions
 
     labels = labels0.at[new_ids].set(new_vals, mode="drop")
@@ -320,7 +325,7 @@ def propagate_rank_windowed(
         cidx, wslab, ovf_src, ovf_nbr, ovf_w, routed,
         deg_p, prior_p, lab_p, il_p,
         f0_p, f0_p + 1.0, jnp.asarray(0), jnp.asarray(False),
-        jnp.asarray(max_iter),
+        stop_at,
         reg_lambda=reg_lambda, max_iter=max_iter, epsilon=epsilon,
         n=n, B=B, W=W, cap=cap, interpret=interpret,
     )

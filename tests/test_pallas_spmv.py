@@ -483,6 +483,18 @@ def test_windowed_layout_sidecar_cache(tmp_path, monkeypatch):
     r1b = gb.get_label_prop(Q(), dict(params))
     assert r1b.lp.windowed_layout is lay1
 
+    # a different RBF width bakes DIFFERENT weights into the slabs: the
+    # process-wide cache must not serve the edist=0.5 layout (nbr — and so
+    # the fingerprint — is identical across edist values; r4 review fix).
+    # The shared sidecar is fine: it stores only the B/W/cap/order decision
+    # and the slabs rebuild from this call's weights.
+    params_edist = dict(params, matrix_options=dict(
+        params["matrix_options"], edist=0.1))
+    lay1c = gb.get_label_prop(Q(), dict(params_edist)).lp.windowed_layout
+    assert lay1c is not lay1
+    assert not np.array_equal(np.asarray(lay1c.wslab),
+                              np.asarray(lay1.wslab))
+
     gb._wm_cache.clear()  # simulate a fresh process
     gb._layout_cache.clear()
     r2 = gb.get_label_prop(Q(), dict(params))
@@ -657,6 +669,67 @@ def test_deferred_propagation_fused_round_matches_eager():
     assert isinstance(fused.current_scores_any(), DeferredPropagation)
     top, _ = fused.top_k(5)
     assert not fused._needs_prop and top.shape[0] == 5
+
+
+def test_deferred_propagation_resume_over_dispatch_budget():
+    """When convergence needs more Jacobi iterations than the fused round's
+    dispatch budget (lp.dispatch_iters), `_rank_deferred_propagation` must
+    resume the loop segment-by-segment from the partial iterate and re-rank —
+    results and committed ranker state stay equal to the eager path. (The
+    budget exists so a cold 10M round can never become one ~35 s device
+    program; dispatch_iters=1 here forces the resume path every round.)"""
+    from seesaw_tpu.knn_graph import KNNGraph, rbf_kernel, symmetrize_weights
+    from seesaw_tpu.loops.knn_methods import LabelPropagationRanker2
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+    from seesaw_tpu.runtime.bitmap import BitMap
+
+    idx, V = _uniform_device_index()
+    weights = symmetrize_weights(KNNGraph.build(V, 8), rbf_kernel(0.5))
+    layout = build_windowed_layout_auto(weights.nbr, weights.w, min_coverage=0.0)
+    assert layout is not None
+
+    opts = dict(normalize_scores=True, normalize_epsilon=0.1,
+                sigmoid_before_propagate=True, calib_a=2.0, calib_b=-0.5,
+                prior_weight=1.0)
+    fused = LabelPropagationRanker2(weights=weights, windowed_layout=layout,
+                                    **opts)
+    eager = LabelPropagationRanker2(weights=weights, windowed_layout=layout,
+                                    **opts)
+    fused.lp.dispatch_iters = 1  # every multi-iteration round must resume
+    eager._defer_available = lambda: False
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=V.shape[1]).astype(np.float32)
+    q /= np.linalg.norm(q)
+    for r in (fused, eager):
+        r.set_base_scores(idx.score_device(q))
+
+    ret_f, ret_e = BitMap(), BitMap()
+    resumed = False
+    for rnd in range(3):
+        res_f = idx.rank_by_scores(fused.current_scores_any(), topk=3,
+                                   shortlist_size=10, exclude=ret_f)
+        res_e = idx.rank_by_scores(eager.current_scores_any(), topk=3,
+                                   shortlist_size=10, exclude=ret_e)
+        np.testing.assert_array_equal(res_f["dbidxs"], res_e["dbidxs"])
+        resumed = resumed or (fused.last_n_iter or 0) > 1
+        ret_f.update(res_f["dbidxs"])
+        ret_e.update(res_e["dbidxs"])
+        rows = np.array([int(d_) * 5 for d_ in res_f["dbidxs"]])
+        labels = (rows % 2 == 0).astype(np.float64)
+        fused.update(rows, labels)
+        eager.update(rows, labels)
+    res_f = idx.rank_by_scores(fused.current_scores_any(), topk=3,
+                               shortlist_size=10, exclude=ret_f)
+    res_e = idx.rank_by_scores(eager.current_scores_any(), topk=3,
+                               shortlist_size=10, exclude=ret_e)
+    np.testing.assert_array_equal(res_f["dbidxs"], res_e["dbidxs"])
+    assert resumed or (fused.last_n_iter or 0) > 1, (
+        "test graph converged in one iteration every round — the resume "
+        "path was never exercised; make the graph harder"
+    )
+    np.testing.assert_allclose(fused.current_scores(), eager.current_scores(),
+                               atol=2e-6)
 
 
 # ---------------------------------------------------------------------------

@@ -405,6 +405,102 @@ def test_full_session_vs_ref(synth, label):
     assert len(ref_session.accepted) > 0
 
 
+def test_knnprop2_fused_device_session_vs_ref(synth):
+    """The SERVING-path KnnProp2 against the LITERAL reference engine.
+    test_full_session_vs_ref['knn_prop2'] drives the host-built index, which
+    never engages device mode; here our index is built with
+    from_device_arrays (device-resident scores/labels) and a windowed
+    layout, so every feedback round runs the one-dispatch fused
+    scatter+propagate+rank program (`MultiscaleIndex.
+    _rank_deferred_propagation`) — the round structure the working-notes
+    fidelity contract requires to stay oracled. Returned dbidxs must be
+    identical per round; scores carry the windowed-SpMV f32 summation-order
+    tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.basic_types import Box, IndexSpec, SessionParams
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.session import Session
+
+    V, meta, vm_df, gt, qvec, root = synth
+    method, options, score_rtol, start_policy = LOOP_CONFIGS["knn_prop2"][:4]
+
+    ref_session, RefBox = _make_ref_session(
+        method, options, V, vm_df, qvec, root, start_policy
+    )
+
+    # device-built index: the synth db is uniformly 5 tiles/frame, so the
+    # padded layout == exact layout (from_device_arrays' requirement)
+    T = 5
+    n_frames = meta.frame_dbidx.shape[0]
+    assert meta.n_vectors == n_frames * T
+    idx = MultiscaleIndex.from_device_arrays(
+        embedding=StubEmbedding(qvec), V=jnp.asarray(V),
+        valid=jnp.ones((n_frames, T), bool),
+        boxes=jnp.asarray(meta.boxes),
+        zoom=jnp.asarray(meta.zoom_level),
+        meta=meta, use_pallas=False,
+    )
+    idx.path = root  # knn-graph artifact lookup (get_knng_path)
+    params = SessionParams(
+        index_spec=IndexSpec(d_name="synth", i_name="multiscale"),
+        interactive=method,
+        batch_size=BATCH_SIZE,
+        shortlist_size=SHORTLIST,
+        agg_method="avg_score",
+        aug_larger="all",
+        start_policy=start_policy,
+        interactive_options=dict(options, windowed=True),
+    )
+    tpu_session = Session(None, StubDataset(), idx, params)
+    km = tpu_session.loop.state.knn_model
+    if km.lp.windowed_layout is None:
+        # the auto builder may judge this 200-vertex toy graph below the
+        # windowed/XLA breakeven; force a layout — any layout is CORRECT
+        # (selection only affects speed), and without one the fused path
+        # would silently not engage
+        from seesaw_tpu.ops.pallas_spmv import build_windowed_layout_auto
+
+        km.lp.windowed_layout = build_windowed_layout_auto(
+            np.asarray(km.weights.nbr), np.asarray(km.weights.w),
+            min_coverage=0.0,
+        )
+    assert km.lp.windowed_layout is not None
+
+    ref_rounds = _drive(ref_session, RefBox, gt, _ref_scores)
+    tpu_rounds = _drive(tpu_session, Box, gt, _tpu_scores)
+
+    # prove the serving machinery actually engaged: device-mode prior,
+    # device-persistent labels, and the fused knnprop program ran
+    assert isinstance(km.prior_scores, jax.Array)
+    assert km._labels_dev is not None
+    assert getattr(idx, "last_program_shape", (None,))[0] == "knnprop"
+
+    assert len(ref_rounds) == len(tpu_rounds) == N_ROUNDS
+    for r, ((ri, rs, rb), (ti, ts, tb)) in enumerate(
+            zip(ref_rounds, tpu_rounds)):
+        assert ri == ti, (
+            f"fused knn_prop2 round {r}: returned dbidxs diverged: "
+            f"ref={ri} tpu={ti}"
+        )
+        np.testing.assert_allclose(
+            ts, rs, rtol=score_rtol, atol=score_rtol / 10,
+            err_msg=f"fused knn_prop2 round {r}: frame scores diverged",
+        )
+        np.testing.assert_allclose(
+            tb, rb, atol=1e-3,
+            err_msg=f"fused knn_prop2 round {r}: activation boxes diverged",
+        )
+    assert sorted(ref_session.seen) == sorted(
+        int(x) for x in tpu_session.seen
+    )
+    assert sorted(ref_session.accepted) == sorted(
+        int(x) for x in tpu_session.accepted
+    )
+    assert len(ref_session.accepted) > 0
+
+
 def test_full_session_start_policy_vs_ref(synth):
     """Start-policy gating composes identically: with
     'after_first_positive_and_negative' the method must stay on the plain
