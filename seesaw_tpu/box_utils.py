@@ -220,6 +220,36 @@ class BoxBatch:
             self.xseg.pad(padding, 0, xmax), self.yseg.pad(padding, 0, ymax)
         )
 
+    def _frame_wh(self):
+        """Display frame for the HTML repr: the boxes' extent (subclasses
+        bound to an image override with its true dimensions)."""
+        return (float(np.max(self.x2(), initial=1.0)),
+                float(np.max(self.y2(), initial=1.0)))
+
+    def _repr_html_(self) -> str:
+        """Notebook table with a mini-SVG per box (reference styles a
+        DataFrame with shapely polygon svgs, `box_utils.py:218-222`; ours
+        is a dependency-free HTML table, same at-a-glance content)."""
+        w, h = self._frame_wh()
+        disp = 96.0 / max(w, h, 1e-9)
+        rows = []
+        for i, b in enumerate(self.to_xyxy()):
+            cells = "".join(f"<td>{v:.1f}</td>" for v in b)
+            mini = (
+                f'<svg xmlns="http://www.w3.org/2000/svg" '
+                f'width="{w * disp:.0f}" height="{h * disp:.0f}" '
+                f'viewBox="0 0 {w:.2f} {h:.2f}">'
+                f'<rect x="0" y="0" width="{w:.2f}" height="{h:.2f}" '
+                f'fill="none" stroke="#888" stroke-width="1"/>'
+                f"{_rects_svg(b.reshape(1, 4))}</svg>"
+            )
+            rows.append(f"<tr><td>{i}</td>{cells}<td>{mini}</td></tr>")
+        return (
+            "<table><thead><tr><th></th><th>x1</th><th>y1</th><th>x2</th>"
+            "<th>y2</th><th>shape</th></tr></thead><tbody>"
+            + "".join(rows) + "</tbody></table>"
+        )
+
     def best_square_box(self, xmax=np.inf, ymax=np.inf, min_side=0) -> "BoxBatch":
         """Square crop within bounds with maximal overlap, near-centered —
         used to cut square training patches around labeled boxes."""
@@ -257,6 +287,89 @@ class BoundingBoxBatch(BoxBatch):
             xmax=self.im_width, ymax=self.im_height, min_side=min_side
         )
         return BoundingBoxBatch(bb.xseg, bb.yseg, self.im_width, self.im_height)
+
+    def _frame_wh(self):
+        return (float(np.max(self.im_width)), float(np.max(self.im_height)))
+
+
+def _rects_svg(xyxy: np.ndarray, fill: str = "#66c2a5") -> str:
+    """SVG <rect> elements for an (N, 4) xyxy array (no shapely — the
+    reference renders via shapely's polygon svg, `box_utils.py:128-134`;
+    plain rects carry the same information for axis-aligned boxes)."""
+    parts = []
+    for x1, y1, x2, y2 in np.asarray(xyxy, np.float64).reshape(-1, 4):
+        parts.append(
+            f'<rect x="{x1:.2f}" y="{y1:.2f}" width="{x2 - x1:.2f}" '
+            f'height="{y2 - y1:.2f}" fill="{fill}" fill-opacity="0.35" '
+            f'stroke="#1b7837" stroke-width="1"/>'
+        )
+    return "".join(parts)
+
+
+def boxes_svg(xyxy: np.ndarray, width: float, height: float) -> str:
+    """Standalone SVG document showing boxes inside a width x height frame."""
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width:.0f}" '
+        f'height="{height:.0f}" viewBox="0 0 {width:.2f} {height:.2f}">'
+        f'<rect x="0" y="0" width="{width:.2f}" height="{height:.2f}" '
+        f'fill="none" stroke="#888" stroke-width="1"/>'
+        f"{_rects_svg(xyxy)}</svg>"
+    )
+
+
+class BoxOverlay:
+    """Overlays one box on its image for notebook display (reference
+    `box_utils.py:273-327` — shapely-free: the SVG is assembled directly).
+
+    `max_display_size` caps the rendered size; the box stays in image
+    coordinates via an SVG group transform, exactly like the reference's
+    `matrix(scale,0,0,scale,0,0)`."""
+
+    def __init__(self, x1, y1, x2, y2, im_width, im_height, im_url=None,
+                 max_display_size=None):
+        self.box = np.array([[x1, y1, x2, y2]], np.float64)
+        self.im_width = float(im_width)
+        self.im_height = float(im_height)
+        if max_display_size is None:
+            self.scale_factor = 1.0
+        else:
+            self.scale_factor = round(
+                min(max(im_width, im_height), max_display_size)
+                / max(im_width, im_height), 2,
+            )
+        self.im_url = im_url
+
+    @staticmethod
+    def from_dfrow(dfrow, im_url=None, max_display_size=None) -> "BoxOverlay":
+        return BoxOverlay(
+            dfrow.x1, dfrow.y1, dfrow.x2, dfrow.y2, dfrow.im_width,
+            dfrow.im_height, im_url=im_url,
+            max_display_size=max_display_size,
+        )
+
+    def _repr_html_(self) -> str:
+        width = round(self.scale_factor * self.im_width)
+        height = round(self.scale_factor * self.im_height)
+        image_str = (
+            f'<img width="{width}" height="{height}" src="{self.im_url}"/>'
+            if self.im_url else ""
+        )
+        style_str = "position:absolute;top:0;left:0" if self.im_url else ""
+        frame = (
+            f'<rect x="0" y="0" width="{self.im_width:.2f}" '
+            f'height="{self.im_height:.2f}" fill="none" stroke="#888" '
+            f'stroke-width="1"/>'
+        )
+        svg_str = (
+            f'<svg style="{style_str}" width="{width}" height="{height}" '
+            f'viewBox="0 0 {width} {height}">'
+            f'<g transform="matrix({self.scale_factor:.02f},0,0,'
+            f'{self.scale_factor:.02f},0,0)">{frame}{_rects_svg(self.box)}'
+            f"</g></svg>"
+        )
+        return (
+            f'<div style="position:relative;">{image_str}{svg_str}</div>'
+        )
 
 
 def max_iou_per_left(b1, b2) -> np.ndarray:

@@ -62,3 +62,43 @@ def test_max_iou_per_left():
     out = box_utils.max_iou_per_left(tiles, labels)
     assert out[0] == pytest.approx(1.0)
     assert out[1] == pytest.approx(0.0)
+
+
+def test_svg_reprs_well_formed():
+    """The notebook display helpers (reference `box_utils.py:128-134,
+    218-222, 273-327`) emit well-formed markup with the box geometry in
+    image coordinates: BoxBatch/BoundingBoxBatch HTML tables and the
+    BoxOverlay image overlay (shapely-free)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    bb = box_utils.BoxBatch.from_xyxy(
+        np.array([[10.0, 20, 110, 70], [0.0, 0, 50, 50]])
+    )
+    html = bb._repr_html_()
+    assert html.count("<tr>") == 3  # header + 2 boxes
+    svgs = re.findall(r"<svg.*?</svg>", html)
+    assert len(svgs) == 2
+    rect = ET.fromstring(svgs[0]).findall(
+        "{http://www.w3.org/2000/svg}rect"
+    )
+    # frame rect + box rect; box keeps image coordinates
+    assert float(rect[1].get("x")) == 10.0
+    assert float(rect[1].get("width")) == 100.0
+
+    bbb = box_utils.BoundingBoxBatch.from_boxbatch(bb, 640, 480)
+    assert 'viewBox="0 0 640.00 480.00"' in bbb._repr_html_()
+
+    ov = box_utils.BoxOverlay(10, 20, 110, 70, 640, 480,
+                              im_url="http://x/im.jpg",
+                              max_display_size=320)
+    h = ov._repr_html_()
+    assert ov.scale_factor == 0.5
+    assert '<img width="320" height="240"' in h
+    assert "matrix(0.50,0,0,0.50,0,0)" in h
+    # overlay without an image url renders standalone (no absolute pos)
+    h2 = box_utils.BoxOverlay(0, 0, 5, 5, 10, 10)._repr_html_()
+    assert "position:absolute" not in h2
+
+    doc = box_utils.boxes_svg(np.array([[1.0, 2, 3, 4]]), 10, 10)
+    ET.fromstring(doc)  # parses as XML
