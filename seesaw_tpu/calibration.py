@@ -37,7 +37,13 @@ def _platt_fit(scores: np.ndarray, y: np.ndarray, n_iter: int = 200):
 
 
 def compute_calibrated_probabilities(scores: np.ndarray, a: float, b: float):
-    return 1.0 / (1.0 + np.exp(-(a * scores + b)))
+    """sigma(a*s + b), clipped into the OPEN unit interval: a saturated fit
+    (Platt's A diverges on separable ground truth) yields exact 0.0/1.0 in
+    f64, which downstream probability models reject — the reference's own
+    LKNN assert notes this "could fail by chance ... fix properly by
+    applying sigmoid" (`loops/LKNN_model.py:89`); clipping is that fix."""
+    p = 1.0 / (1.0 + np.exp(-(a * scores + b)))
+    return np.clip(p, 1e-7, 1.0 - 1e-7)
 
 
 class GroundTruthCalibrator:
@@ -79,7 +85,11 @@ class FixedCalibrator:
             scores = vectors @ np.asarray(scores_or_qvec).reshape(-1)
         else:
             scores = np.asarray(scores_or_qvec)
-        z = self.a * (scores + self.b)
         if self.sigmoid:
-            return 1.0 / (1.0 + np.exp(-z))
-        return z
+            # reference semantics sigma(a*(s+b)) == sigma(a*s + a*b);
+            # clipped into the open interval (see
+            # compute_calibrated_probabilities)
+            return compute_calibrated_probabilities(
+                scores, self.a, self.a * self.b
+            )
+        return self.a * (scores + self.b)

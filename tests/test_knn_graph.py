@@ -406,3 +406,42 @@ def test_warm_start_matches_cold_fixed_point():
     warm.set_base_scores(base * 0.5)
     np.testing.assert_array_equal(
         np.asarray(warm._scores_dev), warm.current_scores())
+
+
+def test_hierarchical_topk_exact():
+    """The segment-max selection is EXACT vs lax.top_k (no ties in random
+    f32 input): at most k segments can hold elements >= the k-th largest."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.knn import _hierarchical_topk
+
+    rng = np.random.default_rng(3)
+    sims = jnp.asarray(rng.normal(size=(16, 32768)).astype(np.float32))
+    want_v, want_i = jax.lax.top_k(sims, 33)
+    got_v, got_i = _hierarchical_topk(sims, 33)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_exact_knn_blocked_path_matches_bruteforce():
+    """The fused blocked program (N > 8192: bf16 matmul + hierarchical
+    top-k + cross-chunk merge + padding masks) agrees with the f32 brute
+    force on clustered unit vectors up to bf16-margin ties."""
+    from seesaw_tpu.ops.knn import exact_knn
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(64, 32)).astype(np.float32)
+    V = centers[rng.integers(0, 64, size=9000)] * 2.0
+    V += rng.normal(size=V.shape).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    ids, dist = exact_knn(V, 8, block_size=1024)
+    want_idx, want_dist = brute_knn(V, 8)
+    # bf16 scores: distances agree to bf16 resolution; the neighbor SET
+    # may swap entries whose f32 distances differ by < bf16 eps
+    np.testing.assert_allclose(dist, np.clip(want_dist, 0, None), atol=8e-3)
+    overlap = np.mean([
+        len(set(ids[i]) & set(want_idx[i])) / 8 for i in range(0, 9000, 7)
+    ])
+    assert overlap > 0.97, f"neighbor-set overlap {overlap}"
+    assert (ids != np.arange(9000)[:, None]).all(), "self-edge leaked"

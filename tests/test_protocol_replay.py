@@ -232,3 +232,66 @@ def test_annotator_labeled_feedback_round(server):
     assert all(b["marked_accepted"] and b["x2"] == 120.5 for b in drawn)
     # server counted the accepts (action_log carries running totals)
     assert state["session"]["action_log"][-1]["accepted"] == len(accepted_dbidx)
+
+
+def test_annotator_edit_sequences_and_timing(server):
+    """The full m-annotator edit lifecycle over the wire (m-annotator.vue
+    box move/resize/delete + description + accepted toggle, and the
+    mounted->annotator_end view intervals, m-annotator.vue:56-76): edits to
+    PREVIOUSLY-shipped rounds must round-trip through update_state, flip
+    the accept counters, and Imdata.timing must persist across rounds."""
+    base, _ = server
+    c = VueClient(base)
+    c.request("POST", "/user_session?mode=plain&dataset=bdd&index=multiscale",
+              raw_empty=True)
+    state = c.request("POST", f"/text?key={urllib.parse.quote(QSTR)}", body={})
+
+    # round 1: draw two boxes on the first image + record a view interval
+    gdata = state["session"]["gdata"]
+    first = gdata[-1][0]
+    first["boxes"] = [
+        dict(x1=10.0, y1=10.0, x2=60.0, y2=60.0,
+             description="a dog", marked_accepted=True),
+        dict(x1=100.0, y1=100.0, x2=150.0, y2=140.0,
+             description=None, marked_accepted=True),
+    ]
+    first["timing"] = [dict(start_ms=1000, end_ms=2500)]
+    for im in gdata[-1][1:]:
+        im["boxes"] = []
+    state = c.request("POST", "/next", body={"client_data": state})
+    acc_after_r1 = state["session"]["action_log"][-1]["accepted"]
+    assert acc_after_r1 == 1
+
+    # the shipped timing came back with the state
+    prev = state["session"]["gdata"][0][0]
+    assert prev["timing"] == [dict(start_ms=1000, end_ms=2500)]
+    assert len(prev["boxes"]) == 2
+
+    # round 2: EDIT the old image's boxes — move+resize box 0, delete box 1,
+    # change the description, toggle accepted -> rejected; append a second
+    # view interval. Label the new batch negative.
+    prev["boxes"] = [dict(x1=30.0, y1=35.0, x2=95.5, y2=120.25,
+                          description="edited dog",
+                          marked_accepted=False)]
+    prev["timing"] = prev["timing"] + [dict(start_ms=9000, end_ms=9900)]
+    for im in state["session"]["gdata"][-1]:
+        im["boxes"] = []
+    state = c.request("POST", "/next", body={"client_data": state})
+    _assert_appstate(state)
+
+    back = state["session"]["gdata"][0][0]
+    assert back["boxes"] == [dict(
+        x1=30.0, y1=35.0, x2=95.5, y2=120.25,
+        description="edited dog", marked_accepted=False,
+    )]
+    assert back["timing"] == [dict(start_ms=1000, end_ms=2500),
+                              dict(start_ms=9000, end_ms=9900)]
+    # the accept was REVERSED by the edit: running accepted count drops to 0
+    assert state["session"]["action_log"][-1]["accepted"] == 0
+
+    # the session's saved JSON preserves timing for user_data_analysis
+    resp = c.request("POST", "/save", body={"client_data": state})
+    with open(f"{resp['path']}/summary.json") as f:
+        saved = json.load(f)
+    saved_first = saved["session"]["gdata"][0][0]
+    assert saved_first["timing"][0]["start_ms"] == 1000
