@@ -1017,6 +1017,35 @@ class MultiscaleIndex(AccessMethod):
                     aug_larger=aug_larger, aug_weight=aug_weight,
                 )
 
+        if self._sharded is not None:
+            # mesh index: the ranking tail runs SHARDED (per-shard shortlist
+            # + augmentation, global cutoff + merged top-k over ICI) — the
+            # multi-chip KnnProp2 serving round's rank step
+            from ..parallel.sharded_index import sharded_rank_by_scores
+
+            mask_np = np.array(self._base_excluded_mask, dtype=bool)
+            if exclude is not None and len(exclude):
+                ords = self._dbidx_to_frame_ordinals(
+                    np.asarray(exclude.to_array(), dtype=np.int64)
+                )
+                mask_np[ords[ords >= 0]] = True
+            dbidxs, fscores, act_boxes, act_scores = sharded_rank_by_scores(
+                self._sharded, np.asarray(scores, np.float32), mask_np,
+                topk=topk_eff, shortlist_size=shortlist_size,
+                aug_larger=aug_larger, aug_weight=aug_weight,
+                agg_method=agg_method,
+            )
+            activations = [
+                {
+                    "x1": float(b[0]), "y1": float(b[1]),
+                    "x2": float(b[2]), "y2": float(b[3]),
+                    "dbidx": int(dbidx), "score": float(s),
+                }
+                for b, s, dbidx in zip(act_boxes, act_scores, dbidxs)
+            ]
+            return {"dbidxs": dbidxs.astype(np.int64),
+                    "activations": activations}
+
         mask, new_ids, token = self._device_exclusion(exclude)
 
         if isinstance(scores, jax.Array):

@@ -119,8 +119,17 @@ def _knn_block_group(V: jnp.ndarray, row_start, *, k: int, block: int,
     return ids, sims
 
 
-_CHUNK = 1 << 15  # 32768 columns/step: <=12% pad waste, 512 L2 segments
-_BLOCK = 4096  # sims buffer block x chunk f32 = 512MB
+# Column-chunk sizing drives the gather cost: the winning-segment gather
+# issues block*k slices per chunk regardless of chunk width, so total
+# slices = k * N^2 / chunk — wider chunks amortize the per-slice latency
+# (measured ~53ns/slice; at 32k-wide chunks the gather was 7 of the 12
+# ms/tile). Large problems use 256k-wide chunks (sims buffer 1GB f32);
+# small ones fall back to 32k so padding waste and CPU-test buffers stay
+# bounded.
+_CHUNK_LG = 1 << 18
+_BLOCK_LG = 1024
+_CHUNK_SM = 1 << 15
+_BLOCK_SM = 4096
 
 
 def exact_knn(
@@ -145,8 +154,12 @@ def exact_knn(
         return (np.asarray(top_i, dtype=np.int32),
                 np.asarray(dist, dtype=np.float32))
 
-    block = block_size or _BLOCK
-    chunk = _CHUNK
+    if N >= _CHUNK_LG:
+        block, chunk = _BLOCK_LG, _CHUNK_LG
+    else:
+        block, chunk = _BLOCK_SM, _CHUNK_SM
+    if block_size is not None:
+        block = block_size
     N_pad = _round_up(N, max(block, chunk))
     V = jnp.zeros((N_pad, D), dtype=jnp.bfloat16)
     V = jax.lax.dynamic_update_slice(

@@ -43,6 +43,8 @@ class ShardedFrameIndex:
     tile_bound: int
     max_zoom: int
     row_scale: jax.Array | None = None  # (S, Fs*T) int8 per-row dequant
+    pad_rows: np.ndarray | None = None  # (F*T,) meta row per padded slot
+    pad_valid: np.ndarray | None = None  # (F*T,) real-tile mask
 
     @property
     def n_shards(self) -> int:
@@ -60,6 +62,24 @@ class ShardedFrameIndex:
         out[: self.n_frames] = mask[: self.n_frames]
         return jax.device_put(
             jnp.asarray(out.reshape(S, Fs)), NamedSharding(self.mesh, P("data"))
+        )
+
+    def shard_tile_scores(self, tile_scores: np.ndarray) -> jax.Array:
+        """(n_vectors,) per-tile scores (meta row order, e.g. a propagation
+        result) -> (S, Fs*T) padded blocks sharded over 'data', padding rows
+        at -inf. The layout mirrors V's so rank-by-scores reuses the query
+        tail verbatim."""
+        if self.pad_rows is None:
+            raise ValueError("index built without pad_rows (old snapshot)")
+        S, Fs, T = self.n_shards, self.n_frames_local, self.tile_bound
+        flat = np.full(S * Fs * T, -np.inf, dtype=np.float32)
+        n_ft = self.pad_rows.shape[0]
+        vals = np.asarray(tile_scores, dtype=np.float32)[self.pad_rows]
+        vals = np.where(self.pad_valid, vals, -np.inf)
+        flat[:n_ft] = vals
+        return jax.device_put(
+            jnp.asarray(flat.reshape(S, Fs * T)),
+            NamedSharding(self.mesh, P("data")),
         )
 
     @staticmethod
@@ -136,6 +156,8 @@ class ShardedFrameIndex:
                 put(shard_blocks(row_scale_pad, fill=1.0))
                 if row_scale_pad is not None else None
             ),
+            pad_rows=flat_rows,
+            pad_valid=flat_valid,
         )
 
 
@@ -531,3 +553,134 @@ def sharded_query_topk(
         agg_method=agg_method, qvec2=qvec2,
     )
     return out[:4]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "shortlist_size", "topk",
+        "aug_larger", "aug_weight", "agg_method", "max_zoom",
+    ),
+)
+def _sharded_rank_scores(
+    tile_scores, valid, boxes, zoom, frame_offset, excluded,
+    *,
+    mesh: Mesh,
+    shortlist_size: int,
+    topk: int,
+    aug_larger: str,
+    aug_weight: str,
+    agg_method: str,
+    max_zoom: int,
+):
+    """Rank frames by EXTERNAL per-tile scores over the sharded index — the
+    KnnProp2 serving round's ranking tail (single-chip analogue:
+    MultiscaleIndex.rank_by_scores) with the same global-shortlist-cutoff
+    protocol as `_sharded_query`."""
+    Fs = valid.shape[1]
+    topk_local = min(topk, Fs)
+    shortlist_local = min(shortlist_size, Fs)
+    S = mesh.shape["data"]
+    k_global = min(shortlist_size, S * shortlist_local)
+
+    def per_shard(tile_scores, valid, boxes, zoom, frame_offset, excluded):
+        scores = tile_scores[0]
+        exc = excluded[0]
+        s_ft = jnp.where(valid[0], scores.reshape(Fs, -1), -jnp.inf)
+        fmax = jnp.max(s_ft, axis=1)
+        fmax = jnp.where(exc, -jnp.inf, fmax)
+
+        # global shortlist cutoff (see _sharded_query for the tie protocol)
+        loc_scores, loc_idx = jax.lax.top_k(fmax, shortlist_local)
+        loc_gids = loc_idx.astype(jnp.int32) + frame_offset[0, 0]
+        all_scores = jax.lax.all_gather(loc_scores, "data", tiled=True)
+        all_gids = jax.lax.all_gather(loc_gids, "data", tiled=True)
+        neg_sorted, gid_sorted = jax.lax.sort(
+            (-all_scores, all_gids), num_keys=2
+        )
+        cut_s = -neg_sorted[k_global - 1]
+        cut_id = gid_sorted[k_global - 1]
+        gid_local = jnp.arange(Fs, dtype=jnp.int32) + frame_offset[0, 0]
+        keep = (fmax > cut_s) | ((fmax == cut_s) & (gid_local <= cut_id))
+        excl_eff = exc | ~keep
+
+        res = frame_scoring.rank_frames_from_scores(
+            scores, valid[0], boxes[0], zoom[0], excl_eff,
+            shortlist_size=shortlist_local,
+            topk=topk_local,
+            aug_larger=aug_larger,
+            aug_weight=aug_weight,
+            agg_method=agg_method,
+            max_zoom=max_zoom,
+        )
+        ok = res.frame_ids >= 0
+        gfids = jnp.where(ok, res.frame_ids + frame_offset[0, 0], -1)
+        return (
+            gfids[None], res.frame_scores[None],
+            res.act_boxes[None], res.act_scores[None],
+        )
+
+    spec = P("data")
+    gfids, scores, act_boxes, act_scores = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=spec,
+        check_rep=False,
+    )(tile_scores, valid, boxes, zoom, frame_offset, excluded)
+
+    flat_scores = scores.reshape(-1)
+    top_scores, pos = jax.lax.top_k(flat_scores, min(topk, flat_scores.shape[0]))
+    keep = top_scores > -jnp.inf
+    return (
+        jnp.where(keep, gfids.reshape(-1)[pos], -1),
+        top_scores,
+        act_boxes.reshape(-1, 4)[pos],
+        act_scores.reshape(-1)[pos],
+        keep.sum(),
+    )
+
+
+def sharded_rank_by_scores(
+    idx: ShardedFrameIndex,
+    tile_scores,
+    excluded_global: np.ndarray,  # (F_total,) bool
+    *,
+    topk: int,
+    shortlist_size: int | None = None,
+    aug_larger: str = "all",
+    aug_weight: str = "level_max",
+    agg_method: str = "avg_score",
+):
+    """KnnProp2-style serving rank over the mesh: per-tile scores (e.g. a
+    sharded label-propagation result, meta row order) -> distinct-frame
+    shortlist -> augmentation -> merged global top-k. Returns (dbidxs,
+    frame_scores, act_boxes, act_scores). Reference: the single-chip
+    `MultiscaleIndex.rank_by_scores` serving `loops/graph_based.py:88-109`."""
+    if shortlist_size is None or shortlist_size < topk:
+        shortlist_size = max(topk * 5, shortlist_size or 0)
+    shortlist_size = min(shortlist_size, idx.n_frames)
+    scores_dev = (
+        tile_scores if isinstance(tile_scores, jax.Array)
+        and tile_scores.ndim == 2
+        else idx.shard_tile_scores(np.asarray(tile_scores))
+    )
+    gfids, scores, boxes, act_scores, n_valid = _sharded_rank_scores(
+        scores_dev, idx.valid, idx.boxes, idx.zoom, idx.frame_offset,
+        idx.shard_mask(np.asarray(excluded_global)),
+        mesh=idx.mesh,
+        shortlist_size=shortlist_size,
+        topk=topk,
+        aug_larger=aug_larger,
+        aug_weight=aug_weight,
+        agg_method=agg_method,
+        max_zoom=idx.max_zoom,
+    )
+    n = int(n_valid)
+    fids = np.asarray(gfids)[:n]
+    return (
+        idx.frame_dbidx[fids],
+        np.asarray(scores)[:n],
+        np.asarray(boxes)[:n],
+        np.asarray(act_scores)[:n],
+    )

@@ -330,3 +330,50 @@ def test_sharded_vector2_discount(tmp_path):
     s1 = [a["score"] for a in r1["activations"]]
     s2 = [a["score"] for a in r2["activations"]]
     np.testing.assert_allclose(s2, s1, atol=1e-5)
+
+
+def test_sharded_rank_by_scores_matches_single_chip(db):
+    """External-score ranking over the mesh (the KnnProp2 round's rank step)
+    equals MultiscaleIndex.rank_by_scores on one device: same dbidx order
+    and frame scores under exclusion."""
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.parallel.sharded_index import sharded_rank_by_scores
+    from seesaw_tpu.runtime.bitmap import BitMap
+
+    meta, V = db
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    scores = rng.normal(size=meta.n_vectors).astype(np.float32)
+
+    idx_solo = MultiscaleIndex(vectors=V, meta=meta)
+    idx_mesh = MultiscaleIndex(vectors=V, meta=meta, mesh=mesh)
+    assert idx_mesh._sharded is not None
+
+    # exclude the TOP-scoring frames so the exclusion path provably bites
+    # (and dbidx != frame ordinal in this fixture, catching id-space mixups)
+    head = idx_solo.rank_by_scores(scores, topk=3, exclude=None)
+    exclude = BitMap(int(d) for d in head["dbidxs"])
+    for topk, sl in ((5, 20), (8, None)):
+        want = idx_solo.rank_by_scores(
+            scores, topk=topk, shortlist_size=sl, exclude=exclude,
+            agg_method="avg_score", aug_larger="all",
+        )
+        got = idx_mesh.rank_by_scores(
+            scores, topk=topk, shortlist_size=sl, exclude=exclude,
+            agg_method="avg_score", aug_larger="all",
+        )
+        assert list(got["dbidxs"]) == list(want["dbidxs"])
+        for a, b in zip(got["activations"], want["activations"]):
+            assert a["dbidx"] == b["dbidx"]
+            np.testing.assert_allclose(a["score"], b["score"], rtol=2e-6)
+
+    # direct API with a host mask, no exclusions
+    dbidxs, fscores, _, _ = sharded_rank_by_scores(
+        idx_mesh._sharded, scores, np.zeros(meta.n_frames, bool),
+        topk=6, shortlist_size=18,
+    )
+    want2 = idx_solo.rank_by_scores(
+        scores, topk=6, shortlist_size=18, exclude=None,
+        agg_method="avg_score", aug_larger="all",
+    )
+    assert list(dbidxs) == list(want2["dbidxs"])
