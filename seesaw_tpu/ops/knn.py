@@ -46,17 +46,27 @@ def _hierarchical_topk(sims: jnp.ndarray, k: int):
         return jax.lax.top_k(sims, k)
     n2 = W // (_SEG * _SEG)  # number of level-2 segments (width 64 each)
     seg2 = jnp.max(sims.reshape(B, n2, _SEG * _SEG), axis=2)  # (B, n2)
+    # segments ranked (max desc, seg idx asc) — lax.top_k's positional tie
+    # break IS segment-index order, which the tie proof needs: on value
+    # ties the lowest-index copies live in the lowest-index segments
     _, seg_idx = jax.lax.top_k(seg2, k)  # (B, k) level-2 segment ids
     # gather the k winning 64-wide segments per row
     cand = jnp.take_along_axis(
         sims.reshape(B, n2, _SEG * _SEG), seg_idx[:, :, None], axis=1
     )  # (B, k, 64)
     cand = cand.reshape(B, k * _SEG * _SEG)
-    vals, pos = jax.lax.top_k(cand, k)  # (B, k) within candidates
-    # candidate position -> original column id
-    seg_of = jnp.take_along_axis(seg_idx, pos // (_SEG * _SEG), axis=1)
-    idx = seg_of * (_SEG * _SEG) + pos % (_SEG * _SEG)
-    return vals, idx
+    cand_idx = (
+        seg_idx[:, :, None] * (_SEG * _SEG)
+        + jnp.arange(_SEG * _SEG)[None, None, :]
+    ).reshape(B, k * _SEG * _SEG)
+    # final selection with lax.top_k's EXACT tie protocol (value desc,
+    # column id asc) — a positional top_k over the gathered candidates
+    # would break ties by segment RANK instead, diverging from the
+    # single-pass semantics the sharded build bit-matches
+    neg_v, idx_sorted = jax.lax.sort(
+        (-cand, cand_idx), num_keys=2, dimension=1
+    )
+    return -neg_v[:, :k], idx_sorted[:, :k]
 
 
 @functools.partial(
@@ -96,9 +106,12 @@ def _knn_block_group(V: jnp.ndarray, row_start, *, k: int, block: int,
             i = i + c * chunk
             cat_s = jnp.concatenate([best_s, s], axis=1)
             cat_i = jnp.concatenate([best_i, i], axis=1)
-            s2, pos = jax.lax.top_k(cat_s, k)
-            i2 = jnp.take_along_axis(cat_i, pos, axis=1)
-            return (s2, i2), None
+            # merge under (value desc, global id asc) — bit-identical tie
+            # handling to a single flat lax.top_k over all columns
+            neg_m, i2s = jax.lax.sort(
+                (-cat_s, cat_i), num_keys=2, dimension=1
+            )
+            return (-neg_m[:, :k], i2s[:, :k]), None
 
         init = (jnp.full((block, k), neg, jnp.float32),
                 jnp.zeros((block, k), jnp.int32))
@@ -137,10 +150,12 @@ def exact_knn(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(N, k) neighbor ids + cosine distances, ascending by distance.
 
-    k is capped at N-1. One fused device program; V stays device-resident
-    in bf16 (the f32 accumulation keeps scores exact to ~1e-3, and the
-    neighbor SET at k=32 is insensitive at CLIP-like margins — parity with
-    the f32 scan is asserted by tests/test_knn_graph.py).
+    k is capped at N-1. One fused device program per bounded row-group;
+    V stays device-resident in f32 (MXU default precision). Results are
+    bit-identical to a flat lax.top_k over the full similarity row — the
+    hierarchical selection and cross-chunk merges both break value ties by
+    ascending column id — and to the sharded systolic build
+    (tests/test_sharded_stress.py::test_sharded_knn_12k_bit_equal).
     """
     N, D = vectors.shape
     k = min(n_neighbors, N - 1)
@@ -161,9 +176,13 @@ def exact_knn(
     if block_size is not None:
         block = block_size
     N_pad = _round_up(N, max(block, chunk))
-    V = jnp.zeros((N_pad, D), dtype=jnp.bfloat16)
+    # f32 storage with the MXU's default precision (bf16-truncated inputs,
+    # f32 accumulation — the SAME arithmetic the f32 sharded systolic build
+    # and the old flat scan perform, so the three stay bit-equal; explicit
+    # bf16 storage ROUNDS instead and swaps near-tie neighbors)
+    V = jnp.zeros((N_pad, D), dtype=jnp.float32)
     V = jax.lax.dynamic_update_slice(
-        V, jnp.asarray(vectors, dtype=jnp.bfloat16), (0, 0)
+        V, jnp.asarray(vectors, dtype=jnp.float32), (0, 0)
     )
     # bounded dispatches: ~target_pairs row*col work each (device seconds,
     # far under the watchdog), host loop + 2-deep download pipeline

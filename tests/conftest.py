@@ -19,3 +19,27 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# -- fast tier ---------------------------------------------------------------
+# `pytest -m fast` runs the ~220-test core tier (<5 min on this 1-vCPU box)
+# for in-round iteration; the full suite stays the commit gate. The list is
+# data-driven from a full --durations=0 run: every test whose setup+call
+# cost <= 1s, plus the cheapest test of each file not otherwise covered
+# (regenerate: see scripts/update_fast_tier.py).
+import pathlib
+
+import pytest
+
+_FAST_LIST = pathlib.Path(__file__).parent / "fast_tier.txt"
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _FAST_LIST.exists():
+        return
+    fast = {
+        ln.strip() for ln in _FAST_LIST.read_text().splitlines() if ln.strip()
+    }
+    for item in items:
+        if item.nodeid in fast:
+            item.add_marker(pytest.mark.fast)

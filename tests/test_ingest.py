@@ -125,7 +125,16 @@ def test_create_multiscale_index_end_to_end(image_dataset):
 
 def test_create_coarse_index(image_dataset):
     from seesaw_tpu.indices.coarse import CoarseIndex
-    from seesaw_tpu.ingest.pipeline import create_coarse_index
+    from seesaw_tpu.ingest.pipeline import (
+        create_coarse_index, create_multiscale_index,
+    )
+    # self-sufficient under test selection (-m fast / -k): build the source
+    # multiscale index if the end-to-end builder test didn't run first
+    if "ms_test" not in image_dataset[1].list_indices():
+        create_multiscale_index(
+            image_dataset[1], "ms_test", "clip-test", tile_size=32,
+            min_tile_size=32, batch_size=16, force=True,
+        )
 
     gdm, ds = image_dataset
     coarse = create_coarse_index(ds, "coarse_test", from_index="ms_test", force=True)
