@@ -1943,7 +1943,10 @@ def _supervise() -> int:
     import threading
 
     total_s = float(os.environ.get("SEESAW_BENCH_TOTAL_S", 1680))
-    first_contact_s = float(os.environ.get("SEESAW_BENCH_CONTACT_S", 120))
+    # normal contact is 1-3s after the ~15s import; 75s is still 3x margin,
+    # and a cheaper wedge leaves the retry attempt budget for the skipped
+    # tail stages (the r5 run-1 wedge cost finetune its slot at 120s)
+    first_contact_s = float(os.environ.get("SEESAW_BENCH_CONTACT_S", 75))
     stall_s = float(os.environ.get("SEESAW_BENCH_STALL_S", 600))
     t0 = time.time()
     out_lines: list[str] = []
