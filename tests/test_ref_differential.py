@@ -1098,3 +1098,134 @@ def test_online_model_finetune_vs_ref(monkeypatch):
         ref_model.encode_string(target).reshape(-1),
         rtol=5e-4, atol=5e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# textual loop label assembly vs the literal reference join machinery
+# ---------------------------------------------------------------------------
+
+def test_textual_label_assembly_vs_ref():
+    """The textual loop's model-update INPUT ASSEMBLY — per-annotation
+    best-IoU tile join + min-IoU filter + concatenation across labeled
+    frames — against the LITERAL reference machinery run verbatim:
+    `join_vecs2annotations` + `add_iou_score`
+    (textual_feedback_box.py:20-38, multiscale_index.py:407-414) composed
+    exactly as the reference loop glue does (`loops/textual.py:55-83`).
+    The loop itself is un-session-oracle-able (bitrot: set_text_vec
+    raises, model construction commented out), but its data path is pure
+    and runs here — with the component-level OnlineModel trajectory
+    oracles above, the textual pipeline is now differential end-to-end
+    except the unrunnable glue ordering."""
+    import types as _types
+
+    if "seesaw.models.clip_module" not in sys.modules:
+        _cm = _types.ModuleType("seesaw.models.clip_module")
+        _cm.CLIPFineTunedModel = _cm.CLIPTx = _cm.MappedDataset = object
+        _cm.configure_optimizer = None
+        sys.modules["seesaw.models.clip_module"] = _cm
+    if "clip" not in sys.modules:  # join path never touches the model
+        _clip = _types.ModuleType("clip")
+        _clip.model = _types.ModuleType("clip.model")
+        _clip.tokenize = None
+        _clip.model.build_model = None
+        sys.modules["clip"] = _clip
+        sys.modules["clip.model"] = _clip.model
+    tb = ref.load("seesaw.textual_feedback_box")
+
+    from seesaw_tpu.basic_types import Box
+    from seesaw_tpu.indices.meta import VectorMeta
+    from seesaw_tpu.indices.multiscale import MultiscaleIndex
+    from seesaw_tpu.loops.textual import join_vecs2annotations as our_join
+
+    rng = np.random.default_rng(11)
+    n_frames, d = 14, 24
+    dbidx, zoom, boxes = [], [], []
+    for f in range(n_frames):
+        for _ in range(int(rng.integers(2, 7))):
+            zl = int(rng.integers(1, 4))
+            size = 36.0 * zl
+            x1 = float(rng.uniform(0, 180))
+            y1 = float(rng.uniform(0, 180))
+            dbidx.append(f)
+            zoom.append(zl)
+            boxes.append((x1, y1, x1 + size, y1 + size))
+    meta, order = VectorMeta.from_arrays(
+        np.array(dbidx), np.array(zoom), np.array(boxes, np.float32)
+    )
+    V = rng.normal(size=(meta.n_vectors, d)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    idx = MultiscaleIndex(vectors=V, meta=meta)
+
+    class RefDb:  # reference-shaped get_data (multiscale_index.py:358-362)
+        def get_data(self, dbx):
+            data = idx.get_data(int(dbx))
+            return pd.DataFrame(
+                dict(
+                    x1=data["boxes"][:, 0], y1=data["boxes"][:, 1],
+                    x2=data["boxes"][:, 2], y2=data["boxes"][:, 3],
+                )
+            ).assign(vectors=list(data["vectors"]))
+
+    class RefBox:  # pydantic-v1-shaped annotation (.dict(), attributes)
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def dict(self):
+            return dict(self.__dict__)
+
+    # random annotations on a random subset of frames; one frame labeled
+    # with ZERO boxes (skipped by both), descriptions always present (our
+    # loop normalizes None -> "" for the scorer key; the reference would
+    # pass None through — out of scope for the assembly contract)
+    annots = {}
+    labeled = sorted(rng.choice(n_frames, size=9, replace=False).tolist())
+    for f in labeled:
+        k = int(rng.integers(0, 4))
+        rows = []
+        for _ in range(k):
+            x1 = float(rng.uniform(0, 200)); y1 = float(rng.uniform(0, 200))
+            rows.append(dict(
+                x1=x1, y1=y1, x2=x1 + float(rng.uniform(10, 120)),
+                y2=y1 + float(rng.uniform(10, 120)),
+                description=f"thing{int(rng.integers(0, 3))}",
+                marked_accepted=bool(rng.integers(0, 2)),
+            ))
+        annots[f] = rows
+
+    for min_iou in (0.0, 0.2, 0.5):
+        # --- the reference assembly, machinery verbatim ------------------
+        r_vecs, r_strs, r_acc = [], [], []
+        for f in labeled:
+            anns = [RefBox(**r) for r in annots[f]]
+            if not anns:
+                continue
+            _dfvec, dfbox = tb.join_vecs2annotations(RefDb(), f, anns)
+            df = dfbox[dfbox.best_box_iou > min_iou]
+            if df.shape[0] > 0:
+                r_vecs.append(np.stack(list(df.vectors.values)))
+                r_strs.append(df.descriptions.values)
+                r_acc.append(df.marked_accepted.values)
+        # --- ours (exactly what loops/textual.py feeds the model) --------
+        o_vecs, o_strs, o_acc = [], [], []
+        for f in labeled:
+            anns = [Box(**r) for r in annots[f]]
+            if not anns:
+                continue
+            v, s, a, iou = our_join(idx, f, anns)
+            keep = iou > min_iou
+            if keep.any():
+                o_vecs.append(v[keep])
+                o_strs.append(s[keep])
+                o_acc.append(a[keep])
+
+        assert len(r_vecs) == len(o_vecs)
+        if not r_vecs:
+            continue
+        np.testing.assert_allclose(
+            np.concatenate(r_vecs), np.concatenate(o_vecs), atol=1e-6
+        )
+        assert list(np.concatenate(r_strs)) == list(np.concatenate(o_strs))
+        np.testing.assert_array_equal(
+            np.concatenate(r_acc).astype(bool),
+            np.concatenate(o_acc).astype(bool),
+        )
