@@ -215,106 +215,102 @@ def sharded_propagate(
     return np.asarray(out)[:N]
 
 
-def sharded_propagate_windowed(
-    layout,  # ops.pallas_spmv.WindowedSpmv (host or device fields)
-    degree: np.ndarray,
-    prior: np.ndarray,
-    labels: np.ndarray,
-    is_labeled: np.ndarray,
-    start: np.ndarray,
-    mesh: Mesh,
-    *,
-    reg_lambda: float,
-    max_iter: int = 300,
-    epsilon: float = 1e-5,
-    interpret: bool | None = None,
-) -> np.ndarray:
-    """Row-sharded Jacobi propagation through the windowed-SpMV Pallas
-    kernel: slab blocks shard on the mesh, the (N,) score vector all-gathers
-    per iteration (4MB at 1M tiles — ICI noise next to the slab streaming),
-    and each shard's local grid indexes the replicated scores through its
-    build-time base rows (scalar-prefetched into the kernel). The overflow
-    COO splits by source shard at setup. Matches `propagate_windowed` up to
-    f32 summation order (per-shard overflow scatters), and the XLA paths to
-    the same tolerance. Layouts with a baked-in RCM relabeling (`order`)
-    are handled here at the host boundary: inputs permute in, scores
-    permute back out — callers keep original vertex ids."""
-    from ..ops.pallas_spmv import _base_rows, _spmv_core
+class _WindowedMeshPrep:
+    """Device-resident, call-invariant setup for mesh windowed propagation:
+    sharded slab blocks, base rows, per-shard overflow COO, shapes and the
+    relabeling permutation. Built once per (layout, mesh) and cached — a
+    serving round must not re-split the overflow COO (O(edges) host work)
+    or re-upload slabs on every click."""
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    __slots__ = ("n", "Np", "Ns", "NBs", "S", "B", "cap", "UROWS", "EROWS",
+                 "Mp", "order", "inv", "cidx_d", "wslab_d", "base_d",
+                 "ovf_args", "sharding")
+
+
+_WPREP_CACHE: dict = {}
+
+
+def _prep_windowed_mesh(layout, mesh: Mesh) -> _WindowedMeshPrep:
+    from ..ops.pallas_spmv import _base_rows
+
+    key = (id(layout), id(mesh))
+    hit = _WPREP_CACHE.get(key)
+    if hit is not None and hit[0] is layout and hit[1] is mesh:
+        return hit[2]
 
     hostify = lambda x: np.asarray(x)
-    order = getattr(layout, "order", None)
-    n = layout.n
-    vecs = [degree, prior, labels, is_labeled, start]
-    vecs = [hostify(v) for v in vecs]
-    if order is not None:
-        vecs = [v[order] for v in vecs]
-    degree, prior, labels, is_labeled, start = vecs
+    p = _WindowedMeshPrep()
+    p.order = getattr(layout, "order", None)
+    p.n = layout.n
+    if p.order is not None:
+        p.inv = np.empty(p.n, np.int64)
+        p.inv[np.asarray(p.order)] = np.arange(p.n)
+    else:
+        p.inv = None
 
     B, W, cap = layout.B, layout.W, layout.cap
     cidx = hostify(layout.cidx)
     wslab = hostify(layout.wslab)
     NB, UROWS, EROWS, _ = cidx.shape
     S = mesh.devices.size
-    NBs = -(-NB // S)  # slab blocks per shard
+    NBs = -(-NB // S)
     nb_pad = NBs * S - NB
-    Np = NBs * S * B
-    Ns = NBs * B  # vertices per shard
+    p.Np = NBs * S * B
+    p.Ns = NBs * B
+    p.NBs, p.S, p.B, p.cap = NBs, S, B, cap
+    p.UROWS, p.EROWS = UROWS, EROWS
     if nb_pad:
         zpad = lambda a: np.concatenate(
             [a, np.zeros((nb_pad,) + a.shape[1:], a.dtype)], axis=0
         )
         cidx, wslab = zpad(cidx), zpad(wslab)
-    # base rows are the BUILD's values (R = build-time padded rows): slab
-    # lane indices are relative to them; padding blocks get base 0 (their
-    # weights are all zero)
     base = np.zeros(NBs * S, np.int32)
     base[:NB] = _base_rows(NB, B, W, (NB * B) // 128)
     base = base.reshape(S, NBs)
 
     # overflow COO split by source shard (local row ids; zero-weight pads)
     if getattr(layout, "routed", None) is not None:
-        # routed layouts carry vestigial COO fields; reconstruct the flat
-        # edge list (this path shards the scalar scatter per source shard)
         src, onbr, ow = layout.routed.to_coo()
     else:
         src = hostify(layout.ovf_src)
         onbr = hostify(layout.ovf_nbr)
         ow = hostify(layout.ovf_w)
-    shard_of = src // Ns
+    shard_of = src // p.Ns
     counts = np.bincount(shard_of[ow != 0], minlength=S)
-    Mp = max(-(-int(counts.max(initial=0)) // 128) * 128, 128)
-    ovf_src_l = np.zeros((S, Mp), np.int32)
-    ovf_nbr_l = np.zeros((S, Mp), np.int32)
-    ovf_w_l = np.zeros((S, Mp), np.float32)
+    p.Mp = max(-(-int(counts.max(initial=0)) // 128) * 128, 128)
+    ovf_src_l = np.zeros((S, p.Mp), np.int32)
+    ovf_nbr_l = np.zeros((S, p.Mp), np.int32)
+    ovf_w_l = np.zeros((S, p.Mp), np.float32)
     for s in range(S):
         m = (shard_of == s) & (ow != 0)
         c = int(m.sum())
-        ovf_src_l[s, :c] = src[m] - s * Ns
+        ovf_src_l[s, :c] = src[m] - s * p.Ns
         ovf_nbr_l[s, :c] = onbr[m]
         ovf_w_l[s, :c] = ow[m]
 
-    pad_n = Np - n
-    fvec = lambda v, fill=0: jax.device_put(
-        _pad_rows(v.astype(np.float32) if v.dtype != bool else v, pad_n,
-                  fill=fill),
-        NamedSharding(mesh, P(AXIS)),
-    )
     blocked = lambda a: jax.device_put(
         a.reshape((S, NBs) + a.shape[1:]), NamedSharding(mesh, P(AXIS))
     )
-    deg_d, prior_d, labels_d, is_lab_d, start_d = (
-        fvec(degree), fvec(prior), fvec(labels), fvec(is_labeled),
-        fvec(start),
+    p.sharding = NamedSharding(mesh, P(AXIS))
+    p.cidx_d, p.wslab_d = blocked(cidx), blocked(wslab)
+    p.base_d = jax.device_put(base, p.sharding)
+    p.ovf_args = tuple(
+        jax.device_put(a, p.sharding) for a in (ovf_src_l, ovf_nbr_l, ovf_w_l)
     )
-    cidx_d, wslab_d = blocked(cidx), blocked(wslab)
-    sh = NamedSharding(mesh, P(AXIS))
-    base_d = jax.device_put(base, sh)
-    ovf_args = tuple(
-        jax.device_put(a, sh) for a in (ovf_src_l, ovf_nbr_l, ovf_w_l)
-    )
+    while len(_WPREP_CACHE) >= 4:  # a serving process holds O(1) layouts
+        _WPREP_CACHE.pop(next(iter(_WPREP_CACHE)))
+    _WPREP_CACHE[key] = (layout, mesh, p)
+    return p
+
+
+@functools.lru_cache(maxsize=16)
+def _windowed_mesh_run(mesh: Mesh, NBs: int, Np: int, Ns: int, UROWS: int,
+                       EROWS: int, cap: int, reg_lambda: float,
+                       max_iter: int, epsilon: float, interpret: bool):
+    """The compiled mesh Jacobi program, cached by (mesh, shapes, params):
+    the previous per-call shard_map closure re-traced on EVERY serving
+    round."""
+    from ..ops.pallas_spmv import _spmv_core
 
     @functools.partial(
         shard_map,
@@ -368,10 +364,61 @@ def sharded_propagate_windowed(
         )
         return jnp.where(done, f_prev, f)
 
-    out = np.asarray(run(deg_d, prior_d, labels_d, is_lab_d, start_d,
-                         cidx_d, wslab_d, base_d, *ovf_args))[:n]
-    if order is not None:
-        inv = np.empty(n, np.int64)
-        inv[np.asarray(order)] = np.arange(n)
-        out = out[inv]
+    return jax.jit(run)
+
+
+def sharded_propagate_windowed(
+    layout,  # ops.pallas_spmv.WindowedSpmv (host or device fields)
+    degree: np.ndarray,
+    prior: np.ndarray,
+    labels: np.ndarray,
+    is_labeled: np.ndarray,
+    start: np.ndarray,
+    mesh: Mesh,
+    *,
+    reg_lambda: float,
+    max_iter: int = 300,
+    epsilon: float = 1e-5,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Row-sharded Jacobi propagation through the windowed-SpMV Pallas
+    kernel: slab blocks shard on the mesh, the (N,) score vector all-gathers
+    per iteration (4MB at 1M tiles — ICI noise next to the slab streaming),
+    and each shard's local grid indexes the replicated scores through its
+    build-time base rows (scalar-prefetched into the kernel). The overflow
+    COO splits by source shard at setup. Matches `propagate_windowed` up to
+    f32 summation order (per-shard overflow scatters), and the XLA paths to
+    the same tolerance. Layouts with a baked-in RCM relabeling (`order`)
+    are handled here at the host boundary: inputs permute in, scores
+    permute back out — callers keep original vertex ids.
+
+    The layout-dependent setup (slab sharding, overflow split, uploads) is
+    CACHED per (layout, mesh) and the compiled program per (mesh, shapes),
+    so a KnnProp2 serving round pays only the per-round vector uploads +
+    one dispatch."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    p = _prep_windowed_mesh(layout, mesh)
+    vecs = [np.asarray(v) for v in (degree, prior, labels, is_labeled, start)]
+    if p.order is not None:
+        vecs = [v[p.order] for v in vecs]
+    degree, prior, labels, is_labeled, start = vecs
+
+    pad_n = p.Np - p.n
+    fvec = lambda v, fill=0: jax.device_put(
+        _pad_rows(v.astype(np.float32) if v.dtype != bool else v, pad_n,
+                  fill=fill),
+        p.sharding,
+    )
+    run = _windowed_mesh_run(
+        mesh, p.NBs, p.Np, p.Ns, p.UROWS, p.EROWS, p.cap,
+        float(reg_lambda), int(max_iter), float(epsilon), bool(interpret),
+    )
+    out = np.asarray(run(
+        fvec(degree), fvec(prior), fvec(labels), fvec(is_labeled),
+        fvec(start), p.cidx_d, p.wslab_d, p.base_d, *p.ovf_args,
+    ))[: p.n]
+    if p.inv is not None:
+        out = out[p.inv]
     return out

@@ -289,3 +289,42 @@ def test_ranker_mesh_warm_start_composes(mesh):
             sharded.current_scores(), single.current_scores(), atol=1e-4,
             err_msg=f"round with ids={ids}",
         )
+
+
+def test_windowed_mesh_prep_and_program_cached(mesh):
+    """Serving rounds must not redo the O(N+E) host prep (overflow split,
+    slab upload) or re-trace the shard_map program: second call hits both
+    caches and returns identical scores."""
+    from seesaw_tpu.knn_graph import SymmetricWeights
+    from seesaw_tpu.ops.pallas_spmv import build_windowed_layout
+    from seesaw_tpu.parallel import sharded_graph as sg
+
+    rng = np.random.default_rng(4)
+    n, K = 2048, 8
+    base = np.arange(n, dtype=np.int32)[:, None]
+    nbr = np.clip(base + rng.integers(-60, 61, size=(n, K)), 0, n - 1).astype(
+        np.int32
+    )
+    w = rng.uniform(0.1, 1.0, size=(n, K)).astype(np.float32)
+    layout = build_windowed_layout(nbr, w, B=128, W=256, cap=K)
+    sw = SymmetricWeights(nbr=nbr, w=w, degree=w.sum(axis=1))
+
+    prior = rng.uniform(0.1, 0.9, size=n).astype(np.float32)
+    labels = np.zeros(n, np.float32); labels[0] = 1.0
+    is_lab = np.zeros(n, bool); is_lab[[0, n - 1]] = True
+
+    kw = dict(reg_lambda=1.0, max_iter=60, epsilon=1e-8)
+    hits0 = sg._windowed_mesh_run.cache_info().hits
+    out1 = sg.sharded_propagate_windowed(
+        layout, sw.degree, prior, labels, is_lab, prior, mesh, **kw
+    )
+    prep1 = sg._prep_windowed_mesh(layout, mesh)
+    out2 = sg.sharded_propagate_windowed(
+        layout, sw.degree, prior, labels, is_lab, prior, mesh, **kw
+    )
+    prep2 = sg._prep_windowed_mesh(layout, mesh)
+    assert prep1 is prep2, "prep rebuilt on the second round"
+    assert sg._windowed_mesh_run.cache_info().hits > hits0, (
+        "compiled program re-traced on the second round"
+    )
+    np.testing.assert_array_equal(out1, out2)
