@@ -1629,13 +1629,15 @@ def _record_history(name: str, dt: float, ok: bool) -> None:
 
 
 def _est_s(name: str, default_s: float) -> float:
-    """Budget estimate for a stage: measured history (max of the last runs,
-    +25% headroom) beats the static default. The r4 outage run showed the
-    static estimates forfeit most of the record under a squeezed budget —
-    e.g. 'est 150s' propagation skipped when the real warm cost is ~60s."""
+    """Budget estimate for a stage: measured history beats the static
+    default (the r4 outage run showed static estimates forfeit most of the
+    record under a squeezed budget). Only the LAST TWO runs count — they
+    reflect the current compile-cache state; an all-time max keeps a cold
+    outlier alive forever (graph_10M: 591 s cold once, ~150 s every warm
+    run after) and that inflated estimate is itself what causes skips."""
     hist = _HISTORY.get(name)
     if hist:
-        return max(hist) * 1.25
+        return max(hist[-2:]) * 1.3
     return default_s
 
 
