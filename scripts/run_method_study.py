@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--n-batches", type=int, default=40)
     ap.add_argument("--methods", default=None,
                     help="comma-separated subset of methods")
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default="0,1",
+                    help="comma-separated corpus seeds; one dataset each")
     ap.add_argument("--workdir", default=None,
                     help="keep corpus+sessions here (default: temp dir)")
     args = ap.parse_args()
@@ -51,22 +52,33 @@ def main():
     results = os.path.join(workdir, "results")
 
     t0 = time.time()
-    print(f"[study] building corpus under {root}", flush=True)
-    _, _, categories = build_study_corpus(
-        root, n_images=args.n_images, n_pos_per_cat=args.n_pos,
-        instances_per_tier=args.instances_per_tier, seed=args.seed,
-    )
-    print(f"[study] corpus ready ({time.time() - t0:.1f}s); "
-          f"running {len(methods)} methods x {len(categories)} categories",
-          flush=True)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    categories = {}
+    frames = []
+    for seed in seeds:
+        dname = f"study{seed}"
+        print(f"[study] building corpus {dname} under {root}", flush=True)
+        _, _, cats = build_study_corpus(
+            root, n_images=args.n_images, n_pos_per_cat=args.n_pos,
+            instances_per_tier=args.instances_per_tier, seed=seed,
+            dataset_name=dname,
+        )
+        categories.update(cats)
+        print(f"[study] {dname} ready ({time.time() - t0:.1f}s); "
+              f"running {len(methods)} methods x {len(cats)} categories",
+              flush=True)
+        frames.append(run_study(
+            root, os.path.join(results, dname), methods=methods,
+            n_batches=args.n_batches, dataset_name=dname,
+        ))
+    import pandas as pd
 
-    df = run_study(root, results, methods=methods,
-                   n_batches=args.n_batches)
+    df = pd.concat(frames, ignore_index=True)
     tables = study_tables(df, categories)
     tables["config"] = dict(
         n_images=args.n_images, n_pos_per_cat=args.n_pos,
         instances_per_tier=args.instances_per_tier,
-        n_batches=args.n_batches, methods=list(methods), seed=args.seed,
+        n_batches=args.n_batches, methods=list(methods), seeds=seeds,
         wall_s=round(time.time() - t0, 1),
     )
 
