@@ -66,7 +66,7 @@ def get_session_summary(sess: dict) -> dict:
         "last_time": action_log[-1]["time"] if action_log else None,
         **other_params,
     }
-    ans.setdefault("session_id", params.get("other_params", {}).get("session_id"))
+    ans.setdefault("session_id", (params.get("other_params") or {}).get("session_id"))
     return ans
 
 
@@ -131,6 +131,41 @@ def process_action_log(log: List[dict]) -> dict:
         "start_entry": start_entry,
         "end_entry": end_entry,
     }
+
+
+def image_view_timeline(sess: dict) -> "pd.DataFrame":
+    """Per-image VIEW timeline from the frontend-recorded `Imdata.timing`
+    intervals (reference `user_data_analysis.py:159-189` linear_gdata):
+    one row per image with fine-grained start/end seconds relative to task
+    start, accept flag, and the running accepted count — the input the
+    user-study time-to-find analysis prefers over action-log granularity.
+    Only the FIRST interval per image counts (reference semantics); images
+    never opened in the detail view (no timing) are skipped."""
+    from .basic_types import Imdata, is_image_accepted
+
+    summary = get_session_summary(sess)
+    session = sess["session"]
+    task_started = summary.get("task_started") or 0.0
+
+    rows = [dict(i=-1, j=-1, start_s=0.0, end_s=0.0, accepted=False)]
+    for i, batch in enumerate(session.get("gdata", [])):
+        for j, r in enumerate(batch):
+            acc = is_image_accepted(Imdata(**r))
+            for t in r.get("timing") or []:
+                rows.append(dict(
+                    i=i, j=j,
+                    start_s=t["start_ms"] / 1000.0 - task_started,
+                    end_s=t["end_ms"] / 1000.0 - task_started,
+                    accepted=acc,
+                ))
+                break  # only the first interval per image
+    df = pd.DataFrame(rows)
+    df = df.sort_values("start_s").reset_index(drop=True)
+    df = df.assign(total_accepted=df.accepted.cumsum())
+    for k, v in summary.items():
+        if np.isscalar(v) or v is None:
+            df[k] = v
+    return df
 
 
 def process_session(sess: dict, filter_paths=None) -> List[dict]:

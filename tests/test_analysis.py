@@ -221,3 +221,59 @@ def test_bench_to_figures_workflow(bench_results):
         sbs, variant="plain", metric="average_precision", reltol=1.01
     )
     assert bsw.loc["total", "total"] == 1  # one (dataset, category) pair
+
+
+def test_image_view_timeline_from_timing(tmp_path):
+    """Frontend-recorded Imdata.timing intervals -> per-image view timeline
+    (reference linear_gdata, user_data_analysis.py:159-189): first interval
+    per image, sorted by view start, running accepted count, summary
+    metadata attached — driven through a REAL saved session."""
+    import json as _json
+
+    from seesaw_tpu.dataset import GlobalDataManager
+    from seesaw_tpu.session import make_session
+    from seesaw_tpu.basic_types import Box
+    from seesaw_tpu.user_analysis import image_view_timeline, load_session_data
+
+    root = tmp_path / "root"
+    build_synthetic_root(str(root), dataset_name="tl")
+    gdm = GlobalDataManager(str(root))
+    p = SessionParams(
+        index_spec=IndexSpec(d_name="tl", i_name="multiscale"),
+        interactive="plain", batch_size=3, shortlist_size=15,
+    )
+    sess = make_session(gdm, p)["session"]
+    sess.set_text(QSTR)
+    import time as _time
+
+    t0 = int(_time.time() * 1000)  # frontend clock (absolute ms)
+    for r in range(2):
+        sess.next()
+        state = sess.get_state()
+        for j, im in enumerate(state.gdata[-1]):
+            im.boxes = (
+                [Box(x1=0, y1=0, x2=50, y2=50, marked_accepted=True)]
+                if j == 0 else []
+            )
+            # the modal open/close interval the frontend records
+            ms = t0 + (r * 3 + j) * 2000
+            im.timing = [dict(start_ms=ms, end_ms=ms + 1500)]
+        sess.update_state(state)
+        sess.refine()
+
+    out = tmp_path / "saved"
+    out.mkdir()
+    (out / "summary.json").write_text(_json.dumps(
+        {"session": sess.get_state().model_dump()}
+    ))
+    sessions = load_session_data(str(tmp_path))
+    assert len(sessions) == 1
+    df = image_view_timeline(sessions[0])
+    # 6 viewed images + the t=0 anchor row
+    assert len(df) == 7
+    views = df[df.i >= 0]
+    assert len(views) == 6
+    assert (views.end_s - views.start_s).round(3).eq(1.5).all()
+    assert views.start_s.is_monotonic_increasing
+    assert int(df.total_accepted.iloc[-1]) == 2  # one accept per round
+    assert df.accepted.sum() == 2
