@@ -1325,6 +1325,57 @@ def bench_graph_10M(target_tiles: int = 10_000_000, rounds: int = 8,
     return out
 
 
+def bench_ens(n_tiles: int = 1_048_576, D: int = 32,
+              horizon: int = 10) -> dict:
+    """ENS one-step-lookahead utility over 1M candidates on device — the
+    active-search planning step (`ops/ens.py`, re-deriving the reference's
+    `_top_sum`, `efficient_nonmyopic_search.py:94-169`, which materializes
+    N x (K+D) numpy matrices on the host). Chained dispatches, fresh
+    scores per rep, value-fetch barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    from seesaw_tpu.ops.ens import ens_expected_value
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    nbr = jax.random.randint(k1, (n_tiles, D), 0, n_tiles, dtype=jnp.int32)
+    num = jax.random.uniform(k2, (n_tiles,), minval=0.05, maxval=0.95)
+    den1 = jnp.ones(n_tiles) + jax.random.uniform(k3, (n_tiles,)) * 3.0
+    jax.block_until_ready(nbr)
+    R = 4
+
+    @jax.jit
+    def chain(nbr_a, num_a, den1_a, keys):
+        def body(carry, k):
+            scores = jax.random.uniform(
+                k, (n_tiles,), minval=0.01, maxval=0.99
+            ) + carry * 0.0
+            ev = ens_expected_value(
+                scores, num_a, den1_a, nbr_a, K=horizon, block_size=4096
+            )
+            return ev.max() * 0.0, ev.argmax()
+        _, picks = jax.lax.scan(body, jnp.float32(0),
+                                jax.random.split(keys, R))
+        return picks.sum()
+
+    float(chain(nbr, num, den1, jax.random.PRNGKey(0)))  # compile
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(chain(nbr, num, den1, jax.random.PRNGKey(i + 1)))
+        ts.append((time.perf_counter() - t0) * 1000 / R)
+    out = {
+        "ens_lookahead_ms_1M": round(float(min(ts)), 2),
+        "ens_horizon": horizon,
+        "ens_D": D,
+    }
+    del nbr, num, den1
+    import gc
+
+    gc.collect()
+    return out
+
+
 def bench_graph_realknn(n_tiles: int = 2_097_152, K: int = 32,
                         d: int = 64) -> dict:
     """Windowed-SpMV propagation on a REAL exact-kNN graph at multi-million
@@ -1831,6 +1882,9 @@ def _main():
            skip_env="SEESAW_BENCH_SKIP_MULTIQ")
 
     _stage("refine", 60, bench_refine, skip_env="SEESAW_BENCH_SKIP_REFINE")
+
+    # active-search planning step at serving scale (ops/ens.py)
+    _stage("ens", 90, bench_ens, skip_env="SEESAW_BENCH_SKIP_GRAPH")
 
     _stage("ingest", 300, bench_ingest, skip_env="SEESAW_BENCH_SKIP_INGEST")
 
