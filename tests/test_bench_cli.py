@@ -141,3 +141,9 @@ def test_last_good_record_roundtrip(tmp_path, monkeypatch):
     extras2 = {}
     bench._attach_last_good(extras2)
     assert "last_good_record" not in extras2
+
+
+def test_ens_stage_smoke(monkeypatch):
+    out = bench.bench_ens(n_tiles=4096, D=8, horizon=5)
+    assert out["ens_lookahead_ms_1M"] > 0
+    assert out["ens_horizon"] == 5
