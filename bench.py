@@ -400,7 +400,11 @@ def bench_ingest(n_images: int = 240) -> dict:  # multiple of the 48-image group
         x = jnp.asarray(payload)
         float(x[::65536].astype(jnp.float32).sum())  # force the transfer
         rates.append(up_bytes / (time.perf_counter() - t0) / 1e6)
-    upload_MBps = float(np.median(rates))
+    # MAX of the reps: the tunnel's bandwidth swings minute-to-minute, and
+    # a median taken in a slow moment can sit BELOW an e2e rate measured a
+    # minute later (observed vs_env_bound 1.53 in r5 run 4) — as a BOUND,
+    # the best observed rate is the defensible estimate of link capacity
+    upload_MBps = float(np.max(rates))
     upload_img_per_s = upload_MBps * 1e6 / (480 * 640 * 3)
 
     # component 3: measured end-to-end with the batched device-tiling path.
